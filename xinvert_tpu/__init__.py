@@ -1,0 +1,33 @@
+# -*- coding: utf-8 -*-
+"""xinvert_tpu — a TPU-native framework for inverting elliptic equations of
+geophysical fluid dynamics (Poisson/streamfunction, Helmholtz, QG PV,
+Eliassen, Gill-Matsuno, Stommel/Munk, QG-omega, ...).
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of miniufo/xinvert
+(reference mounted at /root/reference): every reference kernel family is
+compiled into one universal stencil program executed by a red-black SOR
+engine that jits, vmaps over non-core (batch) dims, shards over device
+meshes, and runs a fused Pallas path on-chip.
+
+Public API mirrors xinvert/__init__.py:8-33 plus TPU-native extensions.
+"""
+
+__version__ = "0.1.0"
+
+from .field import Field, as_field, concat                      # noqa: F401
+from .io import open_dataset                                    # noqa: F401
+from .grid import Grid, optimal_omega                           # noqa: F401
+from .stencil import StencilSpec                                # noqa: F401
+from .solver import solve, solve_fixed, solve_trajectory, SolveResult  # noqa: F401
+from .fd import FiniteDiff, padBCs, deriv, deriv2               # noqa: F401
+from .ops.tridiag import trace, traceCyclic, tridiag_solve      # noqa: F401
+from .models.params import default_iParams, default_mParams     # noqa: F401
+from .models.api import (                                       # noqa: F401
+    invert_Poisson, invert_RefState, invert_GeoAdjustment,
+    invert_RefStateSWM, invert_PV2D, invert_Eliassen,
+    invert_GillMatsuno, invert_GillMatsuno_test, invert_Stommel,
+    invert_Stommel_test, invert_StommelMunk, invert_StommelArons,
+    invert_geostrophic, invert_BrethertonHaidvogel, invert_Fofonoff,
+    invert_omega, invert_3DOcean, animate_iteration, invert_MultiGrid,
+    cal_flow, loop_noncore,
+)

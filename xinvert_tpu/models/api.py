@@ -1,0 +1,533 @@
+# -*- coding: utf-8 -*-
+"""Public inversion API: the 16 ``invert_*`` entry points plus cal_flow,
+animate_iteration and multigrid.
+
+Mirrors the reference application layer (/root/reference/xinvert/apps.py)
+function-for-function, but TPU-native underneath: the forcing's non-core dims
+become one vectorised batch axis solved in a single ``lax.while_loop`` (the
+reference loops slices sequentially, core.py:129-139), coefficients compile to
+a :class:`~xinvert_tpu.stencil.StencilSpec`, and a red-black SOR engine runs
+the sweeps on-device.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..field import Field, as_field, concat
+from ..grid import Grid
+from ..solver import solve, solve_trajectory
+from . import problems
+from .params import default_iParams, default_mParams, merge_params
+
+__all__ = [
+    "invert_Poisson", "invert_RefState", "invert_GeoAdjustment",
+    "invert_RefStateSWM", "invert_PV2D", "invert_Eliassen",
+    "invert_GillMatsuno", "invert_GillMatsuno_test", "invert_Stommel",
+    "invert_Stommel_test", "invert_StommelMunk", "invert_StommelArons",
+    "invert_geostrophic", "invert_BrethertonHaidvogel", "invert_Fofonoff",
+    "invert_omega", "invert_3DOcean", "animate_iteration", "invert_MultiGrid",
+    "cal_flow", "loop_noncore",
+]
+
+
+# ---------------------------------------------------------------------------
+# plumbing
+# ---------------------------------------------------------------------------
+
+def _dtype():
+    return np.float64 if jax.config.jax_enable_x64 else np.float32
+
+
+def loop_noncore(F, dims):
+    """Yield selection dicts over all combinations of non-core dims
+    (reference utils.py:10-51).  Kept for API parity; the solver itself
+    batches these combinations in one device program."""
+    f = as_field(F)
+    non_core = [d for d in f.dims if d not in dims]
+    if not non_core:
+        yield {}
+        return
+    import itertools
+    ranges = [range(len(f.coords[d])) if d in f.coords else range(f.shape[f.dims.index(d)])
+              for d in non_core]
+    for idx in itertools.product(*ranges):
+        yield {d: (f.coords[d][i] if d in f.coords else i)
+               for d, i in zip(non_core, idx)}
+
+
+def _prepare(F, dims, iParams):
+    """Field -> (transposed field, values[batch..., core...], Fdef, batch dims)."""
+    f = as_field(F)
+    dims = [dims] if isinstance(dims, str) else list(dims)
+    for d in dims:
+        if d not in f.dims:
+            raise ValueError(f"dim {d} not found in forcing dims {f.dims}")
+    batch = tuple(d for d in f.dims if d not in dims)
+    order = batch + tuple(dims)
+    ft = f.transpose(*order) if f.dims != order else f
+    vals = np.asarray(ft.values, dtype=_dtype())
+    undef = iParams["undef"]
+    if isinstance(undef, float) and math.isnan(undef):
+        Fdef = ~np.isnan(vals)
+    else:
+        Fdef = (vals != undef) & ~np.isnan(vals)
+    return ft, vals, Fdef, batch
+
+
+def _collapse_mask(Fdef, core_ndim):
+    """Use a core-shaped mask when it is batch-invariant (the common case);
+    keeps the compiled stencil weights unbatched."""
+    if Fdef.ndim == core_ndim:
+        return Fdef
+    flat = Fdef.reshape((-1,) + Fdef.shape[-core_ndim:])
+    if bool(np.all(flat == flat[0])):
+        return flat[0]
+    return Fdef
+
+
+def _resolve_mp(mp, core_dims, core_shape):
+    """Align Field-valued model parameters to the core grid by dim name."""
+    out = {}
+    pos = {d: i for i, d in enumerate(core_dims)}
+    for k, v in mp.items():
+        if isinstance(v, Field) or (hasattr(v, "dims") and hasattr(v, "values")):
+            fv = as_field(v)
+            extra = [d for d in fv.dims if d not in pos]
+            if extra:
+                raise ValueError(
+                    f"mParams['{k}'] has non-core dims {extra}; batch-varying "
+                    "parameters are not supported")
+            fdims = sorted(fv.dims, key=lambda d: pos[d])
+            if tuple(fdims) != fv.dims:
+                fv = fv.transpose(*fdims)
+            shape = [1] * len(core_dims)
+            for d in fv.dims:
+                shape[pos[d]] = fv.shape[fv.dims.index(d)]
+            out[k] = np.asarray(fv.values, np.float64).reshape(shape)
+        else:
+            out[k] = v
+    return out
+
+
+def _init_state(vals, Fdef, icbc, grid, ft):
+    """Initial guess per the reference's __mask_FS (apps.py:2112-2159):
+    zeros without icbc; with icbc, icbc on undef cells and non-periodic
+    domain edges, zeros elsewhere."""
+    if icbc is None:
+        return np.zeros_like(vals)
+    fi = as_field(icbc)
+    order = [d for d in ft.dims if d in fi.dims]
+    if tuple(order) != fi.dims:
+        fi = fi.transpose(*order)
+    ic = np.broadcast_to(np.asarray(fi.values, vals.dtype), vals.shape)
+    mask = ~Fdef
+    nd = grid.ndim
+    for ax_core, bc in enumerate(grid.bcs):
+        if bc == "periodic":
+            continue
+        ax = vals.ndim - nd + ax_core
+        edge = np.zeros(vals.shape[ax], bool)
+        edge[0] = edge[-1] = True
+        shape = [1] * vals.ndim
+        shape[ax] = -1
+        mask = mask | edge.reshape(shape)
+    return np.where(mask, ic, 0.0)
+
+
+def _validate_bcs(iParams, ndim):
+    bcs = list(iParams["BCs"])
+    if ndim == 1:
+        return (bcs[0],)
+    if len(bcs) < ndim:
+        raise ValueError(f"iParams['BCs'] needs {ndim} entries, got {bcs}")
+    return tuple(bcs[:ndim])
+
+
+def _invert(problem_key, F, dims, coords, icbc, valid_mp, mParams, iParams,
+            ndim):
+    dims = [dims] if isinstance(dims, str) else list(dims)
+    if len(dims) != ndim:
+        raise ValueError(f"{ndim:2d} dimensional forcing are needed")
+    iP = merge_params(default_iParams, iParams)
+    validate = mParams is not None and mParams is not default_mParams
+    mP = merge_params(default_mParams, mParams,
+                      valid_mp if validate else None)
+
+    ft, vals, Fdef, batch = _prepare(F, dims, iP)
+    bcs = _validate_bcs(iP, ndim)
+    grid = Grid.make(dims, [ft.coords[d] for d in dims], coords, bcs,
+                     rearth=mP["Rearth"])
+    mPr = _resolve_mp(mP, dims, grid.shape)
+
+    Fdef_c = _collapse_mask(Fdef, ndim)
+    spec = problems.BUILDERS[problem_key](jnp.asarray(vals), jnp.asarray(Fdef_c),
+                                          grid, mPr)
+    S0 = _init_state(vals, Fdef, icbc, grid, ft)
+    omega = iP["optArg"] if iP["optArg"] is not None else grid.omega_opt
+
+    if iP.get("debug"):
+        print(f"dim grids  : {grid.shape}\ndim intervs: {grid.deltas}\n"
+              f"optArg     : {omega}\nmax loops  : {iP['mxLoop']}\n"
+              f"tolerance  : {iP['tolerance']}\nboundaries : {grid.bcs}")
+
+    res = solve(spec, jnp.asarray(S0), omega=omega,
+                tol=iP["tolerance"], max_iters=iP["mxLoop"])
+    S = np.asarray(res.S)
+
+    if iP.get("printInfo"):
+        iters = np.atleast_1d(np.asarray(res.iters))
+        rel = np.atleast_1d(np.asarray(res.rel_change))
+        ovf = np.atleast_1d(np.asarray(res.overflow))
+        for i in range(iters.size):
+            suffix = " (overflows!)" if ovf.flat[i] else ""
+            print(f"loops {iters.flat[i]:4.0f} and tolerance is "
+                  f"{rel.flat[i]:e}{suffix}")
+
+    if icbc is None:
+        S = np.where(Fdef, S, iP["undef"])
+    out = Field(S, ft.dims, ft.coords, name="inverted")
+    if out.dims != as_field(F).dims:
+        out = out.transpose(*as_field(F).dims)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# the 16 public inverters (signatures mirror apps.py)
+# ---------------------------------------------------------------------------
+
+def invert_Poisson(F, dims, coords="lat-lon", icbc=None,
+                   mParams=None, iParams=None):
+    """Poisson equation for streamfunction/velocity potential
+    (apps.py:67-100)."""
+    return _invert("poisson", F, dims, coords, icbc,
+                   ["g", "Omega", "Rearth"], mParams, iParams, 2)
+
+
+def invert_RefState(PV, dims, coords="z-lat", icbc=None,
+                    mParams=None, iParams=None):
+    """Balanced symmetric-vortex PV inversion (apps.py:104-145)."""
+    return _invert("refstate", PV, dims, coords, icbc,
+                   ["Ang0", "ang0", "Gamma", "g", "Omega", "Rearth"],
+                   mParams, iParams, 2)
+
+
+def invert_GeoAdjustment(h0, dims, coords="lat", icbc=None,
+                         mParams=None, iParams=None):
+    """Geostrophically adjusted free surface, 1-D (apps.py:148-191)."""
+    return _invert("geoadjustment", h0, dims, coords, icbc,
+                   ["g", "Rearth", "Omega"], mParams, iParams, 1)
+
+
+def invert_RefStateSWM(Q, dims, coords="lat", icbc=None,
+                       mParams=None, iParams=None):
+    """Steady shallow-water reference state, 1-D (apps.py:194-243)."""
+    return _invert("refstateswm", Q, dims, coords, icbc,
+                   ["M0", "C0", "g", "Rearth", "Omega"], mParams, iParams, 1)
+
+
+def invert_PV2D(PV, dims, coords="z-lat", icbc=None,
+                mParams=None, iParams=None):
+    """QG PV inversion in a vertical plane (apps.py:246-297)."""
+    return _invert("pv2d", PV, dims, coords, icbc,
+                   ["f0", "beta", "N2", "g", "Omega", "Rearth"],
+                   mParams, iParams, 2)
+
+
+def invert_Eliassen(F, dims, coords="z-lat", icbc=None,
+                    mParams=None, iParams=None):
+    """Sawyer-Eliassen overturning circulation (apps.py:300-346)."""
+    return _invert("eliassen", F, dims, coords, icbc,
+                   ["A", "B", "C", "g", "Omega", "Rearth"],
+                   mParams, iParams, 2)
+
+
+def invert_GillMatsuno(Q, dims, coords="lat-lon", icbc=None,
+                       mParams=None, iParams=None):
+    """Gill-Matsuno heat-induced mass/wind response (apps.py:349-394)."""
+    return _invert("gillmatsuno", Q, dims, coords, icbc,
+                   ["f0", "beta", "epsilon", "Phi", "g", "Omega", "Rearth"],
+                   mParams, iParams, 2)
+
+
+def invert_GillMatsuno_test(Q, dims, coords="lat-lon", icbc=None,
+                            mParams=None, iParams=None):
+    """Gill-Matsuno, standardised form (apps.py:397-442)."""
+    return _invert("gillmatsuno_test", Q, dims, coords, icbc,
+                   ["f0", "beta", "epsilon", "Phi", "g", "Omega", "Rearth"],
+                   mParams, iParams, 2)
+
+
+def invert_Stommel(curl, dims, coords="lat-lon", icbc=None,
+                   mParams=None, iParams=None):
+    """Stommel wind-driven gyre (apps.py:445-488)."""
+    return _invert("stommel", curl, dims, coords, icbc,
+                   ["beta", "R", "D", "rho0", "g", "Omega", "Rearth"],
+                   mParams, iParams, 2)
+
+
+def invert_Stommel_test(curl, dims, coords="lat-lon", icbc=None,
+                        mParams=None, iParams=None):
+    """Stommel gyre, standardised form (apps.py:491-534)."""
+    return _invert("stommel_test", curl, dims, coords, icbc,
+                   ["f0", "beta", "R", "D", "rho0", "g", "Omega", "Rearth"],
+                   mParams, iParams, 2)
+
+
+def invert_StommelMunk(curl, dims, coords="lat-lon", icbc=None,
+                       mParams=None, iParams=None):
+    """Stommel-Munk gyre with biharmonic viscosity (apps.py:537-582)."""
+    return _invert("stommelmunk", curl, dims, coords, icbc,
+                   ["A4", "beta", "R", "D", "rho0", "g", "Omega", "Rearth"],
+                   mParams, iParams, 2)
+
+
+def invert_StommelArons(Q, dims, coords="lat-lon", icbc=None,
+                        mParams=None, iParams=None):
+    """Stommel-Arons abyssal circulation (apps.py:585-629)."""
+    return _invert("stommelarons", Q, dims, coords, icbc,
+                   ["f0", "beta", "epsilon", "g", "Omega", "Rearth"],
+                   mParams, iParams, 2)
+
+
+def invert_geostrophic(lapPhi, dims, coords="lat-lon", icbc=None,
+                       mParams=None, iParams=None):
+    """Geostrophic streamfunction from Laplacian of geopotential
+    (apps.py:632-673)."""
+    return _invert("geostrophic", lapPhi, dims, coords, icbc,
+                   ["f0", "beta", "Omega", "g", "Rearth"],
+                   mParams, iParams, 2)
+
+
+def invert_BrethertonHaidvogel(h, dims, coords="cartesian", icbc=None,
+                               mParams=None, iParams=None):
+    """Steady flow over topography (apps.py:676-718)."""
+    return _invert("brethertonhaidvogel", h, dims, coords, icbc,
+                   ["f0", "beta", "D", "lambda", "g", "Omega", "Rearth"],
+                   mParams, iParams, 2)
+
+
+def invert_Fofonoff(F, dims, coords="cartesian", icbc=None,
+                    mParams=None, iParams=None):
+    """Fofonoff inviscid free mode (apps.py:721-763)."""
+    return _invert("fofonoff", F, dims, coords, icbc,
+                   ["c0", "c1", "f0", "beta", "g", "Omega", "Rearth"],
+                   mParams, iParams, 2)
+
+
+def _check_N2(mParams):
+    if mParams is None:
+        return
+    N2 = mParams.get("N2", None)
+    if N2 is None or np.isscalar(N2):
+        return
+    arr = np.asarray(as_field(N2).values if hasattr(N2, "dims") else N2,
+                     np.float64).ravel()
+    if not np.isfinite(arr[1:]).all():
+        raise ValueError("infinite stratification coefficient N2")
+    if np.isnan(arr[1:]).any():
+        raise ValueError("nan in coefficient N2")
+    if (arr[1:] <= 0).any():
+        raise ValueError("unstable stratification in coefficient N2")
+
+
+def invert_omega(F, dims, coords="lat-lon", icbc=None,
+                 mParams=None, iParams=None):
+    """QG omega equation, 3-D (apps.py:766-827)."""
+    _check_N2(mParams)
+    return _invert("omega", F, dims, coords, icbc,
+                   ["f0", "beta", "N2", "g", "Omega", "Rearth"],
+                   mParams, iParams, 3)
+
+
+def invert_3DOcean(F, dims, coords="lat-lon", icbc=None,
+                   mParams=None, iParams=None):
+    """3-D damped ocean flow (apps.py:830-888)."""
+    _check_N2(mParams)
+    return _invert("3docean", F, dims, coords, icbc,
+                   ["f0", "beta", "epsilon", "N2", "k", "g", "Omega", "Rearth"],
+                   mParams, iParams, 3)
+
+
+# ---------------------------------------------------------------------------
+# higher-level utilities
+# ---------------------------------------------------------------------------
+
+_ANIMATE = {
+    "poisson": ("poisson", 2),
+    "pv2d": ("pv2d", 2),
+    "geostrophic": ("geostrophic", 2),
+    "gillmatsuno": ("gillmatsuno", 2),
+    "eliassen": ("eliassen", 2),
+    "stommel": ("stommel", 2),
+    "stommelmunk": ("stommelmunk", 2),
+    "refstate": ("refstate", 2),
+    "brethertonhaidvogel": ("brethertonhaidvogel", 2),
+    "fofonoff": ("fofonoff", 2),
+    "omega": ("omega", 3),
+    "3docean": ("3docean", 3),
+}
+
+
+def animate_iteration(app_name, F, dims, coords="lat-lon", icbc=None,
+                      mParams=None, iParams=None,
+                      loop_per_frame=5, max_frames=30):
+    """Snapshot the SOR trajectory every `loop_per_frame` iterations along a
+    new 'iter' dim (apps.py:895-1058) — implemented as one on-device scan."""
+    key = app_name.lower()
+    if key not in _ANIMATE:
+        raise ValueError(f"unsupported problem: {app_name}")
+    problem_key, ndim = _ANIMATE[key]
+    dims = [dims] if isinstance(dims, str) else list(dims)
+    if len(dims) != ndim:
+        raise ValueError(f"{ndim} dims needed for {app_name}")
+
+    iP = merge_params(default_iParams, iParams)
+    mP = merge_params(default_mParams, mParams)
+    ft, vals, Fdef, batch = _prepare(F, dims, iP)
+    if batch:
+        raise ValueError("only a single slice (no non-core dims) is allowed")
+    bcs = _validate_bcs(iP, ndim)
+    grid = Grid.make(dims, [ft.coords[d] for d in dims], coords, bcs,
+                     rearth=mP["Rearth"])
+    mPr = _resolve_mp(mP, dims, grid.shape)
+    spec = problems.BUILDERS[problem_key](jnp.asarray(vals), jnp.asarray(Fdef),
+                                          grid, mPr)
+    S0 = _init_state(vals, Fdef, icbc, grid, ft)
+    omega = iP["optArg"] if iP["optArg"] is not None else grid.omega_opt
+
+    frames = np.asarray(solve_trajectory(spec, jnp.asarray(S0), omega,
+                                         loop_per_frame=int(loop_per_frame),
+                                         max_frames=int(max_frames)))
+    if icbc is None:
+        frames = np.where(Fdef, frames, iP["undef"])
+    iters = np.arange(loop_per_frame, loop_per_frame * (max_frames + 1),
+                      loop_per_frame)
+    coords_out = dict(ft.coords)
+    coords_out["iter"] = iters
+    return Field(frames, ("iter",) + ft.dims, coords_out, name="inverted")
+
+
+def _coarsen(f: Field, dims, ratio):
+    """Strided subsampling along `dims` (keeps uniform spacing)."""
+    if ratio == 1:
+        return f
+    idx = {d: slice(None, None, ratio) for d in dims}
+    return f.isel(idx)
+
+
+def _interp_like(src: Field, like: Field, dims):
+    """Linear interpolation of `src` onto `like`'s coordinates along dims."""
+    vals = src.values
+    out_dims = src.dims
+    for d in dims:
+        ax = out_dims.index(d)
+        xi = like.coords[d]
+        xp = src.coords[d]
+        vals = np.apply_along_axis(
+            lambda col: np.interp(xi, xp, col), ax, vals)
+    coords = dict(src.coords)
+    for d in dims:
+        coords[d] = like.coords[d]
+    return Field(vals, out_dims, coords, src.name)
+
+
+def invert_MultiGrid(invert_func, F, dims, ratios=(8, 4, 2, 1),
+                     mxLoop=5000, **kwargs):
+    """Working coarse-to-fine cascade (the reference's invert_MultiGrid,
+    apps.py:1061-1135, is experimental and imports a non-existent module).
+
+    Solves on strided-coarsened grids from coarsest to finest, linearly
+    prolongating each solution as the next level's icbc warm start.
+    """
+    F = as_field(F)
+    iParams = dict(kwargs.pop("iParams", {}) or {})
+    sol = None
+    for ratio in ratios:
+        Fc = _coarsen(F, dims, ratio)
+        iP = dict(iParams)
+        iP["mxLoop"] = max(1, int(mxLoop * (1 if ratio == 1 else ratio / max(ratios))))
+        icbc = None
+        if sol is not None:
+            icbc = _interp_like(sol, Fc, dims).fillna(0.0)
+        sol = invert_func(Fc, dims, icbc=icbc, iParams=iP, **kwargs)
+        sol = sol.fillna(0.0)
+    return sol
+
+
+def cal_flow(S, dims, coords="lat-lon", BCs=("fixed", "fixed"),
+             vtype="streamfunction", mParams=None):
+    """Recover (u, v) from streamfunction/velocity potential, or the
+    Gill-Matsuno winds from geopotential (apps.py:1181-1317)."""
+    from ..fd import FiniteDiff
+
+    S = as_field(S)
+    vt = vtype.lower()
+    if vt not in ("streamfunction", "velocitypotential", "gillmatsuno"):
+        raise ValueError(f"unsupported vtype: {vtype}")
+
+    if vt != "gillmatsuno":
+        sf = vt == "streamfunction"
+        ct = coords.lower()
+        if ct == "lat-lon":
+            fd = FiniteDiff({"Y": dims[0], "X": dims[1]},
+                            {"Y": (BCs[0], BCs[0]), "X": (BCs[1], BCs[1])},
+                            coords="lat-lon")
+            grdy, grdx = fd.grad(S, ["Y", "X"])
+            return (-grdy, grdx) if sf else (grdx, grdy)
+        if ct == "z-lat":
+            fd = FiniteDiff({"Z": dims[0], "Y": dims[1]},
+                            {"Z": (BCs[0], BCs[0]), "Y": (BCs[1], BCs[1])},
+                            coords="lat-lon")
+            grdz, grdy = fd.grad(S, ["Z", "Y"])
+            cosv = np.cos(np.deg2rad(S.coords[dims[1]]))
+            cos = Field(cosv, (dims[1],), {dims[1]: S.coords[dims[1]]})
+            grdz, grdy = grdz / cos, grdy / cos
+            lat = Field(S.coords[dims[1]], (dims[1],), {dims[1]: S.coords[dims[1]]})
+            grdy = grdy.where(abs(lat) != 90, other=0)
+            return (-grdz, grdy) if sf else (grdy, grdz)
+        if ct == "z-lon":
+            fd = FiniteDiff({"Z": dims[0], "X": dims[1]},
+                            {"Z": (BCs[0], BCs[0]), "X": (BCs[1], BCs[1])},
+                            coords="lat-lon")
+            grdz, grdx = fd.grad(S, ["Z", "X"])
+            return (grdz, -grdx) if sf else (grdx, grdz)
+        if ct == "cartesian":
+            fd = FiniteDiff({"Y": dims[0], "X": dims[1]},
+                            {"Y": (BCs[0], BCs[0]), "X": (BCs[1], BCs[1])},
+                            coords="cartesian")
+            grdy, grdx = fd.grad(S, ["Y", "X"])
+            return (-grdy, grdx) if sf else (grdx, grdy)
+        raise ValueError(f"unsupported coords {coords}")
+
+    mP = merge_params(default_mParams, mParams,
+                      None if mParams is None else
+                      ["f0", "beta", "epsilon", "Phi", "Omega", "Rearth"])
+    eps, f0, beta = mP["epsilon"], mP["f0"], mP["beta"]
+    if coords.lower() == "lat-lon":
+        latv = S.coords[dims[0]]
+        latr = np.deg2rad(latv)
+        f = 2.0 * mP["Omega"] * np.sin(latr)
+        deg2m = np.deg2rad(1.0) * mP["Rearth"]
+        cos = Field(np.cos(latr), (dims[0],), {dims[0]: latv})
+        fF = Field(f, (dims[0],), {dims[0]: latv})
+        coef1 = Field(eps / (eps ** 2 + f ** 2), (dims[0],), {dims[0]: latv})
+        coef2 = Field(f / (eps ** 2 + f ** 2), (dims[0],), {dims[0]: latv})
+        dSx = S.differentiate(dims[1]) / deg2m / cos
+        dSy = S.differentiate(dims[0]) / deg2m
+    elif coords.lower() == "cartesian":
+        y = S.coords[dims[0]]
+        f = f0 + beta * y
+        coef1 = Field(eps / (eps ** 2 + f ** 2), (dims[0],), {dims[0]: y})
+        coef2 = Field(f / (eps ** 2 + f ** 2), (dims[0],), {dims[0]: y})
+        dSx = S.differentiate(dims[1])
+        dSy = S.differentiate(dims[0])
+    else:
+        raise ValueError(f"unsupported coords {coords}")
+    u = -coef1 * dSx - coef2 * dSy
+    v = -coef1 * dSy + coef2 * dSx
+    return u, v

@@ -1,0 +1,527 @@
+# -*- coding: utf-8 -*-
+"""Coefficient builders: physics problem -> compiled StencilSpec.
+
+Each ``build_*`` replicates one reference coefficient builder
+(/root/reference/xinvert/apps.py:1397-2109) as plain array math — spherical
+metrics, half-grid staggering, Coriolis profiles — and compiles the result
+with the matching stencil family from :mod:`xinvert_tpu.stencil`.
+
+Inputs are raw arrays: ``F`` the forcing with arbitrary leading batch dims and
+the core grid trailing; ``Fdef`` a boolean defined-mask of the same (or core)
+shape; ``grid`` a :class:`~xinvert_tpu.grid.Grid`; ``mp`` the model-parameter
+dict.  Parameters that are fields must already be broadcastable to the core
+shape (the API layer handles named-dim alignment).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .. import stencil
+from ..grid import Grid
+from .params import UNDEFTMP
+
+__all__ = [
+    "build_poisson", "build_refstate", "build_geoadjustment",
+    "build_refstate_swm", "build_pv2d", "build_eliassen",
+    "build_gillmatsuno", "build_gillmatsuno_test", "build_stommel",
+    "build_stommel_test", "build_stommelmunk", "build_stommelarons",
+    "build_geostrophic", "build_bretherton", "build_fofonoff",
+    "build_omega", "build_ocean3d", "BUILDERS",
+]
+
+
+# ------------------------------------------------------------------ helpers
+
+def _bcast(profile, core_ndim, axis):
+    """Broadcast a 1-D coordinate profile along core axis `axis`."""
+    p = np.asarray(profile, dtype=np.float64)
+    shape = [1] * core_ndim
+    shape[axis] = p.size
+    return p.reshape(shape)
+
+
+def _half(profile):
+    """Half-grid average: h[j] = (p[j] + p[j-1]) / 2, NaN at j=0.
+
+    Matches the reference's ``(lats + lats.shift(1)) / 2`` staggering
+    (e.g. apps.py:1404); the NaN leading entry only ever feeds rows that the
+    sweep never updates, and is zeroed out during stencil finalisation.
+    """
+    p = np.asarray(profile, dtype=np.float64)
+    h = np.empty_like(p)
+    h[0] = np.nan
+    h[1:] = 0.5 * (p[1:] + p[:-1])
+    return h
+
+
+def _fill(F, Fdef, value=0.0):
+    return jnp.where(Fdef, F, value)
+
+
+def _grad_coord(vals, coord):
+    """d(vals)/d(coord) via central differences (xarray.differentiate)."""
+    return np.gradient(np.asarray(vals, np.float64), np.asarray(coord, np.float64))
+
+
+def _deg2m(rearth):
+    return rearth / 180.0 * np.pi
+
+
+def _coriolis_profiles(grid: Grid, mp, axis):
+    """(f at grid, f at half grid, cos, cosH, lat_rad) along core `axis`."""
+    lat = grid.coords[axis]
+    latr = np.deg2rad(lat)
+    f = 2.0 * mp["Omega"] * np.sin(latr)
+    fH = 2.0 * mp["Omega"] * np.sin(_half(latr))
+    return f, fH, np.cos(latr), np.cos(_half(latr)), latr
+
+
+# ----------------------------------------------------------------- builders
+
+def build_poisson(F, Fdef, grid: Grid, mp):
+    """Poisson equation (apps.py:1397-1437)."""
+    nd = grid.ndim
+    shape = grid.shape
+    ones = np.ones(shape[-1], np.float64)
+    ct = grid.coord_type
+    if ct == "lat-lon":
+        latr = np.deg2rad(grid.coords[0])
+        cosG = _bcast(np.cos(latr), nd, 0)
+        cosH = _bcast(np.cos(_half(latr)), nd, 0)
+        A = np.broadcast_to(cosH, shape)
+        C = np.broadcast_to(1.0 / cosG, shape)
+        Fs = _fill(F, Fdef) * jnp.asarray(cosG)
+    elif ct == "z-lat":
+        cosG = _bcast(np.cos(np.deg2rad(grid.coords[1])), nd, 1)
+        A = np.ones(shape)
+        C = np.ones(shape)
+        Fs = _fill(F, Fdef) * jnp.asarray(cosG)
+    elif ct in ("z-lon", "cartesian"):
+        A = np.ones(shape)
+        C = np.ones(shape)
+        Fs = _fill(F, Fdef)
+    else:
+        raise ValueError(f"unsupported coords {ct} for Poisson")
+    return stencil.standard_2d(jnp.asarray(A), 0.0, jnp.asarray(C), Fs, Fdef,
+                               grid.deltas, grid.bcs, include_cross=False)
+
+
+def build_refstate(Q, Qdef, grid: Grid, mp):
+    """Balanced symmetric-vortex PV inversion (apps.py:1440-1467).
+
+    Note the reference divides by the *sentinel-filled* PV and by the raw
+    second coordinate (degrees for z-lat) — replicated as-is.
+    """
+    nd = grid.ndim
+    shape = grid.shape
+    Gamma = np.asarray(mp["Gamma"], np.float64)
+    g = mp["g"]
+    Q_sent = _fill(Q, Qdef, UNDEFTMP)
+    x = _bcast(grid.coords[1], nd, 1)
+    if grid.coord_type == "z-lat":
+        A = np.broadcast_to(_bcast(np.sin(np.deg2rad(grid.coords[1])), nd, 1), shape)
+        C = jnp.asarray(Gamma) * g / Q_sent / jnp.asarray(x)
+    elif grid.coord_type == "cartesian":
+        ang0 = mp.get("Ang0", mp.get("ang0"))
+        A = np.broadcast_to(2.0 * ang0 / x ** 3, shape)
+        C = jnp.asarray(Gamma) * g / Q_sent / jnp.asarray(x)
+    else:
+        raise ValueError("refstate supports z-lat or cartesian")
+    Fs = _fill(Q, Qdef)
+    return stencil.standard_2d(jnp.asarray(A), 0.0, C, Fs, Qdef,
+                               grid.deltas, grid.bcs, include_cross=False)
+
+
+def build_geoadjustment(h0, hdef, grid: Grid, mp):
+    """Geostrophic adjustment, 1-D standard form (apps.py:1527-1552)."""
+    if grid.coord_type != "lat":
+        raise ValueError("geoadjustment supports coords='lat' only")
+    g = mp["g"]
+    f, fH, cosG, cosH, _ = _coriolis_profiles(grid, mp, 0)
+    A = jnp.asarray(cosH / fH)
+    B = -jnp.asarray(f * cosG) / g / _fill(h0, hdef, UNDEFTMP)
+    Fs = jnp.broadcast_to(jnp.asarray(-f * cosG / g), jnp.shape(h0))
+    return stencil.standard_1d(A, B, Fs, hdef, grid.deltas, grid.bcs)
+
+
+def build_refstate_swm(Q, Qdef, grid: Grid, mp):
+    """Shallow-water reference state, 1-D (apps.py:1470-1524)."""
+    if grid.coord_type != "lat":
+        raise ValueError("refstate_swm supports coords='lat' only")
+    g, Re, Om = mp["g"], mp["Rearth"], mp["Omega"]
+    M0 = np.asarray(mp["M0"], np.float64)
+    C0 = np.asarray(mp["C0"], np.float64)
+    latr = np.deg2rad(grid.coords[0])
+    cosG, cosH, sinG = np.cos(latr), np.cos(_half(latr)), np.sin(latr)
+    asin = Re * sinG
+    acos = Re * cosG
+    acos = np.where(acos < 0, -acos * 0.1, acos)  # positive near poles
+    delY = abs(latr[0] - latr[1]) * Re
+    # diff = d/dy((1/cosH) dM0/dy): the reference's local numba diff_2nd
+    # (apps.py:1482-1493), zero at the end points.
+    diff = np.zeros_like(M0)
+    dM = np.diff(M0)  # M[j+1] - M[j]
+    diff[1:-1] = (dM[1:] / cosH[2:] - dM[:-1] / cosH[1:-1]) / delY ** 2
+    A = jnp.asarray(1.0 / cosH)
+    B = -C0 * _fill(Q, Qdef, UNDEFTMP) * jnp.asarray(asin / (np.pi * g * acos ** 3))
+    Fs = jnp.asarray(-(asin * C0 ** 2 / (2.0 * np.pi * g * acos ** 3))
+                     + (2.0 * np.pi * Om ** 2 * asin * acos) / g - diff)
+    Fs = jnp.broadcast_to(Fs, jnp.shape(Q))
+    return stencil.standard_1d(A, B, Fs, Qdef, grid.deltas, grid.bcs)
+
+
+def build_pv2d(PV, PVdef, grid: Grid, mp):
+    """QG PV inversion in (p, y) (apps.py:1556-1579)."""
+    shape = grid.shape
+    A = np.broadcast_to(np.float64(mp["f0"]) ** 2 / np.asarray(mp["N2"], np.float64),
+                        shape)
+    C = np.ones(shape)
+    Fs = _fill(PV, PVdef)
+    return stencil.standard_2d(jnp.asarray(A), 0.0, jnp.asarray(C), Fs, PVdef,
+                               grid.deltas, grid.bcs, include_cross=False)
+
+
+def build_eliassen(F, Fdef, grid: Grid, mp):
+    """Sawyer-Eliassen overturning with full cross terms (apps.py:1582-1606)."""
+    shape = grid.shape
+    A = jnp.broadcast_to(jnp.asarray(mp["A"], jnp.float64), shape)
+    B = jnp.broadcast_to(jnp.asarray(mp["B"], jnp.float64), shape)
+    C = jnp.broadcast_to(jnp.asarray(mp["C"], jnp.float64), shape)
+    Fs = _fill(F, Fdef)
+    return stencil.standard_2d(A, B, C, Fs, Fdef, grid.deltas, grid.bcs,
+                               include_cross=True)
+
+
+def _gm_c1c2(grid: Grid, mp):
+    """The Gill-Matsuno c1/c2 profiles and metric pieces along y (axis 0)."""
+    eps = mp["epsilon"]
+    if grid.coord_type == "lat-lon":
+        lat = grid.coords[0]
+        latr = np.deg2rad(lat)
+        f = 2.0 * mp["Omega"] * np.sin(latr)
+        c1 = eps / (eps ** 2 + f ** 2)
+        c2 = f / (eps ** 2 + f ** 2)
+        deg2m = _deg2m(mp["Rearth"])
+        dc1 = _grad_coord(c1, lat) / deg2m
+        dc2 = _grad_coord(c2, lat) / deg2m
+        return f, c1, c2, dc1, dc2, latr
+    ydef = grid.coords[0]
+    f = mp["f0"] + mp["beta"] * ydef
+    c1 = eps / (eps ** 2 + f ** 2)
+    c2 = f / (eps ** 2 + f ** 2)
+    dc1 = _grad_coord(c1, ydef)
+    dc2 = _grad_coord(c2, ydef)
+    return f, c1, c2, dc1, dc2, None
+
+
+def build_gillmatsuno(Q, Qdef, grid: Grid, mp):
+    """Gill-Matsuno heat-induced circulation, general 2D (apps.py:1609-1657)."""
+    nd, shape = grid.ndim, grid.shape
+    Phi = mp["Phi"]
+    f, c1, c2, dc1, dc2, latr = _gm_c1c2(grid, mp)
+    if grid.coord_type == "lat-lon":
+        cosL = np.cos(latr)
+        A = c1 * Phi
+        C = c1 * Phi / cosL ** 2
+        D = Phi * (dc1 + c1 * np.tan(latr) / mp["Rearth"])
+        E = -Phi * dc2 / cosL
+    else:
+        A = c1 * Phi
+        C = c1 * Phi
+        D = Phi * dc1
+        E = -Phi * dc2
+    b = lambda p: jnp.asarray(np.broadcast_to(_bcast(p, nd, 0), shape))
+    Fc = jnp.full(shape, -mp["epsilon"], jnp.float64)
+    G = _fill(Q, Qdef)
+    return stencil.general_2d(b(A), jnp.zeros(shape), b(C), b(D), b(E), Fc, G,
+                              Qdef, grid.deltas, grid.bcs)
+
+
+def build_gillmatsuno_test(Q, Qdef, grid: Grid, mp):
+    """Gill-Matsuno in standardised (flux) form (apps.py:1660-1709)."""
+    nd, shape = grid.ndim, grid.shape
+    Phi, eps = mp["Phi"], mp["epsilon"]
+    if grid.coord_type == "lat-lon":
+        lat = grid.coords[0]
+        latr = np.deg2rad(lat)
+        cosG, cosH = np.cos(latr), np.cos(_half(latr))
+        fG = 2.0 * mp["Omega"] * np.sin(latr)
+        fH = 2.0 * mp["Omega"] * np.sin(_half(latr))
+        scaleF = cosG
+    else:
+        y = grid.coords[0]
+        fG = mp["f0"] + mp["beta"] * y
+        fH = mp["f0"] + mp["beta"] * _half(y)
+        cosG = np.ones_like(fG)
+        cosH = np.ones_like(fH)
+        scaleF = None
+    c1G = eps / (eps ** 2 + fG ** 2)
+    c1H = eps / (eps ** 2 + fH ** 2)
+    c2G = fG / (eps ** 2 + fG ** 2)
+    b = lambda p: jnp.asarray(np.broadcast_to(_bcast(p, nd, 0), shape))
+    A = b(c1H * Phi * cosH)
+    B = b(-c2G * Phi)
+    C = b(c2G * Phi)
+    D = b(c1G * Phi / cosG)
+    E = b(-eps * cosG)
+    Fs = _fill(Q, Qdef)
+    if scaleF is not None:
+        Fs = Fs * jnp.asarray(_bcast(scaleF, nd, 0))
+    return stencil.standard_2d_e(A, B, C, D, E, Fs, Qdef, grid.deltas, grid.bcs)
+
+
+def build_stommel(curl, cdef, grid: Grid, mp):
+    """Stommel wind-driven gyre, general 2D (apps.py:1712-1748)."""
+    nd, shape = grid.ndim, grid.shape
+    R, depth, rho0 = mp["R"], mp["D"], mp["rho0"]
+    zero = jnp.zeros(shape)
+    if grid.coord_type == "lat-lon":
+        latr = np.deg2rad(grid.coords[0])
+        cosL = _bcast(np.cos(latr), nd, 0)
+        A = jnp.full(shape, -R / depth)
+        C = jnp.asarray(np.broadcast_to(-R / depth / cosL ** 2, shape))
+        E = jnp.full(shape, -2.0 * mp["Omega"] / mp["Rearth"])
+    else:
+        A = jnp.full(shape, -R / depth)
+        C = jnp.full(shape, -R / depth)
+        E = jnp.full(shape, -mp["beta"])
+    G = -_fill(curl, cdef) / depth / rho0
+    return stencil.general_2d(A, zero, C, zero, E, zero, G, cdef,
+                              grid.deltas, grid.bcs)
+
+
+def build_stommel_test(curl, cdef, grid: Grid, mp):
+    """Stommel in standardised form (apps.py:1751-1790)."""
+    nd, shape = grid.ndim, grid.shape
+    R, depth, rho0 = mp["R"], mp["D"], mp["rho0"]
+    b = lambda p: jnp.asarray(np.broadcast_to(_bcast(p, nd, 0), shape))
+    if grid.coord_type == "lat-lon":
+        latr = np.deg2rad(grid.coords[0])
+        cosG, cosH = np.cos(latr), np.cos(_half(latr))
+        f = 2.0 * mp["Omega"] * np.sin(latr)
+        A = b(-R / depth * cosH)
+        B = b(-f)
+        C = b(f)
+        D = b(-R / depth / cosG)
+        E = jnp.zeros(shape)
+        Fs = -_fill(curl, cdef) / depth / rho0 * b(cosG)
+    else:
+        y = grid.coords[0]
+        f = mp["f0"] + mp["beta"] * y
+        A = jnp.full(shape, -R / depth)
+        B = b(-f)
+        C = b(f)
+        D = jnp.full(shape, -R / depth)
+        E = jnp.zeros(shape)
+        Fs = -_fill(curl, cdef) / depth / rho0
+    return stencil.standard_2d_e(A, B, C, D, E, Fs, cdef, grid.deltas, grid.bcs)
+
+
+def build_stommelmunk(curl, cdef, grid: Grid, mp):
+    """Stommel-Munk gyre with biharmonic viscosity (apps.py:1793-1836)."""
+    nd, shape = grid.ndim, grid.shape
+    A4, R, depth, rho0 = mp["A4"], mp["R"], mp["D"], mp["rho0"]
+    zero = jnp.zeros(shape)
+    if grid.coord_type == "lat-lon":
+        latr = np.deg2rad(grid.coords[0])
+        icos2 = np.broadcast_to(_bcast(1.0 / np.cos(latr) ** 2, nd, 0), shape)
+        A = jnp.full(shape, A4)
+        C = jnp.asarray(A4 * icos2)
+        D = jnp.full(shape, -R / depth)
+        Fc = jnp.asarray(-R / depth * icos2)
+        H = jnp.full(shape, -2.0 * mp["Omega"] / mp["Rearth"])
+    else:
+        A = jnp.full(shape, A4)
+        C = jnp.full(shape, A4)
+        D = jnp.full(shape, -R / depth)
+        Fc = jnp.full(shape, -R / depth)
+        H = jnp.full(shape, -mp["beta"])
+    J = -_fill(curl, cdef) / depth / rho0
+    return stencil.general_2d_bih(A, zero, C, D, zero, Fc, zero, H, zero, J,
+                                  cdef, grid.deltas, grid.bcs)
+
+
+def build_stommelarons(Q, Qdef, grid: Grid, mp):
+    """Stommel-Arons abyssal circulation, general 2D (apps.py:1839-1886)."""
+    nd, shape = grid.ndim, grid.shape
+    f, c1, c2, dc1, dc2, latr = _gm_c1c2(grid, mp)
+    if grid.coord_type == "lat-lon":
+        cosL = np.cos(latr)
+        A = c1
+        C = c1 / cosL ** 2
+        D = dc1 + c1 * np.tan(latr) / mp["Rearth"]
+        E = -dc2 / cosL
+    else:
+        A, C, D, E = c1, c1, dc1, -dc2
+    b = lambda p: jnp.asarray(np.broadcast_to(_bcast(p, nd, 0), shape))
+    zero = jnp.zeros(shape)
+    G = _fill(Q, Qdef)
+    return stencil.general_2d(b(A), zero, b(C), b(D), b(E), zero, G, Qdef,
+                              grid.deltas, grid.bcs)
+
+
+def build_geostrophic(lapPhi, Fdef, grid: Grid, mp):
+    """Geostrophic streamfunction from Laplacian of geopotential
+    (apps.py:1889-1931), with the near-equator f regularisation."""
+    nd, shape = grid.ndim, grid.shape
+    b = lambda p: jnp.asarray(np.broadcast_to(_bcast(p, nd, 0), shape))
+    if grid.coord_type == "lat-lon":
+        latr = np.deg2rad(grid.coords[0])
+        sinG, sinH = np.sin(latr), np.sin(_half(latr))
+        cosG, cosH = np.cos(latr), np.cos(_half(latr))
+        fH = 2.0 * mp["Omega"] * sinH
+        fG = 2.0 * mp["Omega"] * sinG
+        fH = np.where(np.abs(fH) < 2e-5, fH * 1.5, fH)   # apps.py:1909-1910
+        fG = np.where(np.abs(fG) < 2e-5, fG * 1.5, fG)
+        A = b(fH * cosH)
+        C = b(fG / cosG)
+        Fs = _fill(lapPhi, Fdef) * b(cosG)
+    else:
+        y = grid.coords[0]
+        fG = mp["f0"] + mp["beta"] * y
+        fH = mp["f0"] + mp["beta"] * _half(y)
+        A = b(fH)
+        C = b(fG)
+        Fs = _fill(lapPhi, Fdef)
+    return stencil.standard_2d(A, 0.0, C, Fs, Fdef, grid.deltas, grid.bcs,
+                               include_cross=False)
+
+
+def build_bretherton(h, hdef, grid: Grid, mp):
+    """Bretherton-Haidvogel flow over topography (apps.py:1934-1972)."""
+    nd, shape = grid.ndim, grid.shape
+    depth, lamb = mp["D"], mp["lambda"]
+    b = lambda p: jnp.asarray(np.broadcast_to(_bcast(p, nd, 0), shape))
+    zero = jnp.zeros(shape)
+    if grid.coord_type == "lat-lon":
+        latr = np.deg2rad(grid.coords[0])
+        cosG, cosH = np.cos(latr), np.cos(_half(latr))
+        f = 2.0 * mp["Omega"] * np.sin(latr)
+        A = b(cosH)
+        D = b(1.0 / cosG)
+        E = b(-lamb * depth * cosG)
+        Fs = -_fill(h, hdef) * b(f) / depth * b(cosG)
+    else:
+        y = grid.coords[0]
+        f = mp["f0"] + mp["beta"] * y
+        A = jnp.ones(shape)
+        D = jnp.ones(shape)
+        E = jnp.full(shape, -lamb * depth)
+        Fs = -_fill(h, hdef) * b(f) / depth
+    return stencil.standard_2d_e(A, zero, zero, D, E, Fs, hdef,
+                                 grid.deltas, grid.bcs)
+
+
+def build_fofonoff(F, Fdef, grid: Grid, mp):
+    """Fofonoff inviscid free mode (apps.py:1975-2013); forcing synthesised
+    from the Coriolis profile, the input F contributes only its mask."""
+    nd, shape = grid.ndim, grid.shape
+    c0, c1 = mp["c0"], mp["c1"]
+    b = lambda p: jnp.asarray(np.broadcast_to(_bcast(p, nd, 0), shape))
+    zero = jnp.zeros(shape)
+    if grid.coord_type == "lat-lon":
+        latr = np.deg2rad(grid.coords[0])
+        cosG, cosH = np.cos(latr), np.cos(_half(latr))
+        f = 2.0 * mp["Omega"] * np.sin(latr)
+        A = b(cosH)
+        D = b(1.0 / cosG)
+        E = b(-c0 * cosG)
+        Fs = b((c1 - f) * cosG)
+    else:
+        y = grid.coords[0]
+        f = mp["f0"] + mp["beta"] * y
+        A = jnp.ones(shape)
+        D = jnp.ones(shape)
+        E = jnp.full(shape, -c0)
+        Fs = b(c1 - f)
+    Fs = jnp.broadcast_to(Fs, jnp.shape(F))
+    return stencil.standard_2d_e(A, zero, zero, D, E, Fs, Fdef,
+                                 grid.deltas, grid.bcs)
+
+
+def build_omega(F, Fdef, grid: Grid, mp):
+    """QG omega equation, standard 3D (apps.py:2016-2052)."""
+    nd, shape = grid.ndim, grid.shape
+    N2 = np.asarray(mp["N2"], np.float64)
+    if grid.coord_type == "lat-lon":
+        latr = np.deg2rad(grid.coords[1])
+        cosG = _bcast(np.cos(latr), nd, 1)
+        cosH = _bcast(np.cos(_half(latr)), nd, 1)
+        f = _bcast(2.0 * mp["Omega"] * np.sin(latr), nd, 1)
+        A = np.broadcast_to(f ** 2 * cosG, shape)
+        B = np.broadcast_to(N2 * cosH, shape)
+        C = np.broadcast_to(N2 / cosG, shape)
+        Fs = _fill(F, Fdef) * jnp.asarray(cosG)
+    else:
+        y = grid.coords[1]
+        f = _bcast(mp["f0"] + mp["beta"] * y, nd, 1)
+        A = np.broadcast_to(f ** 2, shape)
+        B = np.broadcast_to(N2 * np.ones(shape), shape)
+        C = np.broadcast_to(N2 * np.ones(shape), shape)
+        Fs = _fill(F, Fdef)
+    return stencil.standard_3d(jnp.asarray(A), jnp.asarray(B), jnp.asarray(C),
+                               Fs, Fdef, grid.deltas, grid.bcs)
+
+
+def build_ocean3d(F, Fdef, grid: Grid, mp):
+    """3-D damped ocean flow, general 3D (apps.py:2055-2109)."""
+    nd, shape = grid.ndim, grid.shape
+    eps, k, N2 = mp["epsilon"], mp["k"], np.asarray(mp["N2"], np.float64)
+    lev = grid.coords[0]
+    c3 = np.broadcast_to(np.asarray(k / N2, np.float64), lev.shape) \
+        if np.ndim(k / N2) <= 1 else k / N2
+    c3 = np.asarray(c3, np.float64)
+    if c3.ndim == 0:
+        c3 = np.full(lev.shape, c3)
+    dc3 = _grad_coord(c3, lev)
+    if grid.coord_type == "lat-lon":
+        lat = grid.coords[1]
+        latr = np.deg2rad(lat)
+        cosL = np.cos(latr)
+        f = 2.0 * mp["Omega"] * np.sin(latr)
+        c1 = eps / (eps ** 2 + f ** 2)
+        c2 = f / (eps ** 2 + f ** 2)
+        deg2m = _deg2m(mp["Rearth"])
+        dc1 = _grad_coord(c1, lat) / deg2m
+        dc2 = _grad_coord(c2, lat) / deg2m
+        E = dc1 - c1 * np.tan(latr) / mp["Rearth"]
+        Fc = -dc2 / cosL
+        C = c1 / cosL ** 2
+    else:
+        y = grid.coords[1]
+        f = mp["f0"] + mp["beta"] * y
+        c1 = eps / (eps ** 2 + f ** 2)
+        c2 = f / (eps ** 2 + f ** 2)
+        dc1 = _grad_coord(c1, y)
+        dc2 = _grad_coord(c2, y)
+        E = dc1
+        Fc = -dc2
+        C = c1
+    bz = lambda p: jnp.asarray(np.broadcast_to(_bcast(p, nd, 0), shape))
+    by = lambda p: jnp.asarray(np.broadcast_to(_bcast(p, nd, 1), shape))
+    zero = jnp.zeros(shape)
+    H = _fill(F, Fdef)
+    return stencil.general_3d(bz(c3), by(c1), by(C), bz(dc3), by(E), by(Fc),
+                              zero, H, Fdef, grid.deltas, grid.bcs)
+
+
+BUILDERS = {
+    "poisson": build_poisson,
+    "refstate": build_refstate,
+    "geoadjustment": build_geoadjustment,
+    "refstateswm": build_refstate_swm,
+    "pv2d": build_pv2d,
+    "eliassen": build_eliassen,
+    "gillmatsuno": build_gillmatsuno,
+    "gillmatsuno_test": build_gillmatsuno_test,
+    "stommel": build_stommel,
+    "stommel_test": build_stommel_test,
+    "stommelmunk": build_stommelmunk,
+    "stommelarons": build_stommelarons,
+    "geostrophic": build_geostrophic,
+    "brethertonhaidvogel": build_bretherton,
+    "fofonoff": build_fofonoff,
+    "omega": build_omega,
+    "3docean": build_ocean3d,
+}
