@@ -30,7 +30,7 @@ def main():
     if platform == "cpu":
         batch, ny, nx, iters, chain = 1, 512, 512, 50, 2
     else:
-        batch, ny, nx, iters, chain = 1, 4096, 4096, 100, 10
+        batch, ny, nx, iters, chain = 1, 2048, 2048, 100, 8
 
     spec, S0, grid = _poisson_problem(batch=batch, ny=ny, nx=nx,
                                       dtype=np.float32)
@@ -50,7 +50,7 @@ def main():
         return dt
 
     run(1)            # warmup / compile
-    t_long = min(run(chain) for _ in range(2))
+    t_long = run(chain)
     t_short = run(1)
     # subtract fixed dispatch/fetch overhead using the two chain lengths
     per_call = max((t_long - t_short) / (chain - 1), 1e-9)

@@ -1,0 +1,80 @@
+# -*- coding: utf-8 -*-
+"""1-D inversions: geostrophic adjustment and shallow-water reference state
+(reference tests/test_GeoAdjustment.py, tests/test_RefStateSWM.py — the
+latter's Barotropic2D.nc fixture is not bundled, so the nonlinear outer loop
+runs on synthetic tabulations and is checked for convergence)."""
+import numpy as np
+import pytest
+
+from xinvert_tpu import Field, invert_GeoAdjustment, invert_RefStateSWM
+
+
+def test_geoadjustment_step():
+    yc = 501
+    lat = np.linspace(-75, -25, yc)
+    R = 6371200.0
+    O = 7.292e-5
+    g = 9.80665
+    h0v = np.full(yc, 1500.0)
+    h0v[yc // 2:] = 1520.0
+    h0 = Field(h0v, ("lat",), {"lat": lat})
+
+    iParams = {"BCs": ["extend"], "mxLoop": 20000, "tolerance": 1e-14,
+               "optArg": 1.8, "undef": -9999, "printInfo": False}
+
+    h = invert_GeoAdjustment(h0, dims=["lat"], coords="lat", iParams=iParams)
+
+    assert h.dims == h0.dims and h.shape == h0.shape
+    v = h.values
+    assert np.isfinite(v).all()
+
+    # the adjusted interface must smooth the jump while staying within the
+    # initial bounds, and satisfy the discrete adjustment equation: the
+    # geostrophically balanced state conserves PV ~ f/h to leading order
+    deg2m = R / 180.0 * np.pi
+    f = 2 * O * np.sin(np.deg2rad(lat))
+    u = -np.gradient(v, lat) / deg2m * g / f
+    PV = (f - np.gradient(u, lat) / deg2m) / v
+    PV0 = f / h0v
+    interior = slice(30, -30)
+    relerr = np.abs(PV[interior] - PV0[interior]) / np.abs(PV0[interior])
+    assert np.nanmax(relerr) < 0.05
+
+
+def test_refstateswm_nonlinear_iteration(data_dir):
+    """Fixed-point outer loop re-tabulating Q(M), C(M) between linear solves
+    (the reference's 5-iteration scheme) converges on synthetic tabulations."""
+    from xinvert_tpu import open_dataset
+
+    ds2 = open_dataset(f"{data_dir}/contour.nc")
+    ctr = ds2.PV.isel(time=0).values        # (contour,)
+    Mass = ds2.Mass.isel(time=0).values
+    Circ = ds2.Circ.isel(time=0).values
+
+    lat = np.linspace(-90, 90, 121)
+    latF = Field(lat, ("lat",), {"lat": lat})
+
+    def getQC(Mv):
+        Q = np.interp(Mv, Mass, ctr)
+        Q[lat == 90] = ctr.max()
+        C = np.interp(Q, ctr, Circ)
+        return Q, C
+
+    iParams = {"BCs": ["fixed"], "mxLoop": 5000, "tolerance": 1e-18,
+               "undef": np.nan, "printInfo": False}
+
+    Mref = Mass.max() * (np.sin(np.deg2rad(lat)) + 1.0) / 2.0
+    dM_norms = []
+    for i in range(5):
+        Qref, Cref = getQC(Mref)
+        mParams = {"M0": Field(Mref, ("lat",), {"lat": lat}),
+                   "C0": Field(Cref, ("lat",), {"lat": lat})}
+        dM = invert_RefStateSWM(Field(Qref, ("lat",), {"lat": lat}),
+                                dims=["lat"], iParams=iParams,
+                                mParams=mParams)
+        assert np.isfinite(dM.values).all()
+        Mref = Mref + dM.values
+        dM_norms.append(np.abs(dM.values).mean())
+
+    # outer fixed-point iteration contracts
+    assert dM_norms[-1] < dM_norms[0]

@@ -1,0 +1,58 @@
+# -*- coding: utf-8 -*-
+"""Dispatch-level inv_* API (reference core.py exports): custom coefficients
+straight to a stencil family, consistency with the application layer."""
+import numpy as np
+
+from xinvert_tpu import (Field, inv_standard2D, inv_general2D,
+                         inv_standard1D, invert_Poisson)
+
+
+def test_inv_standard2D_matches_invert_poisson(data_dir):
+    from xinvert_tpu import open_dataset
+    ds = open_dataset(f"{data_dir}/Helmholtz_atmos.nc")
+    vor = ds.vor.isel(time=0)
+    lat = vor.coords["lat"]
+
+    iP = {"BCs": ["fixed", "periodic"], "mxLoop": 2000, "tolerance": 1e-11,
+          "printInfo": False}
+
+    # build the Poisson coefficients exactly as the app layer does
+    latr = np.deg2rad(lat)
+    latH = np.empty_like(latr)
+    latH[0] = np.nan
+    latH[1:] = 0.5 * (latr[1:] + latr[:-1])
+    A = Field(np.cos(latH), ("lat",), {"lat": lat})
+    C = Field(1.0 / np.cos(latr), ("lat",), {"lat": lat})
+    cos = Field(np.cos(latr), ("lat",), {"lat": lat})
+
+    via_core = inv_standard2D(A, 0.0, C, vor * cos, dims=["lat", "lon"],
+                              coords="lat-lon", iParams=iP)
+    via_app = invert_Poisson(vor, dims=["lat", "lon"], iParams=iP)
+
+    scale = np.abs(via_app.values).max()
+    # identical spec and omega; fp association differences shift the
+    # stopping point by an iterate, bounded by the tolerance level
+    assert np.abs(via_core.values - via_app.values).max() < 1e-6 * scale
+
+
+def test_inv_standard1D_runs():
+    x = np.linspace(0, 1e6, 101)
+    F = Field(np.sin(2 * np.pi * x / 1e6) * 1e-9, ("x",), {"x": x})
+    out = inv_standard1D(1.0, 0.0, F, dims=["x"], coords="cartesian",
+                         iParams={"BCs": ["fixed"], "printInfo": False})
+    assert out.shape == F.shape
+    assert np.isfinite(out.values).all()
+
+
+def test_inv_general2D_runs():
+    y = np.linspace(0, 1e6, 41)
+    x = np.linspace(0, 1e6, 51)
+    rng = np.random.default_rng(0)
+    G = Field(rng.normal(0, 1e-10, (41, 51)), ("y", "x"),
+              {"y": y, "x": x})
+    out = inv_general2D(1.0, 0.0, 1.0, 0.0, 0.0, -1e-12, G,
+                        dims=["y", "x"], coords="cartesian",
+                        iParams={"BCs": ["fixed", "fixed"],
+                                 "printInfo": False})
+    assert out.shape == G.shape
+    assert np.isfinite(out.values).all()

@@ -1,0 +1,98 @@
+# -*- coding: utf-8 -*-
+"""Distribution layer: sharded solves over a ('batch','y','x') mesh must
+reproduce the single-device solution exactly (the sweep is deterministic
+dense algebra; GSPMD only changes placement)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from xinvert_tpu import stencil, solve, solve_fixed
+from xinvert_tpu.grid import optimal_omega
+from xinvert_tpu.parallel import make_grid_mesh, shard_problem, \
+    solve_sharded, solve_fixed_sharded
+
+
+def _problem(batch=4, yc=16, xc=24, seed=0):
+    rng = np.random.default_rng(seed)
+    A = np.abs(rng.normal(1.0, 0.1, (yc, xc))) + 0.5
+    C = np.abs(rng.normal(1.0, 0.1, (yc, xc))) + 0.5
+    F = rng.normal(0.0, 1.0, (batch, yc, xc))
+    Fdef = np.ones((yc, xc), bool)
+    Fdef[5:8, 4:9] = False
+    spec = stencil.standard_2d(jnp.asarray(A), 0.0, jnp.asarray(C),
+                               jnp.asarray(F), jnp.asarray(Fdef),
+                               (1.1e5, 1.0e5), ("fixed", "periodic"),
+                               include_cross=False)
+    S0 = jnp.zeros((batch, yc, xc))
+    return spec, S0
+
+
+def test_mesh_factorization():
+    mesh = make_grid_mesh(8, batch=2)
+    assert mesh.shape == {"batch": 2, "y": 1, "x": 4} or \
+        mesh.shape == {"batch": 2, "y": 2, "x": 2}
+    mesh = make_grid_mesh(8)
+    assert mesh.shape["batch"] == 1
+    assert mesh.shape["y"] * mesh.shape["x"] == 8
+    with pytest.raises(ValueError):
+        make_grid_mesh(8, batch=3)
+
+
+def test_sharded_solve_matches_single_device():
+    spec, S0 = _problem()
+    omega = optimal_omega(S0.shape[-2:])
+
+    single = solve(spec, S0, omega=omega, tol=1e-13, max_iters=3000)
+    for batch_ax in (1, 2):
+        mesh = make_grid_mesh(8, batch=batch_ax)
+        shard = solve_sharded(spec, S0, mesh=mesh, omega=omega,
+                              tol=1e-13, max_iters=3000)
+        np.testing.assert_allclose(np.asarray(shard.S), np.asarray(single.S),
+                                   rtol=0, atol=1e-12)
+        assert (np.asarray(shard.iters) == np.asarray(single.iters)).all()
+
+
+def test_sharded_fixed_matches_single_device():
+    spec, S0 = _problem()
+    omega = optimal_omega(S0.shape[-2:])
+    single = solve_fixed(spec, S0, omega, 50)
+    mesh = make_grid_mesh(8, batch=2)
+    shard = solve_fixed_sharded(spec, S0, 50, mesh=mesh, omega=omega)
+    # partitioned compilation may reassociate fp ops; tolerance stays at
+    # a few ulps of the solution scale
+    np.testing.assert_allclose(np.asarray(shard), np.asarray(single),
+                               rtol=1e-11, atol=1e-11)
+
+
+def test_sharded_biharmonic():
+    """Two-ring halo problem (biharmonic 13-point stencil) shards too."""
+    rng = np.random.default_rng(1)
+    yc, xc = 24, 32
+    shape = (yc, xc)
+    A4 = np.full(shape, 5e3)
+    zero = np.zeros(shape)
+    D = np.full(shape, -1e-6)
+    H = np.full(shape, -1.8e-11)
+    J = rng.normal(0, 1e-7, shape)
+    spec = stencil.general_2d_bih(
+        jnp.asarray(A4), zero, jnp.asarray(A4), jnp.asarray(D), zero,
+        jnp.asarray(D), zero, jnp.asarray(H), zero, jnp.asarray(J),
+        jnp.ones(shape, bool), (5e4, 5e4), ("fixed", "fixed"))
+    S0 = jnp.zeros(shape)
+    omega = 1.2
+    single = solve_fixed(spec, S0, omega, 40)
+    mesh = make_grid_mesh(4, batch=1)
+    shard = solve_fixed_sharded(spec, S0, 40, mesh=mesh, omega=omega)
+    scale = np.abs(np.asarray(single)).max()
+    np.testing.assert_allclose(np.asarray(shard), np.asarray(single),
+                               rtol=1e-12, atol=1e-12 * max(scale, 1.0))
+
+
+def test_dryrun_entry():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert np.isfinite(np.asarray(out)).all()

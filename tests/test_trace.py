@@ -1,0 +1,54 @@
+# -*- coding: utf-8 -*-
+"""Thomas / cyclic-Thomas solvers vs the reference's golden vectors
+(/root/reference/tests/test_trace.py:12-38)."""
+import numpy as np
+
+from xinvert_tpu import trace, traceCyclic
+
+
+def test_trace():
+    a = np.array([2., 2., 0.])
+    b = np.array([3., 3., 3., 3.])
+    c = np.array([0., 1., 1.])
+    d = np.array([5., 9., 9., 8.])
+
+    res = trace(a, b, c, d)
+    expect = np.array([
+        1.6666666666666667,
+        1.5238095238095233,
+        1.0952380952380958,
+        2.6666666666666665])
+    assert np.isclose(np.asarray(res), expect).all()
+
+
+def test_trace_cyclic():
+    a = np.array([2., 2., 0.])
+    b = np.array([3., 3., 3., 3.])
+    c = np.array([0., 1., 1.])
+    d = np.array([5., 9., 9., 8.])
+
+    res = traceCyclic(a, b, c, d, 5.2, 3.9)
+    expect = np.array([
+        2.35815602836879370,
+        0.49316109422492393,
+        2.80420466058763960,
+        -0.39893617021276560])
+    assert np.isclose(np.asarray(res), expect).all()
+
+
+def test_trace_random_vs_dense():
+    rng = np.random.default_rng(3)
+    n = 17
+    b = rng.normal(4.0, 0.3, n)
+    a = rng.normal(1.0, 0.2, n - 1)
+    c = rng.normal(1.0, 0.2, n - 1)
+    d = rng.normal(0.0, 1.0, n)
+    M = np.diag(b) + np.diag(a, -1) + np.diag(c, 1)
+    x = np.linalg.solve(M, d)
+    assert np.allclose(np.asarray(trace(a, b, c, d)), x)
+
+    a0, cn = 0.7, -0.4
+    M[0, -1] += a0
+    M[-1, 0] += cn
+    x = np.linalg.solve(M, d)
+    assert np.allclose(np.asarray(traceCyclic(a, b, c, d, a0, cn)), x)

@@ -21,6 +21,10 @@ from .stencil import StencilSpec                                # noqa: F401
 from .solver import solve, solve_fixed, solve_trajectory, SolveResult  # noqa: F401
 from .fd import FiniteDiff, padBCs, deriv, deriv2               # noqa: F401
 from .ops.tridiag import trace, traceCyclic, tridiag_solve      # noqa: F401
+from .core import (                                             # noqa: F401
+    inv_standard1D, inv_standard2D, inv_standard2D_test, inv_standard3D,
+    inv_general2D, inv_general2D_bih, inv_general3D,
+)
 from .models.params import default_iParams, default_mParams     # noqa: F401
 from .models.api import (                                       # noqa: F401
     invert_Poisson, invert_RefState, invert_GeoAdjustment,

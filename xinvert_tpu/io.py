@@ -39,13 +39,16 @@ def _dim_names(dset, fallback_prefix="phony_dim"):
     names = []
     if "DIMENSION_LIST" in dset.attrs:
         f = dset.file
-        for i, refs in enumerate(dset.attrs["DIMENSION_LIST"]):
-            if len(refs):
-                scale = f[refs[0]]
-                names.append(scale.name.lstrip("/"))
-            else:
-                names.append(f"{fallback_prefix}_{i}")
-    else:
+        try:
+            for i, refs in enumerate(dset.attrs["DIMENSION_LIST"]):
+                if len(refs):
+                    scale = f[refs[0]]
+                    names.append(scale.name.lstrip("/"))
+                else:
+                    names.append(f"{fallback_prefix}_{i}")
+        except (OSError, TypeError):
+            names = []
+    if len(names) != dset.ndim:   # malformed/absent dimension list
         names = [f"{fallback_prefix}_{i}" for i in range(dset.ndim)]
     return names
 
@@ -80,18 +83,24 @@ def open_dataset(path):
 def _read_values(obj):
     vals = np.asarray(obj[...])
     # apply netCDF attribute conventions
+    def scalar(attr):
+        """Attributes are often stored as length-1 arrays; a raw array would
+        broadcast 0-d values up a dimension in np.where."""
+        v = obj.attrs.get(attr, None)
+        return None if v is None else np.asarray(v).ravel()[0]
+
     if vals.dtype.kind in "iuf":
         vals = vals.astype(np.float64)
-        fill = obj.attrs.get("_FillValue", None)
+        fill = scalar("_FillValue")
         if fill is not None:
-            vals = np.where(vals == np.asarray(fill, dtype=vals.dtype), np.nan, vals)
-        miss = obj.attrs.get("missing_value", None)
+            vals = np.where(vals == fill, np.nan, vals)
+        miss = scalar("missing_value")
         if miss is not None:
-            vals = np.where(vals == np.asarray(miss, dtype=vals.dtype), np.nan, vals)
-        scale = obj.attrs.get("scale_factor", None)
-        offset = obj.attrs.get("add_offset", None)
+            vals = np.where(vals == miss, np.nan, vals)
+        scale = scalar("scale_factor")
+        offset = scalar("add_offset")
         if scale is not None:
-            vals = vals * np.asarray(scale, dtype=np.float64)
+            vals = vals * np.float64(scale)
         if offset is not None:
-            vals = vals + np.asarray(offset, dtype=np.float64)
+            vals = vals + np.float64(offset)
     return vals

@@ -168,11 +168,33 @@ def _norm(spec: StencilSpec, S):
 # drivers
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("max_iters_static",))
-def _solve_jit(spec, S0, omega, tol, max_iters, max_iters_static=None):
+def _use_pallas(spec, S) -> bool:
+    """Pallas fused-sweep path: TPU backend, 2-D spec that fits VMEM, f32."""
+    from .ops.pallas_sor import pallas_applicable
+    return (jax.default_backend() == "tpu"
+            and S.dtype == jnp.float32
+            and pallas_applicable(spec, jnp.shape(S)))
+
+
+@partial(jax.jit, static_argnames=("check_every", "use_pallas"))
+def _solve_jit(spec, S0, omega, tol, max_iters, check_every=1,
+               use_pallas=False):
     dtype = S0.dtype
     rr, rb = _color_relax(spec, jnp.asarray(omega, dtype))
     batch_shape = jnp.shape(S0)[: S0.ndim - spec.ndim]
+
+    if use_pallas:
+        from .ops.pallas_sor import sor_sweeps_pallas
+
+        def sweeps(S):
+            return sor_sweeps_pallas(spec, S, omega, check_every)
+    elif check_every == 1:
+        def sweeps(S):
+            return _sweep_with(spec, S, rr, rb)
+    else:
+        def sweeps(S):
+            return jax.lax.fori_loop(
+                0, check_every, lambda i, s: _sweep_with(spec, s, rr, rb), S)
 
     big = jnp.asarray(jnp.finfo(dtype).max, dtype)
     init = dict(
@@ -188,7 +210,7 @@ def _solve_jit(spec, S0, omega, tol, max_iters, max_iters_static=None):
         return jnp.any(~c["done"])
 
     def body(c):
-        S_new = _sweep_with(spec, c["S"], rr, rb)
+        S_new = sweeps(c["S"])
         norm = _norm(spec, S_new)
         # reference: isnan(norm) or norm > 1e100 (numbas.py:403); ~isfinite
         # additionally catches inf, which for float32 subsumes the 1e100 test.
@@ -196,14 +218,18 @@ def _solve_jit(spec, S0, omega, tol, max_iters, max_iters_static=None):
         if dtype == jnp.float64:
             overflow = overflow | (norm > 1e100)
         rel = jnp.abs(norm - c["norm_prev"]) / c["norm_prev"]
-        stop = overflow | (rel < tol) | (c["loop"] >= max_iters)
+        # reference loop semantics (numbas.py:401-414): sweep, increment,
+        # then test — so exactly mxLoop sweeps run at the cap and `iters`
+        # counts sweeps performed
+        new_loop = c["loop"] + check_every
+        stop = overflow | (rel < tol) | (new_loop >= max_iters)
         if spec.stop_on_zero_norm:
             stop = stop | (norm == 0)
         done_b = c["done"].reshape(batch_shape + (1,) * spec.ndim)
         return dict(
             S=jnp.where(done_b, c["S"], S_new),
-            loop=jnp.where(c["done"] | stop, c["loop"], c["loop"] + 1),
-            norm_prev=jnp.where(c["done"] | stop, c["norm_prev"], norm),
+            loop=jnp.where(c["done"], c["loop"], new_loop),
+            norm_prev=jnp.where(c["done"], c["norm_prev"], norm),
             rel=jnp.where(c["done"], c["rel"], rel),
             overflow=jnp.where(c["done"], c["overflow"], overflow),
             done=c["done"] | stop,
@@ -215,33 +241,57 @@ def _solve_jit(spec, S0, omega, tol, max_iters, max_iters_static=None):
 
 
 def solve(spec: StencilSpec, S0, omega: Optional[float] = None,
-          tol: float = 1e-8, max_iters: int = 5000) -> SolveResult:
+          tol: float = 1e-8, max_iters: int = 5000,
+          check_every: int = 1,
+          use_pallas: Optional[bool] = None) -> SolveResult:
     """Iterate to convergence with the reference's stopping rule.
 
     Parameters mirror iParams: ``tol`` is the relative change of the mean-|S|
     norm between iterations (a solution-change criterion, not a residual),
     ``max_iters`` the reference's mxLoop.  ``omega`` defaults to the
     grid-optimal factor if None (pass one explicitly for parity runs).
+
+    ``check_every`` amortises the convergence reduction over k sweeps (the
+    termination test then sees the norm every k-th iterate; k=1 reproduces
+    the reference exactly).  ``use_pallas`` (auto on TPU for VMEM-resident
+    2-D f32 problems) runs the sweeps as the fused Pallas kernel.
     """
     if omega is None:
         from .grid import optimal_omega
         omega = optimal_omega(S0.shape[-spec.ndim:])
     S0 = jnp.asarray(S0)
+    if use_pallas is None:
+        use_pallas = _use_pallas(spec, S0)
     return _solve_jit(spec, S0, jnp.asarray(omega, S0.dtype),
-                      jnp.asarray(tol, S0.dtype), jnp.asarray(max_iters, jnp.int32))
+                      jnp.asarray(tol, S0.dtype),
+                      jnp.asarray(max_iters, jnp.int32),
+                      check_every=int(check_every),
+                      use_pallas=bool(use_pallas))
 
 
 @partial(jax.jit, static_argnames=("n_iters",))
-def solve_fixed(spec: StencilSpec, S0, omega, n_iters: int):
-    """Run exactly n_iters SOR iterations (no convergence checks).
-
-    The hot path for benchmarking and for fixed-iteration parity tests; XLA
-    unrolls nothing — a fori_loop keeps compile time flat.
-    """
-    S0 = jnp.asarray(S0)
+def _solve_fixed_xla(spec: StencilSpec, S0, omega, n_iters: int):
     rr, rb = _color_relax(spec, jnp.asarray(omega, S0.dtype))
     return jax.lax.fori_loop(
         0, n_iters, lambda i, S: _sweep_with(spec, S, rr, rb), S0)
+
+
+def solve_fixed(spec: StencilSpec, S0, omega, n_iters: int,
+                use_pallas: Optional[bool] = None):
+    """Run exactly n_iters SOR iterations (no convergence checks).
+
+    The hot path for benchmarking and for fixed-iteration parity tests.
+    Dispatches to the fused VMEM-resident Pallas kernel on TPU when the
+    problem fits (ops/pallas_sor.py); the XLA roll path otherwise.
+    """
+    S0 = jnp.asarray(S0)
+    if use_pallas is None:
+        use_pallas = _use_pallas(spec, S0)
+    if use_pallas:
+        from .ops.pallas_sor import sor_sweeps_pallas
+        return sor_sweeps_pallas(spec, S0, jnp.asarray(omega, S0.dtype),
+                                 n_iters)
+    return _solve_fixed_xla(spec, S0, omega, n_iters)
 
 
 @partial(jax.jit, static_argnames=("loop_per_frame", "max_frames"))
