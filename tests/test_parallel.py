@@ -89,6 +89,61 @@ def test_sharded_biharmonic():
                                rtol=1e-12, atol=1e-12 * max(scale, 1.0))
 
 
+@pytest.mark.parametrize("bcs", [
+    ("fixed", "fixed"),
+    ("fixed", "periodic"),
+    ("extend", "periodic"),
+])
+def test_halo_executor_matches_single_device(bcs):
+    """Explicit shard_map + ppermute halo exchange reproduces the XLA roll
+    path across BCs, including global red/black parity and edge extends."""
+    from xinvert_tpu.parallel.halo import solve_fixed_halo
+    rng = np.random.default_rng(3)
+    yc, xc = 16, 24
+    A = np.abs(rng.normal(1.0, 0.1, (yc, xc))) + 0.5
+    C = np.abs(rng.normal(1.0, 0.1, (yc, xc))) + 0.5
+    F = rng.normal(0.0, 1.0, (yc, xc))
+    Fdef = np.ones((yc, xc), bool)
+    Fdef[5:8, 4:9] = False
+    spec = stencil.standard_2d(jnp.asarray(A), 0.0, jnp.asarray(C),
+                               jnp.asarray(F), jnp.asarray(Fdef),
+                               (1.1e5, 1.0e5), bcs, include_cross=False)
+    S0 = jnp.zeros((yc, xc))
+    omega = optimal_omega((yc, xc))
+    single = solve_fixed(spec, S0, omega, 30)
+    mesh = make_grid_mesh(8, batch=1)   # 2x4 or similar spatial mesh
+    halo = solve_fixed_halo(spec, S0, omega, 30, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(halo), np.asarray(single),
+                               rtol=1e-11, atol=1e-11)
+
+
+@pytest.mark.parametrize("bcs", [
+    ("fixed", "periodic"),
+    ("extend", "periodic"),
+    ("extend", "fixed"),
+])
+def test_halo_executor_biharmonic(bcs):
+    from xinvert_tpu.parallel.halo import solve_fixed_halo
+    rng = np.random.default_rng(4)
+    yc, xc = 16, 32
+    shape = (yc, xc)
+    A4 = np.full(shape, 5e3)
+    zero = np.zeros(shape)
+    D = np.full(shape, -1e-6)
+    H = np.full(shape, -1.8e-11)
+    J = rng.normal(0, 1e-7, shape)
+    spec = stencil.general_2d_bih(
+        jnp.asarray(A4), zero + 1e2, jnp.asarray(A4), jnp.asarray(D), zero,
+        jnp.asarray(D), zero, jnp.asarray(H), zero, jnp.asarray(J),
+        jnp.ones(shape, bool), (5e4, 5e4), bcs)
+    S0 = jnp.zeros(shape)
+    single = solve_fixed(spec, S0, 1.0, 20)
+    mesh = make_grid_mesh(8, batch=1)
+    halo = solve_fixed_halo(spec, S0, 1.0, 20, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(halo), np.asarray(single),
+                               rtol=1e-11, atol=1e-16)
+
+
 def test_dryrun_entry():
     import sys
     sys.path.insert(0, "/root/repo")
