@@ -1,0 +1,67 @@
+# -*- coding: utf-8 -*-
+"""3-D QG-omega inversion on the synthesized atmosphere (the reference's
+atmos3D.nc workload shape: 37 lev x 72 lat x 144 lon; tests/test_OmegaEq.py
+structure with N2 profile, periodic x, and topographic icbc)."""
+import numpy as np
+import pytest
+
+from xinvert_tpu import open_dataset, invert_omega
+
+DATA = "Data/atmos3d_like.nc"
+
+
+@pytest.fixture(scope="module")
+def atmos3d():
+    import os
+    if not os.path.exists(DATA):
+        import subprocess, sys
+        subprocess.run([sys.executable, "tools/make_fixtures.py"], check=True)
+    return open_dataset(DATA)
+
+
+IPARAMS = {"BCs": ["fixed", "fixed", "periodic"], "tolerance": 1e-12,
+           "mxLoop": 2000, "printInfo": False}
+
+
+def test_omega_3d(atmos3d):
+    W = invert_omega(atmos3d.F, dims=["LEV", "lat", "lon"],
+                     iParams=IPARAMS, mParams={"N2": atmos3d.N2prof})
+    assert W.dims == atmos3d.F.dims
+    assert W.shape == atmos3d.F.shape
+    v = W.values
+    assert np.isfinite(v).all()
+    # forcing is mid-latitude wave train; response is too (energy in the
+    # 30-60 degree bands dominates the tropics)
+    lat = atmos3d.F.coords["lat"]
+    mid = (np.abs(lat) > 30) & (np.abs(lat) < 60)
+    trop = np.abs(lat) < 15
+    assert np.abs(v[:, mid]).mean() > 3 * np.abs(v[:, trop]).mean()
+
+    # linearity of the inversion
+    W2 = invert_omega(atmos3d.F * 2.0, dims=["LEV", "lat", "lon"],
+                      iParams=IPARAMS, mParams={"N2": atmos3d.N2prof})
+    scale = np.abs(v).max()
+    assert np.abs(W2.values - 2.0 * v).max() < 1e-5 * scale
+
+
+def test_omega_3d_icbc(atmos3d):
+    """Topographic lower boundary via icbc (tests/test_OmegaEq.py:83-98)."""
+    W0 = invert_omega(atmos3d.F, dims=["LEV", "lat", "lon"],
+                      iParams=IPARAMS, mParams={"N2": atmos3d.N2prof})
+    Wt = invert_omega(atmos3d.F, dims=["LEV", "lat", "lon"],
+                      icbc=atmos3d.WBC, iParams=IPARAMS,
+                      mParams={"N2": atmos3d.N2prof})
+    # boundary level holds the imposed pattern; interior responds
+    assert np.allclose(Wt.values[-1], atmos3d.WBC.values[-1])
+    assert not np.allclose(Wt.values[18], W0.values[18])
+
+
+def test_omega_scalar_vs_profile_n2(atmos3d):
+    Wp = invert_omega(atmos3d.F, dims=["LEV", "lat", "lon"],
+                      iParams=IPARAMS, mParams={"N2": 2e-5})
+    assert np.isfinite(Wp.values).all()
+    with pytest.raises(ValueError):
+        bad = atmos3d.N2prof.copy()
+        bad.values[5] = -1.0
+        invert_omega(atmos3d.F, dims=["LEV", "lat", "lon"],
+                     iParams=IPARAMS, mParams={"N2": bad})

@@ -15,7 +15,7 @@ Public API mirrors xinvert/__init__.py:8-33 plus TPU-native extensions.
 __version__ = "0.1.0"
 
 from .field import Field, as_field, concat                      # noqa: F401
-from .io import open_dataset                                    # noqa: F401
+from .io import open_dataset, save_dataset, Dataset             # noqa: F401
 from .grid import Grid, optimal_omega                           # noqa: F401
 from .stencil import StencilSpec                                # noqa: F401
 from .solver import solve, solve_fixed, solve_trajectory, SolveResult  # noqa: F401

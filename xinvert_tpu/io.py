@@ -13,7 +13,7 @@ import numpy as np
 
 from .field import Field
 
-__all__ = ["open_dataset", "Dataset"]
+__all__ = ["open_dataset", "save_dataset", "Dataset"]
 
 
 class Dataset(dict):
@@ -78,6 +78,38 @@ def open_dataset(path):
             if name not in ds and vals.ndim == 1:
                 ds[name] = Field(vals, (name,), {name: vals}, name=name)
     return ds
+
+
+def save_dataset(ds, path):
+    """Write a Dataset (or dict of Fields) as a NetCDF-4/HDF5 file.
+
+    Emits the netCDF4 dimension-scale convention that :func:`open_dataset`
+    (and xarray) read back: 1-D coordinate variables become dimension
+    scales attached to the data variables.
+    """
+    import h5py
+    from .field import Field, as_field
+
+    fields = {k: as_field(v) for k, v in ds.items()}
+    coords = {}
+    for f in fields.values():
+        for d in f.dims:
+            if d in f.coords and d not in coords:
+                coords[d] = np.asarray(f.coords[d])
+
+    with h5py.File(path, "w") as h:
+        for name, c in coords.items():
+            dset = h.create_dataset(name, data=c)
+            dset.attrs["CLASS"] = np.bytes_(b"DIMENSION_SCALE")
+            dset.attrs["NAME"] = np.bytes_(name.encode())
+        for name, f in fields.items():
+            if name in coords:
+                continue
+            dset = h.create_dataset(name, data=np.asarray(f.values))
+            for ax, d in enumerate(f.dims):
+                if d in coords:
+                    dset.dims[ax].attach_scale(h[d])
+    return path
 
 
 def _read_values(obj):
