@@ -144,6 +144,22 @@ def test_halo_executor_biharmonic(bcs):
                                rtol=1e-11, atol=1e-16)
 
 
+def test_halo_executor_batched():
+    """Batch dims ride through the halo executor unsharded; a 2-D S with a
+    batched spec is rejected with a clear error."""
+    from xinvert_tpu.parallel.halo import solve_fixed_halo
+    spec, S0 = _problem(batch=3, yc=16, xc=24)
+    omega = optimal_omega(S0.shape[-2:])
+    single = solve_fixed(spec, S0, omega, 30)
+    mesh_all = make_grid_mesh(8, batch=2)
+    sub = jax.sharding.Mesh(np.asarray(mesh_all.devices)[0], ("y", "x"))
+    halo = solve_fixed_halo(spec, S0, omega, 30, mesh=sub)
+    np.testing.assert_allclose(np.asarray(halo), np.asarray(single),
+                               rtol=1e-11, atol=1e-11)
+    with pytest.raises(ValueError):
+        solve_fixed_halo(spec, S0[0], omega, 5, mesh=sub)
+
+
 def test_dryrun_entry():
     import sys
     sys.path.insert(0, "/root/repo")

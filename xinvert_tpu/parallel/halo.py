@@ -77,6 +77,13 @@ def solve_fixed_halo(spec: StencilSpec, S, omega, n_iters: int,
     """
     if spec.ndim != 2:
         raise ValueError("halo executor supports 2-D problems")
+    for name in ("w0", "g", "relax"):
+        a = getattr(spec, name)
+        if a.ndim > jnp.ndim(S):
+            raise ValueError(
+                f"spec.{name} has batch dims beyond S (shape {a.shape} vs "
+                f"{jnp.shape(S)}); pass a matching batched S or an "
+                "unbatched spec")
     if mesh is None:
         from .mesh import make_grid_mesh
         mesh = make_grid_mesh()
