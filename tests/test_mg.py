@@ -69,6 +69,33 @@ def test_mg_midlatitude_helmholtz(data_dir):
     assert np.abs(np.asarray(S) - np.asarray(sor.S)).max() < 1e-5 * scale
 
 
+def test_mg_full_sphere_line_smoother(data_dir):
+    """Full-sphere spherical Poisson: the polar 1/cos^2 metric stalls point
+    smoothing, but zebra x-line relaxation (auto-selected from the coupling
+    anisotropy) converges in <= 12 cycles."""
+    from xinvert_tpu import open_dataset
+    ds = open_dataset(f"{data_dir}/Helmholtz_atmos.nc")
+    vor = ds.vor.isel(time=0)
+    lat = vor.coords["lat"]
+    latr = np.deg2rad(lat)
+    latH = np.empty_like(latr)
+    latH[0] = np.nan
+    latH[1:] = 0.5 * (latr[1:] + latr[:-1])
+    A = np.broadcast_to(np.cos(latH)[:, None], vor.shape)
+    C = np.broadcast_to((1 / np.cos(latr))[:, None], vor.shape)
+    F = vor.values * np.cos(latr)[:, None]
+    deg2m = np.pi / 180 * 6371200
+    pyr = build_pyramid_standard2d(A, 0.0, C, F, np.ones(vor.shape, bool),
+                                   (2.5 * deg2m, 2.5 * deg2m),
+                                   ("fixed", "periodic"))
+    S, k, res = solve_mg(pyr, tol=1e-9, max_cycles=40)   # smoother=None: auto
+    assert res < 1e-9
+    assert k <= 12
+    sor = solve(pyr[0].spec, jnp.zeros(vor.shape), tol=1e-13, max_iters=60000)
+    scale = np.abs(np.asarray(sor.S)).max()
+    assert np.abs(np.asarray(S) - np.asarray(sor.S)).max() < 1e-5 * scale
+
+
 def test_mg_much_faster_than_sor():
     """Iterations-to-tolerance: V-cycles use far fewer fine-grid sweeps than
     SOR on the same problem (the BASELINE 'iterations-to-1e-6' metric)."""

@@ -20,7 +20,7 @@ from .field import Field, as_field
 from .grid import Grid
 from .solver import solve
 from . import stencil
-from .models.params import default_iParams, merge_params, UNDEFTMP
+from .models.params import default_iParams, merge_params
 
 __all__ = [
     "inv_standard1D", "inv_standard2D", "inv_standard2D_test",

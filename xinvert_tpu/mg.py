@@ -17,13 +17,13 @@ Grid-size support per dim: even sizes coarsen cell-wise (n -> n/2), odd
 sizes vertex-wise (n -> (n+1)/2).  Periodic dims must be even (the sphere's
 lon dim always is).
 
-Applicability: quasi-isotropic coefficients (cartesian domains, midlatitude
-bands, vertical planes).  Point red-black smoothing does NOT smooth across
-strongly anisotropic coupling — the 1/cos^2(lat) metric near the poles of a
-full-sphere grid stalls the cycle (measured: ~1e-2 residual floor on the
-global Helmholtz case vs 10 cycles to 1e-9 on its -60..60 band).  Polar
-caps need line relaxation or semi-coarsening — future work; the SOR driver
-remains the default everywhere.
+Smoothers: point red-black Gauss-Seidel for quasi-isotropic coefficients,
+and zebra x-LINE relaxation (exact cyclic-tridiagonal row solves via the
+Thomas kernels) for strongly x-anisotropic operators — e.g. the
+1/cos^2(lat) polar metric of full-sphere grids, which stalls point
+smoothing (~1e-2 residual floor) but converges in ~8 line-smoothed cycles
+to 1e-10.  ``solve_mg(smoother=None)`` picks automatically from the
+operator's coupling anisotropy.
 """
 from __future__ import annotations
 
@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from . import stencil
-from .solver import _sweep_with, _color_relax, _neighbor_sum, SolveResult
+from .solver import _sweep_with, _color_relax, _neighbor_sum
 from .grid import optimal_omega
 
 __all__ = ["build_pyramid_standard2d", "solve_mg", "MGLevel"]
@@ -195,12 +195,69 @@ def build_pyramid_standard2d(A, B, C, F, Fdef, deltas, bcs,
     return levels
 
 
-# ---------------------------------------------------------------- V-cycle
+# ---------------------------------------------------------------- smoothers
 
 def _smooth(level: MGLevel, S, n):
     rr, rb = _color_relax(level.spec, level.omega)
     return jax.lax.fori_loop(
         0, n, lambda i, s: _sweep_with(level.spec, s, rr, rb), S)
+
+
+def _zebra_x_sweep(spec, S):
+    """One zebra x-line iteration: solve every odd row's (cyclic)
+    tridiagonal exactly, then every even row's.
+
+    Strong x-coupling (the 1/cos^2(lat) polar metric) sits INSIDE the line
+    solve, so this smooths anisotropic problems that point relaxation
+    cannot.  Inactive cells become identity rows (b=1, rhs=S) — exact
+    Dirichlet handling inside the line.
+    """
+    from .ops.tridiag import traceCyclic
+    from .solver import _apply_extend
+
+    offs = {tuple(o): k for k, o in enumerate(spec.offsets)}
+    kxp, kxm = offs[(0, 1)], offs[(0, -1)]
+    active = spec.active
+    periodic = spec.bcs[-1] == "periodic"
+
+    def solve_parity(S, parity):
+        ny, nx = S.shape[-2:]
+        acc = spec.g
+        for k, off in enumerate(spec.offsets):
+            if off[0] == 0:
+                continue
+            shifts = tuple(-o for o in off if o != 0)
+            axes = tuple(ax - 2 for ax, o in enumerate(off) if o != 0)
+            acc = acc + spec.w[k] * jnp.roll(S, shift=shifts, axis=axes)
+        # per-row system: a x_{i-1} + b x_i + c x_{i+1} = d
+        a_full = jnp.where(active, spec.w[kxm], 0.0)
+        c_full = jnp.where(active, spec.w[kxp], 0.0)
+        b_full = jnp.where(active, spec.w0, 1.0)
+        d_full = jnp.where(active, -acc, S)
+        if periodic:
+            a0 = a_full[:, 0]
+            cn = c_full[:, -1]
+            a_in = a_full[:, 1:]
+            c_in = c_full[:, :-1]
+        else:
+            a0 = jnp.zeros(ny, S.dtype)
+            cn = jnp.zeros(ny, S.dtype)
+            a_in = a_full[:, 1:]
+            c_in = c_full[:, :-1]
+        sol = jax.vmap(traceCyclic)(a_in, b_full, c_in, d_full, a0, cn)
+        row = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 0)
+        take = (row % 2) == parity
+        return jnp.where(jnp.logical_and(take, active), sol, S)
+
+    S = _apply_extend(spec, S)
+    S = solve_parity(S, 1)
+    S = solve_parity(S, 0)
+    return S
+
+
+def _smooth_line(level: MGLevel, S, n):
+    return jax.lax.fori_loop(
+        0, n, lambda i, s: _zebra_x_sweep(level.spec, s), S)
 
 
 def _residual(spec, S):
@@ -213,7 +270,9 @@ def _residual(spec, S):
 
 
 def _vcycle(levels: List[MGLevel], lvl: int, S, g_override,
-            nu1: int, nu2: int, coarse_iters: int, alpha: float = 1.0):
+            nu1: int, nu2: int, coarse_iters: int, alpha: float = 1.0,
+            smoother: str = "point"):
+    sm = _smooth_line if smoother == "line" else _smooth
     level = levels[lvl]
     spec = level.spec
     if g_override is not None:
@@ -222,9 +281,9 @@ def _vcycle(levels: List[MGLevel], lvl: int, S, g_override,
         level = dataclasses.replace(level, spec=spec)
 
     if lvl == len(levels) - 1:
-        return _smooth(level, S, coarse_iters)
+        return sm(level, S, coarse_iters)
 
-    S = _smooth(level, S, nu1)
+    S = sm(level, S, nu1)
     # residual of the folded system: sum w S + w0 S + g = 0
     r = _residual(spec, S)
     bcs = spec.bcs
@@ -234,19 +293,20 @@ def _vcycle(levels: List[MGLevel], lvl: int, S, g_override,
     # residual carries the level's delx^2
     g_c = -4.0 * r_c
     e0 = jnp.zeros_like(levels[lvl + 1].spec.w0)
-    e = _vcycle(levels, lvl + 1, e0, g_c, nu1, nu2, coarse_iters, alpha)
+    e = _vcycle(levels, lvl + 1, e0, g_c, nu1, nu2, coarse_iters, alpha,
+                smoother)
     corr = prolong(e, spec.w0.shape[-2:], level.odd, bcs)
     # alpha < 1 damps the coarse-grid correction: with re-discretised
     # (non-Galerkin) coarse operators and irregular masks, the undamped
     # correction can over-shoot coastline modes and destabilise the cycle
     S = jnp.where(spec.active, S - alpha * corr, S)
-    return _smooth(level, S, nu2)
+    return sm(level, S, nu2)
 
 
 @partial(jax.jit, static_argnames=("max_cycles", "nu1", "nu2",
-                                   "coarse_iters", "alpha"))
+                                   "coarse_iters", "alpha", "smoother"))
 def _solve_mg_jit(levels, S0, tol, max_cycles, nu1, nu2, coarse_iters,
-                  alpha):
+                  alpha, smoother):
     spec = levels[0].spec
     g_scale = jnp.maximum(jnp.max(jnp.abs(spec.g)), 1e-300)
 
@@ -256,7 +316,8 @@ def _solve_mg_jit(levels, S0, tol, max_cycles, nu1, nu2, coarse_iters,
 
     def body(c):
         S, k, _ = c
-        S = _vcycle(levels, 0, S, None, nu1, nu2, coarse_iters, alpha)
+        S = _vcycle(levels, 0, S, None, nu1, nu2, coarse_iters, alpha,
+                    smoother)
         res = jnp.max(jnp.abs(_residual(spec, S))) / g_scale
         return (S, k + 1, res)
 
@@ -266,7 +327,8 @@ def _solve_mg_jit(levels, S0, tol, max_cycles, nu1, nu2, coarse_iters,
 
 def solve_mg(levels: List[MGLevel], S0=None, tol: float = 1e-6,
              max_cycles: int = 50, nu1: int = 2, nu2: int = 2,
-             coarse_iters: int = 60, alpha: Optional[float] = None):
+             coarse_iters: int = 60, alpha: Optional[float] = None,
+             smoother: Optional[str] = None):
     """V-cycle to a RESIDUAL tolerance (relative to max |g|).
 
     Note the convergence criterion differs from the SOR driver's
@@ -275,6 +337,19 @@ def solve_mg(levels: List[MGLevel], S0=None, tol: float = 1e-6,
     residual).
     """
     spec = levels[0].spec
+    if smoother is None:
+        # x/y coupling anisotropy of the fine operator: line relaxation in
+        # x when x-coupling dominates anywhere by >10x (e.g. polar metric)
+        offs = {tuple(o): k for k, o in enumerate(spec.offsets)}
+        w = spec.w
+        act = np.asarray(spec.active)
+        if act.any() and (0, 1) in offs and (1, 0) in offs:
+            cx = np.abs(np.asarray(w[offs[(0, 1)]] + w[offs[(0, -1)]]))
+            cy = np.abs(np.asarray(w[offs[(1, 0)]] + w[offs[(-1, 0)]]))
+            ratio = np.max(np.where(act, cx / np.maximum(cy, 1e-300), 0.0))
+            smoother = "line" if ratio > 10.0 else "point"
+        else:
+            smoother = "point"
     if alpha is None:
         # undamped correction gives the textbook ~6-cycle rate on fully
         # active domains; irregular masks need damping for stability
@@ -283,5 +358,6 @@ def solve_mg(levels: List[MGLevel], S0=None, tol: float = 1e-6,
         S0 = jnp.zeros(spec.w0.shape[-2:], spec.w0.dtype)
     S, k, res = _solve_mg_jit(tuple(levels), jnp.asarray(S0),
                               jnp.asarray(tol, S0.dtype), max_cycles,
-                              nu1, nu2, coarse_iters, float(alpha))
+                              nu1, nu2, coarse_iters, float(alpha),
+                              str(smoother))
     return S, int(k), float(res)

@@ -12,13 +12,12 @@ the sweeps on-device.
 from __future__ import annotations
 
 import math
-from typing import Optional
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..field import Field, as_field, concat
+from ..field import Field, as_field
 from ..grid import Grid
 from ..solver import solve, solve_trajectory
 from . import problems

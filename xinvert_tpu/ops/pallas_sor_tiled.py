@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_sor import _roll2, _extend_rows, VMEM_BUDGET
+from .pallas_sor import _roll2
 
 __all__ = ["sor_sweeps_tiled", "tiled_applicable"]
 

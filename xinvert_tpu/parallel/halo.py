@@ -17,7 +17,6 @@ offset (`lax.axis_index` x local block shape) inside the mapped function.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import numpy as np
