@@ -196,11 +196,14 @@ def _solve_jit(spec, S0, omega, tol, max_iters, check_every=1,
             return jax.lax.fori_loop(
                 0, check_every, lambda i, s: _sweep_with(spec, s, rr, rb), S)
 
-    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    # norm_prev < 0 marks "no previous norm yet".  (The reference uses a
+    # float-max sentinel, numbas.py; that breaks on TPU: |norm - MAX| / MAX
+    # lowers to a multiply by the subnormal 1/MAX, which the TPU flushes to
+    # zero -> rel == 0 -> instant false convergence.)
     init = dict(
         S=S0,
         loop=jnp.zeros(batch_shape, jnp.int32),
-        norm_prev=jnp.full(batch_shape, big, dtype),
+        norm_prev=jnp.full(batch_shape, -1.0, dtype),
         rel=jnp.ones(batch_shape, dtype),
         overflow=jnp.zeros(batch_shape, bool),
         done=jnp.zeros(batch_shape, bool),
@@ -217,7 +220,10 @@ def _solve_jit(spec, S0, omega, tol, max_iters, check_every=1,
         overflow = ~jnp.isfinite(norm)
         if dtype == jnp.float64:
             overflow = overflow | (norm > 1e100)
-        rel = jnp.abs(norm - c["norm_prev"]) / c["norm_prev"]
+        prev = c["norm_prev"]
+        rel = jnp.where(prev >= 0,
+                        jnp.abs(norm - prev) / jnp.where(prev > 0, prev, 1.0),
+                        jnp.ones_like(norm))
         # reference loop semantics (numbas.py:401-414): sweep, increment,
         # then test — so exactly mxLoop sweeps run at the cap and `iters`
         # counts sweeps performed
