@@ -291,9 +291,6 @@ def _broadcast(a: Field, b: Field):
 
 def _expand(f: Field, dims):
     """Return f.values transposed/reshaped to the given dim order."""
-    # current positions
-    src = [f.dims.index(d) for d in dims if d in f.dims]
-    vals = f.values.transpose(src) if src != sorted(src) else f.values
     cur = [d for d in dims if d in f.dims]
     vals = np.transpose(f.values, [f.dims.index(d) for d in cur])
     shape = [f.shape[f.dims.index(d)] if d in f.dims else 1 for d in dims]
