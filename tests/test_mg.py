@@ -69,6 +69,19 @@ def test_mg_midlatitude_helmholtz(data_dir):
     assert np.abs(np.asarray(S) - np.asarray(sor.S)).max() < 1e-5 * scale
 
 
+def test_invert_poisson_mg_api(data_dir):
+    """User-facing MG entry point matches the SOR inverter."""
+    from xinvert_tpu import open_dataset, invert_Poisson, invert_Poisson_mg
+    ds = open_dataset(f"{data_dir}/Helmholtz_atmos.nc")
+    vor = ds.vor.isel(time=0)
+    iP = {"BCs": ["fixed", "periodic"], "printInfo": False}
+    mg = invert_Poisson_mg(vor, dims=["lat", "lon"], iParams=iP, tol=1e-9)
+    sor = invert_Poisson(vor, dims=["lat", "lon"],
+                         iParams={**iP, "tolerance": 1e-11})
+    scale = np.abs(sor.values).max()
+    assert np.abs(mg.values - sor.values).max() < 1e-5 * scale
+
+
 def test_mg_full_sphere_line_smoother(data_dir):
     """Full-sphere spherical Poisson: the polar 1/cos^2 metric stalls point
     smoothing, but zebra x-line relaxation (auto-selected from the coupling

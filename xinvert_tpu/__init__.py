@@ -28,7 +28,7 @@ from .core import (                                             # noqa: F401
 )
 from .models.params import default_iParams, default_mParams     # noqa: F401
 from .models.api import (                                       # noqa: F401
-    invert_Poisson, invert_RefState, invert_GeoAdjustment,
+    invert_Poisson, invert_Poisson_mg, invert_RefState, invert_GeoAdjustment,
     invert_RefStateSWM, invert_PV2D, invert_Eliassen,
     invert_GillMatsuno, invert_GillMatsuno_test, invert_Stommel,
     invert_Stommel_test, invert_StommelMunk, invert_StommelArons,

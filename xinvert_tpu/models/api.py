@@ -24,7 +24,8 @@ from . import problems
 from .params import default_iParams, default_mParams, merge_params
 
 __all__ = [
-    "invert_Poisson", "invert_RefState", "invert_GeoAdjustment",
+    "invert_Poisson", "invert_Poisson_mg", "invert_RefState",
+    "invert_GeoAdjustment",
     "invert_RefStateSWM", "invert_PV2D", "invert_Eliassen",
     "invert_GillMatsuno", "invert_GillMatsuno_test", "invert_Stommel",
     "invert_Stommel_test", "invert_StommelMunk", "invert_StommelArons",
@@ -205,6 +206,62 @@ def invert_Poisson(F, dims, coords="lat-lon", icbc=None,
     (apps.py:67-100)."""
     return _invert("poisson", F, dims, coords, icbc,
                    ["g", "Omega", "Rearth"], mParams, iParams, 2)
+
+
+def invert_Poisson_mg(F, dims, coords="lat-lon", mParams=None, iParams=None,
+                      tol: float = 1e-8, max_cycles: int = 60):
+    """Poisson inversion via geometric multigrid (TPU-native extension).
+
+    Same coefficients/masking as :func:`invert_Poisson`, solved with
+    V-cycles to a RESIDUAL tolerance instead of SOR's solution-change rule
+    — typically 6-15 cycles, with the zebra line smoother auto-selected for
+    the full-sphere polar metric.  Supports the standard (non-icbc) path.
+    """
+    from ..mg import build_pyramid_standard2d, solve_mg
+
+    dims = [dims] if isinstance(dims, str) else list(dims)
+    if len(dims) != 2:
+        raise ValueError(" 2 dimensional forcing are needed")
+    iP = merge_params(default_iParams, iParams)
+    mP = merge_params(default_mParams, mParams,
+                      ["g", "Omega", "Rearth"] if mParams else None)
+    ft, vals, Fdef, batch = _prepare(F, dims, iP)
+    if batch:
+        raise ValueError("invert_Poisson_mg supports single slices; "
+                         "batch with invert_Poisson or vmap")
+    bcs = _validate_bcs(iP, 2)
+    grid = Grid.make(dims, [ft.coords[d] for d in dims], coords, bcs,
+                     rearth=mP["Rearth"])
+
+    # the Poisson coefficient construction (problems.build_poisson formulas)
+    ct = grid.coord_type
+    ny, nx = grid.shape
+    if ct == "lat-lon":
+        latr = np.deg2rad(grid.coords[0])
+        latH = np.empty_like(latr)
+        latH[0] = np.nan
+        latH[1:] = 0.5 * (latr[1:] + latr[:-1])
+        A = np.broadcast_to(np.cos(latH)[:, None], (ny, nx))
+        C = np.broadcast_to((1.0 / np.cos(latr))[:, None], (ny, nx))
+        Fs = np.where(Fdef, vals, 0.0) * np.cos(latr)[:, None]
+    elif ct == "z-lat":
+        cosG = np.cos(np.deg2rad(grid.coords[1]))[None, :]
+        A = np.ones((ny, nx))
+        C = np.ones((ny, nx))
+        Fs = np.where(Fdef, vals, 0.0) * cosG
+    else:
+        A = np.ones((ny, nx))
+        C = np.ones((ny, nx))
+        Fs = np.where(Fdef, vals, 0.0)
+
+    pyr = build_pyramid_standard2d(A, 0.0, C, Fs, Fdef, grid.deltas,
+                                   grid.bcs)
+    S, cycles, res = solve_mg(pyr, tol=tol, max_cycles=max_cycles)
+    S = np.asarray(S)
+    if iP.get("printInfo"):
+        print(f"cycles {cycles:3d} and residual is {res:e}")
+    S = np.where(Fdef, S, iP["undef"])
+    return Field(S, ft.dims, ft.coords, name="inverted")
 
 
 def invert_RefState(PV, dims, coords="z-lat", icbc=None,
