@@ -233,29 +233,10 @@ def invert_Poisson_mg(F, dims, coords="lat-lon", mParams=None, iParams=None,
     grid = Grid.make(dims, [ft.coords[d] for d in dims], coords, bcs,
                      rearth=mP["Rearth"])
 
-    # the Poisson coefficient construction (problems.build_poisson formulas)
-    ct = grid.coord_type
-    ny, nx = grid.shape
-    if ct == "lat-lon":
-        latr = np.deg2rad(grid.coords[0])
-        latH = np.empty_like(latr)
-        latH[0] = np.nan
-        latH[1:] = 0.5 * (latr[1:] + latr[:-1])
-        A = np.broadcast_to(np.cos(latH)[:, None], (ny, nx))
-        C = np.broadcast_to((1.0 / np.cos(latr))[:, None], (ny, nx))
-        Fs = np.where(Fdef, vals, 0.0) * np.cos(latr)[:, None]
-    elif ct == "z-lat":
-        cosG = np.cos(np.deg2rad(grid.coords[1]))[None, :]
-        A = np.ones((ny, nx))
-        C = np.ones((ny, nx))
-        Fs = np.where(Fdef, vals, 0.0) * cosG
-    else:
-        A = np.ones((ny, nx))
-        C = np.ones((ny, nx))
-        Fs = np.where(Fdef, vals, 0.0)
-
-    pyr = build_pyramid_standard2d(A, 0.0, C, Fs, Fdef, grid.deltas,
-                                   grid.bcs)
+    A, C, Fs = problems.poisson_coeffs(jnp.asarray(vals), jnp.asarray(Fdef),
+                                       grid)
+    pyr = build_pyramid_standard2d(A, 0.0, C, np.asarray(Fs), Fdef,
+                                   grid.deltas, grid.bcs)
     S, cycles, res = solve_mg(pyr, tol=tol, max_cycles=max_cycles)
     S = np.asarray(S)
     if iP.get("printInfo"):

@@ -79,11 +79,11 @@ def _coriolis_profiles(grid: Grid, mp, axis):
 
 # ----------------------------------------------------------------- builders
 
-def build_poisson(F, Fdef, grid: Grid, mp):
-    """Poisson equation (apps.py:1397-1437)."""
+def poisson_coeffs(F, Fdef, grid: Grid):
+    """The Poisson A/C planes and scaled forcing (apps.py:1397-1437);
+    shared by the SOR builder and the multigrid entry point."""
     nd = grid.ndim
     shape = grid.shape
-    ones = np.ones(shape[-1], np.float64)
     ct = grid.coord_type
     if ct == "lat-lon":
         latr = np.deg2rad(grid.coords[0])
@@ -103,6 +103,12 @@ def build_poisson(F, Fdef, grid: Grid, mp):
         Fs = _fill(F, Fdef)
     else:
         raise ValueError(f"unsupported coords {ct} for Poisson")
+    return A, C, Fs
+
+
+def build_poisson(F, Fdef, grid: Grid, mp):
+    """Poisson equation (apps.py:1397-1437)."""
+    A, C, Fs = poisson_coeffs(F, Fdef, grid)
     return stencil.standard_2d(jnp.asarray(A), 0.0, jnp.asarray(C), Fs, Fdef,
                                grid.deltas, grid.bcs, include_cross=False)
 
