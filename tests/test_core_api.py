@@ -56,3 +56,28 @@ def test_inv_general2D_runs():
                                  "printInfo": False})
     assert out.shape == G.shape
     assert np.isfinite(out.values).all()
+
+
+def test_inv_standard1D_periodic():
+    """1-D periodic ring (reference numbas.py:633 periodic stanzas)."""
+    import jax.numpy as jnp
+    from xinvert_tpu import stencil, solve
+    from xinvert_tpu.solver import _neighbor_sum
+
+    n = 64
+    x = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    rng = np.random.default_rng(0)
+    A = 1.0 + 0.1 * np.abs(rng.standard_normal(n))
+    F = np.sin(3 * x) * 1e-9
+    B = np.full(n, -1e-10)          # damping fixes the constant mode
+    spec = stencil.standard_1d(jnp.asarray(A), jnp.asarray(B),
+                               jnp.asarray(F), jnp.ones(n, bool),
+                               (1.0e5,), ("periodic",))
+    res = solve(spec, jnp.zeros(n), tol=1e-15, max_iters=30000)
+    S = np.asarray(res.S)
+    assert np.isfinite(S).all() and not bool(res.overflow)
+    r = np.asarray(_neighbor_sum(spec, res.S) + spec.w0 * res.S)
+    r = np.where(np.asarray(spec.active), r, 0.0)
+    scale = max(np.abs(np.asarray(spec.g)).max(),
+                np.abs(np.asarray(spec.w0 * res.S)).max())
+    assert np.abs(r).max() < 1e-10 * scale
