@@ -95,3 +95,17 @@ def test_gillmatsuno_test_form_agrees():
     cb = (b - b.mean()).ravel()
     corr = (ca @ cb) / np.sqrt((ca @ ca) * (cb @ cb))
     assert corr > 0.99
+
+
+def test_gillmatsuno_auto_omega_converges():
+    """With optArg=None the grid-optimal Laplacian omega diverges for this
+    family; the API substitutes the family default (1.4) so the default
+    call converges instead of overflowing."""
+    Q1, _, _ = _setup()
+    h = invert_GillMatsuno(Q1, dims=["lat", "lon"],
+                           iParams={"BCs": ["fixed", "periodic"],
+                                    "mxLoop": 2000, "tolerance": 1e-8,
+                                    "printInfo": False},
+                           mParams=MPARAMS)
+    assert np.isfinite(h.values).all()
+    assert (h.values <= 0).all()

@@ -148,6 +148,17 @@ def _validate_bcs(iParams, ndim):
     return tuple(bcs[:ndim])
 
 
+# auto over-relaxation overrides for problems where the grid-optimal
+# Laplacian formula diverges: the damped advective families (strong
+# first-derivative/cross couplings) and the stiff biharmonic stencil.  The
+# reference inherits the same hazard and its own tests always pass an
+# explicit optArg (1.4 / 1.0); passing iParams['optArg'] still wins.
+_AUTO_OMEGA = {
+    "gillmatsuno": 1.4, "gillmatsuno_test": 1.4, "stommelarons": 1.4,
+    "3docean": 1.4, "stommelmunk": 1.0,
+}
+
+
 def _invert(problem_key, F, dims, coords, icbc, valid_mp, mParams, iParams,
             ndim):
     dims = [dims] if isinstance(dims, str) else list(dims)
@@ -168,7 +179,10 @@ def _invert(problem_key, F, dims, coords, icbc, valid_mp, mParams, iParams,
     spec = problems.BUILDERS[problem_key](jnp.asarray(vals), jnp.asarray(Fdef_c),
                                           grid, mPr)
     S0 = _init_state(vals, Fdef, icbc, grid, ft)
-    omega = iP["optArg"] if iP["optArg"] is not None else grid.omega_opt
+    if iP["optArg"] is not None:
+        omega = iP["optArg"]
+    else:
+        omega = _AUTO_OMEGA.get(problem_key, grid.omega_opt)
 
     if iP.get("debug"):
         print(f"dim grids  : {grid.shape}\ndim intervs: {grid.deltas}\n"
