@@ -190,7 +190,8 @@ def _invert(problem_key, F, dims, coords, icbc, valid_mp, mParams, iParams,
               f"tolerance  : {iP['tolerance']}\nboundaries : {grid.bcs}")
 
     res = solve(spec, jnp.asarray(S0), omega=omega,
-                tol=iP["tolerance"], max_iters=iP["mxLoop"])
+                tol=iP["tolerance"], max_iters=iP["mxLoop"],
+                check_every=int(iP.get("checkEvery", 1)))
     S = np.asarray(res.S)
 
     if iP.get("printInfo"):

@@ -20,9 +20,12 @@ default_iParams = {
     "undef": np.nan,
     "mxLoop": 5000,
     "tolerance": 1e-8,
-    "optArg": None,      # None -> grid-optimal omega
+    "optArg": None,      # None -> grid-optimal omega (per-family default
+                         # for the advective/biharmonic problems)
     "printInfo": True,
     "debug": False,
+    "checkEvery": 1,     # TPU-native extension: amortise the convergence
+                         # reduction over k sweeps (k=1 = reference parity)
 }
 
 default_mParams = {
