@@ -191,9 +191,10 @@ def build_pv2d(PV, PVdef, grid: Grid, mp):
 def build_eliassen(F, Fdef, grid: Grid, mp):
     """Sawyer-Eliassen overturning with full cross terms (apps.py:1582-1606)."""
     shape = grid.shape
-    A = jnp.broadcast_to(jnp.asarray(mp["A"], jnp.float64), shape)
-    B = jnp.broadcast_to(jnp.asarray(mp["B"], jnp.float64), shape)
-    C = jnp.broadcast_to(jnp.asarray(mp["C"], jnp.float64), shape)
+    dt = jnp.asarray(F).dtype
+    A = jnp.broadcast_to(jnp.asarray(mp["A"], dt), shape)
+    B = jnp.broadcast_to(jnp.asarray(mp["B"], dt), shape)
+    C = jnp.broadcast_to(jnp.asarray(mp["C"], dt), shape)
     Fs = _fill(F, Fdef)
     return stencil.standard_2d(A, B, C, Fs, Fdef, grid.deltas, grid.bcs,
                                include_cross=True)
@@ -238,7 +239,7 @@ def build_gillmatsuno(Q, Qdef, grid: Grid, mp):
         D = Phi * dc1
         E = -Phi * dc2
     b = lambda p: jnp.asarray(np.broadcast_to(_bcast(p, nd, 0), shape))
-    Fc = jnp.full(shape, -mp["epsilon"], jnp.float64)
+    Fc = jnp.full(shape, -mp["epsilon"], jnp.asarray(Q).dtype)
     G = _fill(Q, Qdef)
     return stencil.general_2d(b(A), jnp.zeros(shape), b(C), b(D), b(E), Fc, G,
                               Qdef, grid.deltas, grid.bcs)
