@@ -450,7 +450,10 @@ def animate_iteration(app_name, F, dims, coords="lat-lon", icbc=None,
     spec = problems.BUILDERS[problem_key](jnp.asarray(vals), jnp.asarray(Fdef),
                                           grid, mPr)
     S0 = _init_state(vals, Fdef, icbc, grid, ft)
-    omega = iP["optArg"] if iP["optArg"] is not None else grid.omega_opt
+    if iP["optArg"] is not None:
+        omega = iP["optArg"]
+    else:
+        omega = _AUTO_OMEGA.get(problem_key, grid.omega_opt)
 
     frames = np.asarray(solve_trajectory(spec, jnp.asarray(S0), omega,
                                          loop_per_frame=int(loop_per_frame),
