@@ -22,6 +22,7 @@ from .solver import solve, solve_fixed, solve_trajectory, SolveResult  # noqa: F
 from .fd import FiniteDiff, padBCs, deriv, deriv2               # noqa: F401
 from .ops.tridiag import trace, traceCyclic, tridiag_solve      # noqa: F401
 from .mg import build_pyramid_standard2d, solve_mg              # noqa: F401
+from .lexico import solve_fixed_lexicographic                   # noqa: F401
 from .core import (                                             # noqa: F401
     inv_standard1D, inv_standard2D, inv_standard2D_test, inv_standard3D,
     inv_general2D, inv_general2D_bih, inv_general3D,
