@@ -71,3 +71,34 @@ def sor_standard_2d(S, A, B, C, F, dely, delx, bcy, bcx, omega, undef,
             break
         norm_prev = norm
     return S
+
+
+def lexicographic_from_spec(spec, S, omega, n_iters, extend_fn=None):
+    """Generic in-place lexicographic SOR over a compiled StencilSpec:
+    visits active cells in row-major order, applying the folded update with
+    wrap-around neighbor indexing (jnp.roll semantics).  Reproduces the
+    reference's ordering given the (independently validated) folding."""
+    import numpy as np
+
+    S = np.array(S, dtype=float)
+    w = np.asarray(spec.w)
+    w0 = np.asarray(spec.w0)
+    g = np.asarray(spec.g)
+    relax = np.asarray(spec.relax)
+    active = np.asarray(spec.active)
+    offsets = spec.offsets
+    shape = S.shape
+
+    for _ in range(n_iters):
+        if extend_fn is not None:
+            S = np.array(extend_fn(S))
+        for idx in np.ndindex(*shape):
+            if not active[idx]:
+                continue
+            acc = g[idx]
+            for k, off in enumerate(offsets):
+                nidx = tuple((i + o) % n for i, o, n in
+                             zip(idx, off, shape))
+                acc += w[(k,) + idx] * S[nidx]
+            S[idx] += omega * relax[idx] * (acc + w0[idx] * S[idx])
+    return S

@@ -65,3 +65,41 @@ def test_lexicographic_rejects_biharmonic():
         jnp.ones(shape, bool), (5e4, 5e4), ("fixed", "fixed"))
     with pytest.raises(ValueError):
         solve_fixed_lexicographic(spec, jnp.zeros(shape), 1.0, 2)
+
+
+def test_lexicographic_3d_matches_generic_oracle():
+    """3-D ordering parity vs the in-place generic oracle (standard_3d)."""
+    import numpy as np
+    from xinvert_tpu.lexico import solve_fixed_lexicographic_3d
+    from oracle import lexicographic_from_spec
+    from xinvert_tpu.solver import _apply_extend
+
+    rng = np.random.default_rng(3)
+    nz, ny, nx = 6, 9, 12
+    shape = (nz, ny, nx)
+    A = np.abs(rng.normal(1, .1, shape)) + 0.5
+    B = np.abs(rng.normal(1, .1, shape)) + 0.5
+    C = np.abs(rng.normal(1, .1, shape)) + 0.5
+    F = rng.normal(0, 1, shape)
+    Fdef = np.ones(shape, bool)
+    Fdef[2:4, 3:5, 4:8] = False
+    for bcs in (("fixed", "fixed", "fixed"),
+                ("fixed", "fixed", "periodic"),
+                ("fixed", "extend", "periodic")):
+        spec = stencil.standard_3d(
+            jnp.asarray(A), jnp.asarray(B), jnp.asarray(C), jnp.asarray(F),
+            jnp.asarray(Fdef), (9e3, 1.1e5, 1.0e5), bcs)
+        omega = 1.3
+
+        def ext(S):
+            return np.asarray(_apply_extend(spec, jnp.asarray(S)))
+
+        for iters in (1, 3):
+            ref = lexicographic_from_spec(spec, np.zeros(shape), omega,
+                                          iters, extend_fn=ext)
+            got = np.asarray(solve_fixed_lexicographic_3d(
+                spec, jnp.zeros(shape), omega, iters))
+            scale = max(np.abs(ref).max(), 1.0)
+            np.testing.assert_allclose(got, ref, rtol=1e-12,
+                                       atol=1e-12 * scale,
+                                       err_msg=f"{bcs} iters={iters}")

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 
 from .solver import _apply_extend
 
-__all__ = ["solve_fixed_lexicographic"]
+__all__ = ["solve_fixed_lexicographic", "solve_fixed_lexicographic_3d"]
 
 
 def _w_at(spec, k, j):
@@ -136,3 +136,91 @@ def solve_fixed_lexicographic(spec, S, omega, n_iters: int):
         return Scur
 
     return jax.lax.fori_loop(0, n_iters, one_iter_dyn, jnp.asarray(S))
+
+
+@partial(jax.jit, static_argnames=("n_iters",))
+def solve_fixed_lexicographic_3d(spec, S, omega, n_iters: int):
+    """3-D reference-ordered sweeps (numbas.py:16-212 ordering: k outer,
+    j middle, i inner).  Rows are (k, j) pairs scanned in lexicographic
+    order; the within-row update uses the same associative-scan recurrence
+    as the 2-D executor.  Unbatched 3-D states only (a parity tool)."""
+    if spec.ndim != 3:
+        raise ValueError("use solve_fixed_lexicographic for 2-D specs")
+    if jnp.ndim(S) != 3:
+        raise ValueError("unbatched 3-D state required")
+    if any(abs(off[2]) > 1 for off in spec.offsets):
+        raise ValueError("within-row radius must be 1")
+    offs = {tuple(o): k for k, o in enumerate(spec.offsets)}
+    kxp = offs.get((0, 0, 1))
+    kxm = offs.get((0, 0, -1))
+    periodic = spec.bcs[-1] == "periodic"
+    nz, ny, nx = spec.w0.shape[-3:]
+    omega = jnp.asarray(omega, S.dtype)
+
+    def row(a, k, j):
+        a1 = jax.lax.dynamic_slice_in_dim(a, k, 1, a.ndim - 3)
+        a2 = jax.lax.dynamic_slice_in_dim(a1, j, 1, a.ndim - 2)
+        return a2[..., 0, 0, :]
+
+    def ctx(Scur, k, j):
+        acc = row(spec.g, k, j)
+        for m, off in enumerate(spec.offsets):
+            dz, dy, dx = off
+            if dz == 0 and dy == 0:
+                continue
+            r = row(Scur, k + dz, j + dy)
+            if dx:
+                r = jnp.roll(r, -dx, -1)
+            acc = acc + row(spec.w[m], k, j) * r
+        return acc
+
+    def sweep_row(Scur, kj):
+        k = 1 + kj // (ny - 2)
+        j = 1 + kj % (ny - 2)
+        row_old = row(Scur, k, j)
+        c = ctx(Scur, k, j)
+        r = omega * row(spec.relax, k, j)
+        w0r = row(spec.w0, k, j)
+        wxp = row(spec.w[kxp], k, j) if kxp is not None else 0.0
+        wxm = row(spec.w[kxm], k, j) if kxm is not None else 0.0
+
+        if periodic:
+            accw = c[0] + (wxp[0] * row_old[1] if kxp is not None else 0.0) \
+                + (wxm[0] * row_old[nx - 1] if kxm is not None else 0.0)
+            west = row_old[0] + r[0] * (accw + w0r[0] * row_old[0])
+            row_w = row_old.at[0].set(west)
+        else:
+            row_w = row_old
+
+        Sop = jnp.roll(row_w, -1, -1)
+        base = row_w + r * (c + wxp * Sop + w0r * row_w)
+        A = r * wxm if kxm is not None else jnp.zeros_like(row_w)
+        Aseg = A[1:nx - 1]
+        Bseg = base[1:nx - 1]
+        Bseg = Bseg.at[0].add(Aseg[0] * row_w[0])
+        Aseg = Aseg.at[0].set(0.0)
+        interior = _scan_linear(Aseg, Bseg)
+        row_new = row_w.at[1:nx - 1].set(interior)
+
+        if periodic:
+            acce = c[nx - 1] \
+                + (wxp[nx - 1] * row_new[0] if kxp is not None else 0.0) \
+                + (wxm[nx - 1] * row_new[nx - 2] if kxm is not None else 0.0)
+            east = row_new[nx - 1] + r[nx - 1] * (
+                acce + w0r[nx - 1] * row_new[nx - 1])
+            row_new = row_new.at[nx - 1].set(east)
+
+        return jax.lax.dynamic_update_slice(
+            Scur, row_new[None, None, :], (k, j, 0))
+
+    def one_iter(_, Scur):
+        Scur = _apply_extend(spec, Scur)
+
+        def body(Sc, kj):
+            return sweep_row(Sc, kj), None
+
+        Scur, _ = jax.lax.scan(body, Scur,
+                               jnp.arange((nz - 2) * (ny - 2)))
+        return Scur
+
+    return jax.lax.fori_loop(0, n_iters, one_iter, jnp.asarray(S))
