@@ -54,3 +54,30 @@ def test_two_noncore_dims_batch():
     mask = np.isfinite(b)
     scale = np.abs(b[mask]).max()
     assert np.abs(a[mask] - b[mask]).max() < 1e-6 * scale
+
+
+def test_batch_varying_mask():
+    """A mask that differs across batch slices keeps per-slice weights:
+    each slice's undef cells return undef and its ocean solves cleanly."""
+    ny, nx = 20, 24
+    lat = np.linspace(-60, 60, ny)
+    lon = np.linspace(0, 360 - 360 / nx, nx)
+    rng = np.random.default_rng(1)
+    vor = rng.normal(0, 1e-5, (2, ny, nx))
+    vor[0, 5:9, 4:10] = np.nan          # slice-0 land
+    vor[1, 12:16, 14:20] = np.nan       # different slice-1 land
+    f = Field(vor, ("time", "lat", "lon"),
+              {"time": np.arange(2.0), "lat": lat, "lon": lon})
+    out = invert_Poisson(f, dims=["lat", "lon"], iParams=IP)
+    assert np.isnan(out.values[0, 5:9, 4:10]).all()
+    assert np.isfinite(out.values[0, 12:16, 14:20]).all()
+    assert np.isnan(out.values[1, 12:16, 14:20]).all()
+    assert np.isfinite(out.values[1, 5:9, 4:10]).all()
+
+    # each slice matches its standalone solve
+    single = invert_Poisson(
+        Field(vor[1], ("lat", "lon"), {"lat": lat, "lon": lon}),
+        dims=["lat", "lon"], iParams=IP)
+    m = np.isfinite(single.values)
+    scale = np.abs(single.values[m]).max()
+    assert np.abs(out.values[1][m] - single.values[m]).max() < 1e-6 * scale
