@@ -103,3 +103,22 @@ def test_lexicographic_3d_matches_generic_oracle():
             np.testing.assert_allclose(got, ref, rtol=1e-12,
                                        atol=1e-12 * scale,
                                        err_msg=f"{bcs} iters={iters}")
+
+
+def test_lexicographic_batched_state():
+    """Leading batch dims ride through the 2-D executor; each slice matches
+    its standalone run."""
+    import numpy as np
+    yc, xc = 15, 18
+    A, B, C, F, Fdef = _problem(yc, xc, seed=5)
+    spec = stencil.standard_2d(jnp.asarray(A), jnp.asarray(B), jnp.asarray(C),
+                               jnp.asarray(F), jnp.asarray(Fdef),
+                               (1.1e5, 1.0e5), ("fixed", "periodic"),
+                               include_cross=False)
+    rng = np.random.default_rng(9)
+    S0 = jnp.asarray(rng.normal(0, 1e3, (3, yc, xc)))
+    batched = np.asarray(solve_fixed_lexicographic(spec, S0, 1.4, 5))
+    for b in range(3):
+        single = np.asarray(solve_fixed_lexicographic(spec, S0[b], 1.4, 5))
+        np.testing.assert_allclose(batched[b], single, rtol=1e-13,
+                                   atol=1e-13 * max(np.abs(single).max(), 1))

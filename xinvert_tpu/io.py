@@ -64,7 +64,10 @@ def open_dataset(path):
         for name, obj in f.items():
             if not isinstance(obj, h5py.Dataset):
                 continue
-            is_scale = "CLASS" in obj.attrs and obj.attrs["CLASS"] == b"DIMENSION_SCALE"
+            cls = obj.attrs.get("CLASS")
+            if isinstance(cls, bytes):
+                cls = cls.decode("ascii", "ignore")
+            is_scale = cls == "DIMENSION_SCALE"
             if is_scale:
                 coord_vars[name] = np.asarray(obj[...])
             else:

@@ -42,6 +42,8 @@ def _w_at(spec, k, j):
 
 def _scan_linear(A, B):
     """y_i = A_i y_{i-1} + B_i with y_{-1} = 0, via associative scan."""
+    A, B = jnp.broadcast_arrays(A, B)
+
     def combine(l, r):
         al, bl = l
         ar, br = r
