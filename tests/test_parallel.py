@@ -167,3 +167,30 @@ def test_dryrun_entry():
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sharded_3d_omega():
+    """3-D spec sharded over ('batch','y','x') with z unsharded — the
+    BASELINE 'omega across hosts' configuration, on virtual devices."""
+    from xinvert_tpu.grid import Grid
+    from xinvert_tpu.models import problems
+    from xinvert_tpu.models.params import default_mParams, merge_params
+
+    nz, ny, nx = 7, 12, 16
+    lev = np.linspace(100000, 10000, nz)
+    lat = np.linspace(-80, 80, ny)
+    lon = np.linspace(0, 360 - 360 / nx, nx)
+    grid = Grid.make(("lev", "lat", "lon"), (lev, lat, lon), "lat-lon",
+                     bcs=("fixed", "fixed", "periodic"))
+    rng = np.random.default_rng(0)
+    F = jnp.asarray(rng.normal(0, 1e-15, (nz, ny, nx)))
+    mp = merge_params(default_mParams, {"N2": 2e-4})
+    spec = problems.build_omega(F, jnp.ones((nz, ny, nx), bool), grid, mp)
+    S0 = jnp.zeros((nz, ny, nx))
+
+    single = solve(spec, S0, tol=1e-12, max_iters=2000)
+    mesh = make_grid_mesh(4, batch=1)         # z replicated, (y, x) spatial
+    shard = solve_sharded(spec, S0, mesh=mesh, tol=1e-12, max_iters=2000)
+    np.testing.assert_allclose(np.asarray(shard.S), np.asarray(single.S),
+                               rtol=1e-11, atol=1e-11)
+    assert int(shard.iters) == int(single.iters)
