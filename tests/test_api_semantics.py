@@ -81,3 +81,25 @@ def test_batch_varying_mask():
     m = np.isfinite(single.values)
     scale = np.abs(single.values[m]).max()
     assert np.abs(out.values[1][m] - single.values[m]).max() < 1e-6 * scale
+
+
+def test_xarray_duck_type_input():
+    """A duck-typed xarray.DataArray-like object goes straight into the
+    public API (the reference's front end is xarray; ours accepts it
+    without depending on it)."""
+    ny, nx = 16, 24
+
+    class _V:
+        def __init__(self, v):
+            self.values = v
+
+    class FakeDataArray:
+        dims = ("lat", "lon")
+        values = np.random.default_rng(0).normal(0, 1e-5, (ny, nx))
+        name = "vor"
+        coords = {"lat": _V(np.linspace(-60, 60, ny)),
+                  "lon": _V(np.linspace(0, 345, nx))}
+
+    out = invert_Poisson(FakeDataArray(), dims=["lat", "lon"], iParams=IP)
+    assert out.dims == ("lat", "lon")
+    assert np.isfinite(out.values).all()
