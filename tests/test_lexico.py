@@ -122,3 +122,52 @@ def test_lexicographic_batched_state():
         single = np.asarray(solve_fixed_lexicographic(spec, S0[b], 1.4, 5))
         np.testing.assert_allclose(batched[b], single, rtol=1e-13,
                                    atol=1e-13 * max(np.abs(single).max(), 1))
+
+
+@pytest.mark.parametrize("family", ["standard_2d_e", "general_2d"])
+@pytest.mark.parametrize("bcx", ["fixed", "periodic"])
+def test_lexicographic_other_families(family, bcx):
+    """Per-iteration ordering parity for the standard+E and general-2D
+    families via the generic in-place oracle."""
+    import numpy as np
+    from oracle import lexicographic_from_spec
+    from xinvert_tpu.solver import _apply_extend
+
+    rng = np.random.default_rng(8)
+    yc, xc = 14, 18
+    shape = (yc, xc)
+    Fdef = np.ones(shape, bool)
+    Fdef[4:6, 3:8] = False
+    if family == "standard_2d_e":
+        A = np.abs(rng.normal(1, .1, shape)) + 0.5
+        B = rng.normal(0, 0.05, shape)
+        C = rng.normal(0, 0.05, shape)
+        D = np.abs(rng.normal(1, .1, shape)) + 0.5
+        E = -np.abs(rng.normal(0, 1e-12, shape))
+        F = rng.normal(0, 1, shape)
+        spec = stencil.standard_2d_e(*map(jnp.asarray, (A, B, C, D, E, F)),
+                                     jnp.asarray(Fdef), (1.1e5, 1.0e5),
+                                     ("fixed", bcx))
+    else:
+        A = np.abs(rng.normal(1, .1, shape)) + 0.5
+        B = rng.normal(0, 0.02, shape)
+        C = np.abs(rng.normal(1, .1, shape)) + 0.5
+        D = rng.normal(0, 1e-6, shape)
+        E = rng.normal(0, 1e-6, shape)
+        Fc = -np.abs(rng.normal(1e-10, 1e-11, shape))
+        G = rng.normal(0, 1, shape)
+        spec = stencil.general_2d(*map(jnp.asarray, (A, B, C, D, E, Fc, G)),
+                                  jnp.asarray(Fdef), (1.1e5, 1.0e5),
+                                  ("extend", bcx))
+
+    def ext(S):
+        return np.asarray(_apply_extend(spec, jnp.asarray(S)))
+
+    omega = 1.2
+    for iters in (1, 3):
+        ref = lexicographic_from_spec(spec, np.zeros(shape), omega, iters,
+                                      extend_fn=ext)
+        got = np.asarray(solve_fixed_lexicographic(
+            spec, jnp.zeros(shape), omega, iters))
+        scale = max(np.abs(ref).max(), 1.0)
+        np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-12 * scale)
