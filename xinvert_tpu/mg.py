@@ -311,17 +311,23 @@ def _solve_mg_jit(levels, S0, tol, max_cycles, nu1, nu2, coarse_iters,
     g_scale = jnp.maximum(jnp.max(jnp.abs(spec.g)), 1e-300)
 
     def cond(c):
-        S, k, res = c
-        return jnp.logical_and(k < max_cycles, res >= tol)
+        S, k, res, prev = c
+        # stop on tolerance, cycle budget, or stagnation (the residual
+        # floor is precision-limited: f32 cannot reach f64-style tols)
+        improving = jnp.logical_or(k < 2, res <= 0.9 * prev)
+        return jnp.logical_and(k < max_cycles,
+                               jnp.logical_and(res >= tol, improving))
 
     def body(c):
-        S, k, _ = c
+        S, k, res, prev = c
         S = _vcycle(levels, 0, S, None, nu1, nu2, coarse_iters, alpha,
                     smoother)
-        res = jnp.max(jnp.abs(_residual(spec, S))) / g_scale
-        return (S, k + 1, res)
+        new_res = jnp.max(jnp.abs(_residual(spec, S))) / g_scale
+        return (S, k + 1, new_res, res)
 
-    S, k, res = jax.lax.while_loop(cond, body, (S0, jnp.asarray(0), jnp.asarray(jnp.inf, S0.dtype)))
+    big = jnp.asarray(jnp.inf, S0.dtype)
+    S, k, res, _ = jax.lax.while_loop(
+        cond, body, (S0, jnp.asarray(0), big, big))
     return S, k, res
 
 
@@ -346,7 +352,8 @@ def solve_mg(levels: List[MGLevel], S0=None, tol: float = 1e-6,
         if act.any() and (0, 1) in offs and (1, 0) in offs:
             cx = np.abs(np.asarray(w[offs[(0, 1)]] + w[offs[(0, -1)]]))
             cy = np.abs(np.asarray(w[offs[(1, 0)]] + w[offs[(-1, 0)]]))
-            ratio = np.max(np.where(act, cx / np.maximum(cy, 1e-300), 0.0))
+            floor = np.finfo(cy.dtype).tiny
+            ratio = np.max(np.where(act, cx / np.maximum(cy, floor), 0.0))
             smoother = "line" if ratio > 10.0 else "point"
         else:
             smoother = "point"
