@@ -81,3 +81,17 @@ def test_inv_standard1D_periodic():
     scale = max(np.abs(np.asarray(spec.g)).max(),
                 np.abs(np.asarray(spec.w0 * res.S)).max())
     assert np.abs(r).max() < 1e-10 * scale
+
+
+def test_inv_standard3D_default_bcs_error_message():
+    """3-D families with the default 2-entry BCs raise a descriptive
+    error, not Grid.make's confusing length mismatch."""
+    import pytest
+    from xinvert_tpu import inv_standard3D
+    z = np.linspace(1e5, 1e4, 10)
+    y = np.linspace(-40, 40, 17)
+    x = np.linspace(0, 350, 36)
+    F = Field(np.zeros((10, 17, 36)), ("lev", "lat", "lon"),
+              {"lev": z, "lat": y, "lon": x})
+    with pytest.raises(ValueError, match="BCs"):
+        inv_standard3D(1.0, 1.0, 1.0, F, dims=["lev", "lat", "lon"])

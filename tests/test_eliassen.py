@@ -30,8 +30,8 @@ def test_real_TC(tc):
 
     iParams = {
         "BCs": ["fixed", "fixed"],
-        "mxLoop": 600,
-        "tolerance": 1e-12,
+        "mxLoop": 2000,
+        "tolerance": 1e-13,
         "optArg": 1.4,
         "undef": np.nan,
         "printInfo": False,
@@ -43,10 +43,24 @@ def test_real_TC(tc):
 
     assert sf.dims == F.dims
     assert sf.shape == F.shape
-    # defined interior away from the NaN coefficient halo stays finite
-    good = np.isfinite(F.values) & np.isfinite(A.values) & \
-        np.isfinite(B.values) & np.isfinite(C.values)
-    assert np.isfinite(sf.values[good]).any()
+
+    # quantitative oracle: the solve must CONVERGE (not hit the cap) and
+    # reproduce the frozen fixed point.  The reference notebook case runs
+    # 168 lexicographic sweeps to 6.9e-13 (ref tests/test_Eliassen.py:
+    # 212-217 scenario); the red-black ordering needs more sweeps on this
+    # strongly cross-coupled (B-term) operator but reaches the same kind of
+    # deep tolerance.  Goldens frozen from the f64 CPU run (round 2).
+    from xinvert_tpu.models import api
+    r = api.LAST_SOLVE
+    assert int(r.iters) < 2000, "hit the sweep cap without converging"
+    assert float(r.rel_change) < 1e-13
+    assert not bool(np.any(np.asarray(r.overflow)))
+
+    good = np.isfinite(sf.values)
+    assert np.isclose(sf.values[good].min(), -813.64170031, rtol=1e-6)
+    assert np.isclose(sf.values[good].max(), 4193.80891064, rtol=1e-6)
+    assert np.isclose(np.abs(sf.values[good]).mean(), 1483.12484134,
+                      rtol=1e-6)
 
 
 def test_hadley_zonalmean(data_dir):
@@ -64,6 +78,16 @@ def test_hadley_zonalmean(data_dir):
 
     assert sf.dims == zm.um.dims
     assert sf.shape == zm.um.shape
+
+    # value-pinned Hadley-cell regression (goldens frozen from the f64 CPU
+    # run, round 2): converged in 418 sweeps to 4.1e-11
+    from xinvert_tpu.models import api
+    r = api.LAST_SOLVE
+    assert int(r.iters) < 600
+    assert np.isclose(np.nanmin(sf.values), -2.5341746003e10, rtol=1e-6)
+    assert np.isclose(np.nanmax(sf.values), 1.7700082053e10, rtol=1e-6)
+    assert np.isclose(np.nanmean(np.abs(sf.values)), 3.9961389423e9,
+                      rtol=1e-6)
 
 
 def test_ideal_impulse_TC(tc):

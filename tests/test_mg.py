@@ -32,7 +32,7 @@ def test_mg_converges(bcs, mask, max_cycles):
     A, C, F, Fdef = _problem(ny, nx, bcs, mask)
     pyr = build_pyramid_standard2d(A, 0.0, C, F, Fdef, (1.2e5, 1.0e5), bcs)
     assert len(pyr) >= 3
-    S, k, res = solve_mg(pyr, tol=1e-8, max_cycles=max_cycles)
+    S, k, res, _conv = solve_mg(pyr, tol=1e-8, max_cycles=max_cycles)
     assert res < 1e-8, f"stalled at {res} after {k} cycles"
     assert k <= max_cycles
 
@@ -61,7 +61,7 @@ def test_mg_midlatitude_helmholtz(data_dir):
     pyr = build_pyramid_standard2d(A, 0.0, C, F, np.ones(vor.shape, bool),
                                    (2.5 * deg2m, 2.5 * deg2m),
                                    ("fixed", "periodic"))
-    S, k, res = solve_mg(pyr, tol=1e-9, max_cycles=40)
+    S, k, res, _conv = solve_mg(pyr, tol=1e-9, max_cycles=40)
     assert res < 1e-9
     assert k <= 15
     sor = solve(pyr[0].spec, jnp.zeros(vor.shape), tol=1e-13, max_iters=60000)
@@ -101,7 +101,7 @@ def test_mg_full_sphere_line_smoother(data_dir):
     pyr = build_pyramid_standard2d(A, 0.0, C, F, np.ones(vor.shape, bool),
                                    (2.5 * deg2m, 2.5 * deg2m),
                                    ("fixed", "periodic"))
-    S, k, res = solve_mg(pyr, tol=1e-9, max_cycles=40)   # smoother=None: auto
+    S, k, res, _conv = solve_mg(pyr, tol=1e-9, max_cycles=40)   # smoother=None: auto
     assert res < 1e-9
     assert k <= 12
     sor = solve(pyr[0].spec, jnp.zeros(vor.shape), tol=1e-13, max_iters=60000)
@@ -116,10 +116,36 @@ def test_mg_much_faster_than_sor():
     bcs = ("fixed", "periodic")
     A, C, F, Fdef = _problem(ny, nx, bcs)
     pyr = build_pyramid_standard2d(A, 0.0, C, F, Fdef, (1.0e5, 1.0e5), bcs)
-    S, k, res = solve_mg(pyr, tol=1e-10, max_cycles=20, nu1=2, nu2=2)
+    S, k, res, _conv = solve_mg(pyr, tol=1e-10, max_cycles=20, nu1=2, nu2=2)
     assert res < 1e-10
     fine_sweeps = k * 4       # nu1 + nu2 per cycle at the finest level
     sor = solve(pyr[0].spec, jnp.zeros((ny, nx)), tol=1e-12,
                 max_iters=60000)
     assert fine_sweeps * 20 < int(sor.iters), (
         f"MG used {fine_sweeps} fine sweeps vs SOR {int(sor.iters)}")
+
+
+def test_mg_zero_forcing_no_nan():
+    """All-zero forcing: relative residual must be 0 (dtype-aware floor),
+    not nan, and the solve must report converged."""
+    ny, nx = 65, 65
+    A = np.ones((ny, nx), np.float32)
+    C = np.ones((ny, nx), np.float32)
+    F = np.zeros((ny, nx), np.float32)
+    pyr = build_pyramid_standard2d(A, 0.0, C, F, np.ones((ny, nx), bool),
+                                   (1.0, 1.0), ("fixed", "fixed"))
+    S, k, res, conv = solve_mg(pyr, tol=1e-6, max_cycles=5)
+    assert np.isfinite(res) and res < 1e-6 and conv
+    assert np.allclose(np.asarray(S), 0.0)
+
+
+def test_mg_thin_mask_survives_coarsening():
+    """A 1-row masked strip on an odd (vertex-coarsened) axis must stay
+    masked at every coarse level (conservative 3-point pooling)."""
+    from xinvert_tpu.mg import _coarsen_mask
+    import jax.numpy as jnp
+    m = np.ones((65, 65), bool)
+    m[33, :] = False              # odd row: vertex sampling would skip it
+    mc = np.asarray(_coarsen_mask(jnp.asarray(m), (True, True)))
+    assert not mc[16:18, :].all()     # the strip's support stays inactive
+    assert mc.shape == (33, 33)

@@ -44,6 +44,23 @@ def test_omega_3d(atmos3d):
     assert np.abs(W2.values - 2.0 * v).max() < 1e-5 * scale
 
 
+def test_omega_3d_golden(atmos3d):
+    """Frozen-value regression on the synthetic fixture (the reference pins
+    WQG extrema on its stripped atmos3D.nc, tests/test_OmegaEq.py:100-105;
+    this is the equivalent oracle for the synthesized workload).  Goldens
+    from the f64 CPU run (round 2): 178 sweeps -> 4.2e-13."""
+    from xinvert_tpu.models import api
+    W = invert_omega(atmos3d.F, dims=["LEV", "lat", "lon"],
+                     iParams=IPARAMS, mParams={"N2": atmos3d.N2prof})
+    r = api.LAST_SOLVE
+    assert int(r.iters) < 400
+    assert float(r.rel_change) < 1e-12
+    v = W.values
+    assert np.isclose(v.min(), -9.2235775957, rtol=1e-6)
+    assert np.isclose(v.max(), 9.2509417407, rtol=1e-6)
+    assert np.isclose(np.abs(v).sum(), 3.6570388548e5, rtol=1e-6)
+
+
 def test_omega_3d_icbc(atmos3d):
     """Topographic lower boundary via icbc (tests/test_OmegaEq.py:83-98)."""
     W0 = invert_omega(atmos3d.F, dims=["LEV", "lat", "lon"],

@@ -168,3 +168,22 @@ def test_tridiagonal_solvers():
     Mc[-1, 0] = cn
     xc_ = np.asarray(traceCyclic(a, b, c, d, a0, cn))
     assert np.allclose(Mc @ xc_, d, atol=1e-10)
+
+
+def test_check_every_clamps_to_mxloop():
+    """checkEvery that does not divide mxLoop must not overrun the cap
+    (the last chunk is clamped to the remaining sweeps)."""
+    from xinvert_tpu import solver, stencil
+    import jax.numpy as jnp
+    yc, xc = 17, 19
+    A, B, C, F, Fdef = _random_problem(yc, xc, seed=7)
+    spec = stencil.standard_2d(jnp.asarray(A), 0.0, jnp.asarray(C),
+                               jnp.asarray(F), jnp.asarray(Fdef),
+                               (1.0, 1.0), ("fixed", "fixed"),
+                               include_cross=False)
+    res = solver.solve(spec, jnp.zeros((yc, xc)), omega=1.3, tol=0.0,
+                       max_iters=10, check_every=7)
+    assert int(res.iters) == 10
+    # and the clamped run matches exactly 10 fixed sweeps
+    S10 = solver.solve_fixed(spec, jnp.zeros((yc, xc)), 1.3, 10)
+    assert np.allclose(np.asarray(res.S), np.asarray(S10))

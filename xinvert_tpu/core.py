@@ -47,7 +47,12 @@ def _run(family, coeffs, F, dims, coords, iParams, ndim, icbc=None):
     vals = np.asarray(ft.values, np.float64)
     Fdef = _undef_mask(vals, iP["undef"])
 
-    bcs = tuple(list(iP["BCs"])[:ndim]) if ndim > 1 else (iP["BCs"][0],)
+    bcs_all = list(iP["BCs"])
+    if ndim > 1 and len(bcs_all) < ndim:
+        raise ValueError(
+            f"iParams['BCs'] needs {ndim} entries (one per dim in {dims}), "
+            f"got {bcs_all}")
+    bcs = tuple(bcs_all[:ndim]) if ndim > 1 else (bcs_all[0],)
     grid = Grid.make(dims, [ft.coords[d] for d in dims], coords, bcs)
 
     # align coefficient fields to the core grid

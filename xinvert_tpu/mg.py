@@ -78,6 +78,35 @@ def _coarsen_plane(a, odd):
     return a
 
 
+def _coarsen_mask(mask, odd):
+    """Conservative coarse mask: a coarse point is active only if ALL fine
+    points in its support are.  Odd (vertex-coarsened) axes pool the full
+    3-point support {2i-1, 2i, 2i+1} so thin masked features on skipped
+    rows/cols cannot vanish from coarse levels; even (cell) axes pool the
+    pair."""
+    m = mask
+    for ax_rel, o in enumerate(odd):
+        ax = m.ndim - 2 + ax_rel
+        if o:
+            lo = jnp.concatenate(
+                [jax.lax.slice_in_dim(m, 0, 1, axis=ax),
+                 jax.lax.slice_in_dim(m, 0, m.shape[ax] - 1, axis=ax)],
+                axis=ax)
+            hi = jnp.concatenate(
+                [jax.lax.slice_in_dim(m, 1, m.shape[ax], axis=ax),
+                 jax.lax.slice_in_dim(m, m.shape[ax] - 1, m.shape[ax],
+                                      axis=ax)], axis=ax)
+            m = _coarsen_axis_vertex(lo & m & hi, ax)
+        else:
+            n = m.shape[ax]
+            sl0 = [slice(None)] * m.ndim
+            sl1 = [slice(None)] * m.ndim
+            sl0[ax] = slice(0, n, 2)
+            sl1[ax] = slice(1, n, 2)
+            m = m[tuple(sl0)] & m[tuple(sl1)]
+    return m
+
+
 def _restrict_axis(r, axis, odd, periodic):
     """Full-weighting along one axis."""
     if odd:
@@ -180,11 +209,12 @@ def build_pyramid_standard2d(A, B, C, F, Fdef, deltas, bcs,
         A = _coarsen_plane(A, odd)
         B = _coarsen_plane(B, odd)
         C = _coarsen_plane(C, odd)
-        # conservative coarse mask (inactive if any fine support is
-        # inactive): Dirichlet anchor cells must SURVIVE coarsening — with
-        # extend+periodic BCs they are the only thing fixing the constant
-        # nullspace, and losing them makes coarse levels singular
-        mask = _coarsen_plane(mask.astype(F.dtype), odd) > 0.75
+        # conservative coarse mask (inactive if ANY fine support point is
+        # inactive, full 3-point support on vertex axes): Dirichlet anchor
+        # cells must SURVIVE coarsening — with extend+periodic BCs they are
+        # the only thing fixing the constant nullspace, and losing them
+        # makes coarse levels singular
+        mask = _coarsen_mask(mask.astype(bool), odd)
         F = jnp.zeros(nxt, F.dtype)          # rhs comes from the residual
         dy, dx = dy * 2, dx * 2
         # BC types carry to the error equation unchanged: an extend
@@ -308,26 +338,31 @@ def _vcycle(levels: List[MGLevel], lvl: int, S, g_override,
 def _solve_mg_jit(levels, S0, tol, max_cycles, nu1, nu2, coarse_iters,
                   alpha, smoother):
     spec = levels[0].spec
-    g_scale = jnp.maximum(jnp.max(jnp.abs(spec.g)), 1e-300)
+    # dtype-aware floor: 1e-300 flushes to 0 in f32 (the TPU dtype) and an
+    # all-zero forcing would then report res = 0/0 = nan
+    g_scale = jnp.maximum(jnp.max(jnp.abs(spec.g)),
+                          jnp.asarray(jnp.finfo(spec.g.dtype).tiny,
+                                      spec.g.dtype))
 
     def cond(c):
-        S, k, res, prev = c
-        # stop on tolerance, cycle budget, or stagnation (the residual
-        # floor is precision-limited: f32 cannot reach f64-style tols)
-        improving = jnp.logical_or(k < 2, res <= 0.9 * prev)
+        S, k, res, stall = c
+        # stop on tolerance, cycle budget, or 2 consecutive non-improving
+        # cycles (the residual floor is precision-limited: f32 cannot reach
+        # f64-style tols; a single slow cycle must not end the solve)
         return jnp.logical_and(k < max_cycles,
-                               jnp.logical_and(res >= tol, improving))
+                               jnp.logical_and(res >= tol, stall < 2))
 
     def body(c):
-        S, k, res, prev = c
+        S, k, res, stall = c
         S = _vcycle(levels, 0, S, None, nu1, nu2, coarse_iters, alpha,
                     smoother)
         new_res = jnp.max(jnp.abs(_residual(spec, S))) / g_scale
-        return (S, k + 1, new_res, res)
+        stall = jnp.where(new_res <= 0.9 * res, 0, stall + 1)
+        return (S, k + 1, new_res, stall)
 
     big = jnp.asarray(jnp.inf, S0.dtype)
     S, k, res, _ = jax.lax.while_loop(
-        cond, body, (S0, jnp.asarray(0), big, big))
+        cond, body, (S0, jnp.asarray(0), big, jnp.asarray(0)))
     return S, k, res
 
 
@@ -339,8 +374,11 @@ def solve_mg(levels: List[MGLevel], S0=None, tol: float = 1e-6,
 
     Note the convergence criterion differs from the SOR driver's
     solution-change rule: multigrid makes the true residual cheap to track,
-    so we use it directly.  Returns (solution, cycles, final relative
-    residual).
+    so we use it directly.
+
+    Returns ``(solution, cycles, res, converged)``; ``converged`` is False
+    when the cycle budget or the stagnation guard ended the solve with
+    ``res`` still above ``tol``.
     """
     spec = levels[0].spec
     if smoother is None:
@@ -367,4 +405,5 @@ def solve_mg(levels: List[MGLevel], S0=None, tol: float = 1e-6,
                               jnp.asarray(tol, S0.dtype), max_cycles,
                               nu1, nu2, coarse_iters, float(alpha),
                               str(smoother))
-    return S, int(k), float(res)
+    res = float(res)
+    return S, int(k), res, res < tol

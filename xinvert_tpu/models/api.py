@@ -39,6 +39,13 @@ __all__ = [
 # plumbing
 # ---------------------------------------------------------------------------
 
+#: Telemetry of the most recent ``invert_*`` call: a
+#: :class:`~xinvert_tpu.solver.SolveResult` (iters, rel_change, overflow) —
+#: the machine-readable analog of the reference's per-slice ``flags`` array
+#: (apps.py:2308-2311), which only surfaces through prints there.
+LAST_SOLVE = None
+
+
 def _dtype():
     return np.float64 if jax.config.jax_enable_x64 else np.float32
 
@@ -192,6 +199,8 @@ def _invert(problem_key, F, dims, coords, icbc, valid_mp, mParams, iParams,
     res = solve(spec, jnp.asarray(S0), omega=omega,
                 tol=iP["tolerance"], max_iters=iP["mxLoop"],
                 check_every=int(iP.get("checkEvery", 1)))
+    global LAST_SOLVE
+    LAST_SOLVE = res
     S = np.asarray(res.S)
 
     if iP.get("printInfo"):
@@ -252,8 +261,12 @@ def invert_Poisson_mg(F, dims, coords="lat-lon", mParams=None, iParams=None,
                                        grid)
     pyr = build_pyramid_standard2d(A, 0.0, C, np.asarray(Fs), Fdef,
                                    grid.deltas, grid.bcs)
-    S, cycles, res = solve_mg(pyr, tol=tol, max_cycles=max_cycles)
+    S, cycles, res, converged = solve_mg(pyr, tol=tol, max_cycles=max_cycles)
     S = np.asarray(S)
+    if not converged:
+        import warnings
+        warnings.warn(f"multigrid stopped after {cycles} cycles with relative "
+                      f"residual {res:.3e} > tol {tol:.3e}")
     if iP.get("printInfo"):
         print(f"cycles {cycles:3d} and residual is {res:e}")
     S = np.where(Fdef, S, iP["undef"])

@@ -87,8 +87,8 @@ def _extend_rows(S, periodic_x, bih):
     return jnp.where(row <= 1, top, jnp.where(row >= ny - 2, bot, S))
 
 
-def _kernel(w_ref, w0_ref, g_ref, rr_ref, rb_ref, s_ref, out_ref, *,
-            offsets, n_sweeps, extend_y, periodic_x, bih):
+def _kernel(n_ref, w_ref, w0_ref, g_ref, rr_ref, rb_ref, s_ref, out_ref, *,
+            offsets, extend_y, periodic_x, bih):
     K = len(offsets)
     w = [w_ref[0, k] for k in range(K)]
     w0 = w0_ref[0]
@@ -106,7 +106,9 @@ def _kernel(w_ref, w0_ref, g_ref, rr_ref, rb_ref, s_ref, out_ref, *,
             S = S + rel * (acc + w0 * S)
         return S
 
-    out_ref[0] = jax.lax.fori_loop(0, n_sweeps, one_sweep, s_ref[0])
+    # dynamic trip count from SMEM: one compiled kernel serves every sweep
+    # count (the remote-compile relay makes each new jit shape cost minutes)
+    out_ref[0] = jax.lax.fori_loop(0, n_ref[0], one_sweep, s_ref[0])
 
 
 def pallas_applicable(spec, S_shape) -> bool:
@@ -124,13 +126,14 @@ def pallas_applicable(spec, S_shape) -> bool:
     return planes * ny * nx * itemsize < VMEM_BUDGET
 
 
-@functools.partial(jax.jit, static_argnames=("n_sweeps", "interpret"))
-def sor_sweeps_pallas(spec, S, omega, n_sweeps: int, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def sor_sweeps_pallas(spec, S, omega, n_sweeps, interpret: bool = False):
     """Run n_sweeps full red-black iterations; batched over leading dims.
 
     Bit-identical semantics to ``solve_fixed`` (solver.py) — validated in
     tests/test_pallas.py — with the per-slice problem VMEM-resident for the
-    whole sweep loop.
+    whole sweep loop.  ``n_sweeps`` may be a traced scalar: the count is
+    read from SMEM inside the kernel, so one compile serves all counts.
     """
     ny, nx = S.shape[-2:]
     batch_shape = S.shape[:-2]
@@ -159,16 +162,17 @@ def sor_sweeps_pallas(spec, S, omega, n_sweeps: int, interpret: bool = False):
     kern = functools.partial(
         _kernel,
         offsets=tuple(tuple(int(x) for x in o) for o in spec.offsets),
-        n_sweeps=n_sweeps,
         extend_y=spec.bcs[-2] == "extend",
         periodic_x=spec.bcs[-1] == "periodic",
         bih=spec.bih,
     )
 
+    nS = jnp.reshape(jnp.asarray(n_sweeps, jnp.int32), (1,))
     out = pl.pallas_call(
         kern,
         grid=(B,),
         in_specs=[
+            pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, K, ny, nx),
                          (lambda i: (0, 0, 0, 0)) if wB.shape[0] == 1
                          else (lambda i: (i, 0, 0, 0)),
@@ -188,5 +192,5 @@ def sor_sweeps_pallas(spec, S, omega, n_sweeps: int, interpret: bool = False):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, ny, nx), dtype),
         interpret=interpret,
-    )(wB, w0B, gB, rrB, rbB, SB)
+    )(nS, wB, w0B, gB, rrB, rbB, SB)
     return out.reshape(S.shape)

@@ -186,15 +186,15 @@ def _solve_jit(spec, S0, omega, tol, max_iters, check_every=1,
     if use_pallas:
         from .ops.pallas_sor import sor_sweeps_pallas
 
-        def sweeps(S):
-            return sor_sweeps_pallas(spec, S, omega, check_every)
+        def sweeps(S, k):
+            return sor_sweeps_pallas(spec, S, omega, k)
     elif check_every == 1:
-        def sweeps(S):
+        def sweeps(S, k):
             return _sweep_with(spec, S, rr, rb)
     else:
-        def sweeps(S):
+        def sweeps(S, k):
             return jax.lax.fori_loop(
-                0, check_every, lambda i, s: _sweep_with(spec, s, rr, rb), S)
+                0, k, lambda i, s: _sweep_with(spec, s, rr, rb), S)
 
     # norm_prev < 0 marks "no previous norm yet".  (The reference uses a
     # float-max sentinel, numbas.py; that breaks on TPU: |norm - MAX| / MAX
@@ -202,6 +202,7 @@ def _solve_jit(spec, S0, omega, tol, max_iters, check_every=1,
     # zero -> rel == 0 -> instant false convergence.)
     init = dict(
         S=S0,
+        it=jnp.zeros((), jnp.int32),      # total sweeps run (scalar)
         loop=jnp.zeros(batch_shape, jnp.int32),
         norm_prev=jnp.full(batch_shape, -1.0, dtype),
         rel=jnp.ones(batch_shape, dtype),
@@ -213,7 +214,12 @@ def _solve_jit(spec, S0, omega, tol, max_iters, check_every=1,
         return jnp.any(~c["done"])
 
     def body(c):
-        S_new = sweeps(c["S"])
+        # clamp the last chunk so exactly mxLoop sweeps run even when
+        # check_every does not divide it (every still-active batch element
+        # carries the same loop count, so the scalar `it` tracks them all)
+        k_eff = jnp.minimum(jnp.int32(check_every),
+                            max_iters.astype(jnp.int32) - c["it"])
+        S_new = sweeps(c["S"], k_eff)
         norm = _norm(spec, S_new)
         # reference: isnan(norm) or norm > 1e100 (numbas.py:403); ~isfinite
         # additionally catches inf, which for float32 subsumes the 1e100 test.
@@ -227,13 +233,14 @@ def _solve_jit(spec, S0, omega, tol, max_iters, check_every=1,
         # reference loop semantics (numbas.py:401-414): sweep, increment,
         # then test — so exactly mxLoop sweeps run at the cap and `iters`
         # counts sweeps performed
-        new_loop = c["loop"] + check_every
+        new_loop = c["loop"] + k_eff
         stop = overflow | (rel < tol) | (new_loop >= max_iters)
         if spec.stop_on_zero_norm:
             stop = stop | (norm == 0)
         done_b = c["done"].reshape(batch_shape + (1,) * spec.ndim)
         return dict(
             S=jnp.where(done_b, c["S"], S_new),
+            it=c["it"] + k_eff,
             loop=jnp.where(c["done"], c["loop"], new_loop),
             norm_prev=jnp.where(c["done"], c["norm_prev"], norm),
             rel=jnp.where(c["done"], c["rel"], rel),
