@@ -78,3 +78,48 @@ def test_refstateswm_nonlinear_iteration(data_dir):
 
     # outer fixed-point iteration contracts
     assert dM_norms[-1] < dM_norms[0]
+
+
+def test_refstateswm_recovers_balanced_truth():
+    """Nonlinear outer loop against the synthesized Barotropic2D-equivalent
+    fixture (reference tests/test_RefStateSWM.py:14-85): the tabulated M(Q),
+    C(Q) come from an EXACTLY balanced zonally symmetric state (gradient-
+    wind-integrated h), and the 5-iteration scheme must recover href.  The
+    reference asserts 3%; the analytic construction recovers to 0.1%."""
+    import os
+    import subprocess
+    import sys
+
+    from xinvert_tpu import open_dataset
+
+    if not os.path.exists("Data/barotropic2d_like.nc"):
+        subprocess.run([sys.executable, "tools/make_fixtures.py"], check=True)
+    b = open_dataset("Data/barotropic2d_like.nc")
+    lat = b.href.coords["lat"]
+    ctr, Mass, Circ = b.PV.values, b.Mass.values, b.Circ.values
+
+    def getQC(Mv):
+        Q = np.interp(Mv, Mass, ctr)
+        Q[lat == 90] = ctr.max()
+        return Q, np.interp(Q, ctr, Circ)
+
+    iP = {"BCs": ["fixed"], "mxLoop": 5000, "tolerance": 1e-18,
+          "undef": np.nan, "printInfo": False}
+    Mref = Mass.max() * (np.sin(np.deg2rad(lat)) + 1.0) / 2.0
+    norms = []
+    for _ in range(5):
+        Qref, Cref = getQC(Mref)
+        mP = {"M0": Field(Mref, ("lat",), {"lat": lat}),
+              "C0": Field(Cref, ("lat",), {"lat": lat})}
+        dM = invert_RefStateSWM(Field(Qref, ("lat",), {"lat": lat}),
+                                dims=["lat"], iParams=iP, mParams=mP)
+        Mref = Mref + dM.values
+        norms.append(np.abs(dM.values).mean())
+    assert norms[-1] < 1e-8 * norms[0]       # quadratic-looking contraction
+
+    R = 6371200.0
+    r = R * np.cos(np.deg2rad(lat))
+    href = np.gradient(Mref, lat) / (2 * np.pi * r) / (R * np.deg2rad(1.0))
+    sl = slice(2, -7)
+    rel = np.abs(href[sl] - b.href.values[sl]) / np.abs(b.href.values[sl])
+    assert np.nanmax(rel) < 3e-3

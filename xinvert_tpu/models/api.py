@@ -121,10 +121,13 @@ def _resolve_mp(mp, core_dims, core_shape):
     return out
 
 
-def _init_state(vals, Fdef, icbc, grid, ft):
+def _init_state(vals, Fdef, icbc, grid, ft, warm=False):
     """Initial guess per the reference's __mask_FS (apps.py:2112-2159):
     zeros without icbc; with icbc, icbc on undef cells and non-periodic
-    domain edges, zeros elsewhere."""
+    domain edges, zeros elsewhere.  ``warm=True`` (the ``warmStart``
+    iParam, a TPU-native extension) instead uses icbc EVERYWHERE as a true
+    warm start — the reference zeroes interior cells even with icbc, which
+    makes cascade/checkpoint restarts ineffective."""
     if icbc is None:
         return np.zeros_like(vals)
     fi = as_field(icbc)
@@ -132,6 +135,8 @@ def _init_state(vals, Fdef, icbc, grid, ft):
     if tuple(order) != fi.dims:
         fi = fi.transpose(*order)
     ic = np.broadcast_to(np.asarray(fi.values, vals.dtype), vals.shape)
+    if warm:
+        return np.array(ic, dtype=vals.dtype)
     mask = ~Fdef
     nd = grid.ndim
     for ax_core, bc in enumerate(grid.bcs):
@@ -185,7 +190,8 @@ def _invert(problem_key, F, dims, coords, icbc, valid_mp, mParams, iParams,
     Fdef_c = _collapse_mask(Fdef, ndim)
     spec = problems.BUILDERS[problem_key](jnp.asarray(vals), jnp.asarray(Fdef_c),
                                           grid, mPr)
-    S0 = _init_state(vals, Fdef, icbc, grid, ft)
+    S0 = _init_state(vals, Fdef, icbc, grid, ft,
+                     warm=bool(iP.get("warmStart", False)))
     if iP["optArg"] is not None:
         omega = iP["optArg"]
     else:
@@ -514,16 +520,30 @@ def invert_MultiGrid(invert_func, F, dims, ratios=(8, 4, 2, 1),
     """
     F = as_field(F)
     iParams = dict(kwargs.pop("iParams", {}) or {})
+    # a problem with no Dirichlet anchor anywhere (no 'fixed' BC, no masked
+    # cells) is singular up to a constant; strided-coarsened forcings are
+    # slightly inconsistent there, so coarse solves drift along the null
+    # mode — project it out (demean) before prolongating the warm start
+    bcs = list(iParams.get("BCs", ["fixed", "fixed"]))
+    unanchored = ("fixed" not in bcs
+                  and bool(np.isfinite(np.asarray(F.values, float)).all()))
     sol = None
     for ratio in ratios:
         Fc = _coarsen(F, dims, ratio)
         iP = dict(iParams)
-        iP["mxLoop"] = max(1, int(mxLoop * (1 if ratio == 1 else ratio / max(ratios))))
+        # coarser levels are cheaper but also accumulate null-mode drift
+        # longer: budget sweeps inversely with the coarsening ratio
+        iP["mxLoop"] = max(1, int(mxLoop if ratio == 1 else mxLoop // ratio))
         icbc = None
         if sol is not None:
             icbc = _interp_like(sol, Fc, dims).fillna(0.0)
+            # true interior warm start (the reference's icbc semantics zero
+            # interior cells, which would defeat the cascade)
+            iP["warmStart"] = True
         sol = invert_func(Fc, dims, icbc=icbc, iParams=iP, **kwargs)
         sol = sol.fillna(0.0)
+        if unanchored and ratio != 1:
+            sol = sol - float(np.nanmean(sol.values))
     return sol
 
 

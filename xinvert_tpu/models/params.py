@@ -26,6 +26,9 @@ default_iParams = {
     "debug": False,
     "checkEvery": 1,     # TPU-native extension: amortise the convergence
                          # reduction over k sweeps (k=1 = reference parity)
+    "warmStart": False,  # TPU-native extension: use icbc EVERYWHERE as the
+                         # initial guess (the reference keeps icbc only on
+                         # domain edges and undef cells, apps.py:2144-2156)
 }
 
 default_mParams = {
