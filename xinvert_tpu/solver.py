@@ -168,26 +168,43 @@ def _norm(spec: StencilSpec, S):
 # drivers
 # ---------------------------------------------------------------------------
 
-def _use_pallas(spec, S) -> bool:
-    """Pallas fused-sweep path: TPU backend, 2-D spec that fits VMEM, f32."""
+def _select_kernel(spec, S):
+    """Kernel dispatch on TPU/f32: the VMEM-resident fused kernel when the
+    whole problem fits on-chip, the windowed ghost-zone kernel for larger
+    2-D grids, else the XLA roll path (None)."""
+    if jax.default_backend() != "tpu" or S.dtype != jnp.float32:
+        return None
     from .ops.pallas_sor import pallas_applicable
-    return (jax.default_backend() == "tpu"
-            and S.dtype == jnp.float32
-            and pallas_applicable(spec, jnp.shape(S)))
+    if pallas_applicable(spec, jnp.shape(S)):
+        return "vmem"
+    from .ops.pallas_sor_window import window_applicable
+    if window_applicable(spec, jnp.shape(S)):
+        return "window"
+    return None
 
 
-@partial(jax.jit, static_argnames=("check_every", "use_pallas"))
+def _use_pallas(spec, S) -> bool:
+    """Back-compat helper: True when the VMEM-resident kernel dispatches."""
+    return _select_kernel(spec, S) == "vmem"
+
+
+@partial(jax.jit, static_argnames=("check_every", "kernel"))
 def _solve_jit(spec, S0, omega, tol, max_iters, check_every=1,
-               use_pallas=False):
+               kernel=None):
     dtype = S0.dtype
     rr, rb = _color_relax(spec, jnp.asarray(omega, dtype))
     batch_shape = jnp.shape(S0)[: S0.ndim - spec.ndim]
 
-    if use_pallas:
+    if kernel == "vmem":
         from .ops.pallas_sor import sor_sweeps_pallas
 
         def sweeps(S, k):
             return sor_sweeps_pallas(spec, S, omega, k)
+    elif kernel == "window":
+        from .ops.pallas_sor_window import sor_sweeps_window
+
+        def sweeps(S, k):
+            return sor_sweeps_window(spec, S, omega, k)
     elif check_every == 1:
         def sweeps(S, k):
             return _sweep_with(spec, S, rr, rb)
@@ -266,20 +283,26 @@ def solve(spec: StencilSpec, S0, omega: Optional[float] = None,
 
     ``check_every`` amortises the convergence reduction over k sweeps (the
     termination test then sees the norm every k-th iterate; k=1 reproduces
-    the reference exactly).  ``use_pallas`` (auto on TPU for VMEM-resident
-    2-D f32 problems) runs the sweeps as the fused Pallas kernel.
+    the reference exactly).  ``use_pallas`` (auto on TPU for 2-D f32
+    problems: the fused VMEM-resident kernel when the problem fits on-chip,
+    the windowed ghost-zone kernel for larger grids) runs the sweeps as a
+    Pallas kernel.
     """
     if omega is None:
         from .grid import optimal_omega
         omega = optimal_omega(S0.shape[-spec.ndim:])
     S0 = jnp.asarray(S0)
     if use_pallas is None:
-        use_pallas = _use_pallas(spec, S0)
+        kernel = _select_kernel(spec, S0)
+    elif use_pallas:
+        kernel = "vmem"
+    else:
+        kernel = None
     return _solve_jit(spec, S0, jnp.asarray(omega, S0.dtype),
                       jnp.asarray(tol, S0.dtype),
                       jnp.asarray(max_iters, jnp.int32),
                       check_every=int(check_every),
-                      use_pallas=bool(use_pallas))
+                      kernel=kernel)
 
 
 @partial(jax.jit, static_argnames=("n_iters",))
@@ -299,10 +322,18 @@ def solve_fixed(spec: StencilSpec, S0, omega, n_iters: int,
     """
     S0 = jnp.asarray(S0)
     if use_pallas is None:
-        use_pallas = _use_pallas(spec, S0)
-    if use_pallas:
+        kernel = _select_kernel(spec, S0)
+    elif use_pallas:
+        kernel = "vmem"
+    else:
+        kernel = None
+    if kernel == "vmem":
         from .ops.pallas_sor import sor_sweeps_pallas
         return sor_sweeps_pallas(spec, S0, jnp.asarray(omega, S0.dtype),
+                                 n_iters)
+    if kernel == "window":
+        from .ops.pallas_sor_window import sor_sweeps_window
+        return sor_sweeps_window(spec, S0, jnp.asarray(omega, S0.dtype),
                                  n_iters)
     return _solve_fixed_xla(spec, S0, omega, n_iters)
 
