@@ -149,3 +149,134 @@ def test_mg_thin_mask_survives_coarsening():
     mc = np.asarray(_coarsen_mask(jnp.asarray(m), (True, True)))
     assert not mc[16:18, :].all()     # the strip's support stays inactive
     assert mc.shape == (33, 33)
+
+
+def test_mg_omega3d_semicoarsened(data_dir):
+    """3-D omega via semicoarsened MG with auto z/x-line smoothing: <= 15
+    cycles to a 1e-6 residual, matching the deep SOR fixed point (VERDICT
+    round-1 item 2; the reference's abandoned MG intent, apps.py:1061)."""
+    import jax.numpy as jnp
+    from xinvert_tpu import open_dataset
+    from xinvert_tpu.grid import Grid
+    from xinvert_tpu.models import problems
+    from xinvert_tpu.models.params import default_mParams, merge_params
+    from xinvert_tpu.mg import build_pyramid_standard3d
+
+    ds = open_dataset("Data/atmos3d_like.nc")
+    F = ds.F
+    grid = Grid.make(("LEV", "lat", "lon"),
+                     (F.coords["LEV"], F.coords["lat"], F.coords["lon"]),
+                     "lat-lon", bcs=("fixed", "fixed", "periodic"))
+    mp = merge_params(default_mParams, None)
+    mp["N2"] = ds.N2prof.values.reshape(-1, 1, 1)
+    Fdef = np.ones(F.shape, bool)
+    A, B, C, Fs = problems.omega_coeffs(jnp.asarray(F.values),
+                                        jnp.asarray(Fdef), grid, mp)
+    pyr = build_pyramid_standard3d(A, B, C, np.asarray(Fs), Fdef,
+                                   grid.deltas, grid.bcs)
+    assert len(pyr) >= 3
+    S, k, res, conv = solve_mg(pyr, tol=1e-6, max_cycles=15)
+    assert conv and k <= 15, (k, res)
+
+    sor = solve(pyr[0].spec, jnp.zeros(F.shape), tol=1e-13, max_iters=10000)
+    scale = np.abs(np.asarray(sor.S)).max()
+    assert np.abs(np.asarray(S) - np.asarray(sor.S)).max() < 1e-4 * scale
+
+
+def test_mg_biharmonic_munk():
+    """Munk gyre via biharmonic MG: <= 35 heavy-smoothing cycles to 1e-6
+    where SOR needs ~17k sweeps (VERDICT round-1 item 2)."""
+    import jax.numpy as jnp
+    from xinvert_tpu.grid import Grid
+    from xinvert_tpu.models import problems
+    from xinvert_tpu.models.params import default_mParams, merge_params
+    from xinvert_tpu.mg import build_pyramid_bih2d
+
+    Lx, Ly = 1e7, 2 * np.pi * 1e6
+    x = np.linspace(0, Lx, 257)
+    y = np.linspace(0, Ly, 129)
+    Y = np.broadcast_to(y[:, None], (129, 257))
+    curl = -0.3 * np.sin(np.pi * Y / Ly) * np.pi / Ly
+    grid = Grid.make(("ydef", "xdef"), (y, x), "cartesian",
+                     bcs=("fixed", "fixed"))
+    mp = merge_params(default_mParams,
+                      {"beta": 1.8e-11, "R": 0.0008, "D": 200, "A4": 5e3})
+    Fdef = np.ones((129, 257), bool)
+    coeffs, J = problems.stommelmunk_coeffs(jnp.asarray(curl),
+                                            jnp.asarray(Fdef), grid, mp)
+    pyr = build_pyramid_bih2d(coeffs, np.asarray(J), Fdef, grid.deltas,
+                              grid.bcs)
+    S, k, res, conv = solve_mg(pyr, tol=1e-6, max_cycles=35, nu1=3, nu2=3)
+    assert conv and k <= 35, (k, res)
+
+    sor = solve(pyr[0].spec, jnp.zeros((129, 257)), omega=1.0, tol=1e-14,
+                max_iters=40000)
+    assert int(sor.iters) > 100 * k          # MG crushes SOR sweep counts
+    scale = np.abs(np.asarray(sor.S)).max()
+    assert np.abs(np.asarray(S) - np.asarray(sor.S)).max() < 1e-5 * scale
+
+
+def test_invert_mg_api_entries(data_dir):
+    """invert_Poisson_mg (batched), invert_omega_mg and
+    invert_StommelMunk_mg match their SOR counterparts (VERDICT round-1
+    item 8: batched + per-app MG entry points)."""
+    from xinvert_tpu import (open_dataset, invert_Poisson, Field,
+                             invert_omega, invert_StommelMunk)
+    from xinvert_tpu.models.api import (invert_Poisson_mg, invert_omega_mg,
+                                        invert_StommelMunk_mg)
+
+    ds = open_dataset(f"{data_dir}/Helmholtz_atmos.nc")
+    iP = {"BCs": ["fixed", "periodic"], "printInfo": False}
+    mg = invert_Poisson_mg(ds.vor, dims=["lat", "lon"], iParams=iP, tol=1e-9)
+    assert mg.shape == ds.vor.shape           # both time slices, vmapped
+    sor = invert_Poisson(ds.vor, dims=["lat", "lon"],
+                         iParams={**iP, "tolerance": 1e-11})
+    scale = np.abs(sor.values).max()
+    assert np.abs(mg.values - sor.values).max() < 1e-5 * scale
+
+    a3 = open_dataset("Data/atmos3d_like.nc")
+    iP3 = {"BCs": ["fixed", "fixed", "periodic"], "printInfo": False}
+    w_mg = invert_omega_mg(a3.F, dims=["LEV", "lat", "lon"], iParams=iP3,
+                           mParams={"N2": a3.N2prof}, tol=1e-6)
+    w_sor = invert_omega(a3.F, dims=["LEV", "lat", "lon"],
+                         iParams={**iP3, "tolerance": 1e-12, "mxLoop": 2000},
+                         mParams={"N2": a3.N2prof})
+    scale = np.abs(w_sor.values).max()
+    assert np.abs(w_mg.values - w_sor.values).max() < 1e-4 * scale
+
+    Lx, Ly = 1e7, 2 * np.pi * 1e6
+    x = np.linspace(0, Lx, 257)
+    y = np.linspace(0, Ly, 129)
+    Y = np.broadcast_to(y[:, None], (129, 257))
+    curl = Field(-0.3 * np.sin(np.pi * Y / Ly) * np.pi / Ly,
+                 ("ydef", "xdef"), {"ydef": y, "xdef": x})
+    mp = {"beta": 1.8e-11, "R": 0.0008, "D": 200, "A4": 5e3}
+    iP2 = {"BCs": ["fixed", "fixed"], "printInfo": False}
+    m_mg = invert_StommelMunk_mg(curl, dims=["ydef", "xdef"],
+                                 coords="cartesian", iParams=iP2,
+                                 mParams=mp, tol=1e-6)
+    m_sor = invert_StommelMunk(curl, dims=["ydef", "xdef"],
+                               coords="cartesian",
+                               iParams={**iP2, "optArg": 1.0,
+                                        "tolerance": 1e-14,
+                                        "mxLoop": 40000}, mParams=mp)
+    scale = np.abs(m_sor.values).max()
+    assert np.abs(m_mg.values - m_sor.values).max() < 1e-4 * scale
+
+
+def test_invert_omega_mg_icbc(data_dir):
+    """icbc through the MG path: the imposed lower-boundary pattern is held
+    and the interior responds, matching the SOR icbc solve."""
+    from xinvert_tpu import open_dataset, invert_omega
+    from xinvert_tpu.models.api import invert_omega_mg
+
+    a3 = open_dataset("Data/atmos3d_like.nc")
+    iP3 = {"BCs": ["fixed", "fixed", "periodic"], "printInfo": False}
+    w_mg = invert_omega_mg(a3.F, dims=["LEV", "lat", "lon"], icbc=a3.WBC,
+                           iParams=iP3, mParams={"N2": a3.N2prof}, tol=1e-6)
+    assert np.allclose(w_mg.values[-1], a3.WBC.values[-1])
+    w_sor = invert_omega(a3.F, dims=["LEV", "lat", "lon"], icbc=a3.WBC,
+                         iParams={**iP3, "tolerance": 1e-12, "mxLoop": 2000},
+                         mParams={"N2": a3.N2prof})
+    scale = np.abs(w_sor.values).max()
+    assert np.abs(w_mg.values - w_sor.values).max() < 1e-4 * scale

@@ -1,13 +1,14 @@
 # -*- coding: utf-8 -*-
-"""Geometric multigrid for the standard-2D stencil family.
+"""Geometric multigrid for the standard-2D, standard-3D and biharmonic
+stencil families.
 
 The reference ships a broken experimental multigrid (apps.py:1061-1135,
 imports a non-existent module); :func:`xinvert_tpu.models.api.invert_MultiGrid`
 already provides its working coarse-to-fine intent.  This module goes
 further: a true V-cycle on the residual equation with coefficient
 coarsening, full-weighting restriction and bilinear prolongation — reducing
-iterations-to-tolerance from O(N) SOR sweeps to O(10) cycles on Poisson-class
-(standard 2-D) problems, masks included.
+iterations-to-tolerance from O(N) SOR sweeps to O(10) cycles, masks
+included.
 
 Everything is jit-compatible with a static level hierarchy; smoothing uses
 the same red-black engine as the main solver, so each level runs on-device
@@ -15,15 +16,21 @@ the same red-black engine as the main solver, so each level runs on-device
 
 Grid-size support per dim: even sizes coarsen cell-wise (n -> n/2), odd
 sizes vertex-wise (n -> (n+1)/2).  Periodic dims must be even (the sphere's
-lon dim always is).
+lon dim always is).  3-D problems SEMICOARSEN: only (y, x) coarsen, the z
+column stays fine (the omega equation's f^2/N^2 stiffness lives in z and is
+handled by z-line smoothing, so coarsening z would only slow convergence).
 
-Smoothers: point red-black Gauss-Seidel for quasi-isotropic coefficients,
-and zebra x-LINE relaxation (exact cyclic-tridiagonal row solves via the
-Thomas kernels) for strongly x-anisotropic operators — e.g. the
-1/cos^2(lat) polar metric of full-sphere grids, which stalls point
-smoothing (~1e-2 residual floor) but converges in ~8 line-smoothed cycles
-to 1e-10.  ``solve_mg(smoother=None)`` picks automatically from the
-operator's coupling anisotropy.
+Smoothers (``solve_mg(smoother=None)`` auto-selects from the operator's
+coupling anisotropy):
+- ``point``: red-black Gauss-Seidel — quasi-isotropic coefficients;
+- ``xline``: zebra x-line relaxation (exact cyclic-tridiagonal row solves
+  via the Thomas kernels) — strong x coupling, e.g. the 1/cos^2(lat) polar
+  metric of full-sphere grids, which stalls point smoothing (~1e-2
+  residual floor) but converges in ~8 line-smoothed cycles to 1e-10;
+- ``zline``: zebra z-line relaxation — the omega equation's strong
+  f^2 (delx/delz)^2 vertical coupling;
+- ``zxline``: alternating z- then x-line relaxation — both anisotropies at
+  once (full-sphere 3-D omega).
 """
 from __future__ import annotations
 
@@ -39,7 +46,8 @@ from . import stencil
 from .solver import _sweep_with, _color_relax, _neighbor_sum
 from .grid import optimal_omega
 
-__all__ = ["build_pyramid_standard2d", "solve_mg", "MGLevel"]
+__all__ = ["build_pyramid_standard2d", "build_pyramid_standard3d",
+           "build_pyramid_bih2d", "solve_mg", "MGLevel"]
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -48,7 +56,8 @@ __all__ = ["build_pyramid_standard2d", "solve_mg", "MGLevel"]
 class MGLevel:
     spec: object                 # StencilSpec
     omega: jnp.ndarray
-    odd: Tuple[bool, bool]       # per-dim: vertex (odd) vs cell coarsening
+    odd: Tuple[bool, bool]       # per coarsened dim (the trailing y, x):
+    #                              vertex (odd) vs cell coarsening
     masked: bool = False         # fine problem has interior inactive cells
 
 
@@ -225,6 +234,106 @@ def build_pyramid_standard2d(A, B, C, F, Fdef, deltas, bcs,
     return levels
 
 
+def build_pyramid_standard3d(A, B, C, F, Fdef, deltas, bcs,
+                             min_size: int = 9,
+                             max_levels: int = 10) -> List[MGLevel]:
+    """Coefficient pyramid for d/dz(A Sz) + d/dy(B Sy) + d/dx(C Sx) = F
+    (the QG-omega family, stencil.standard_3d / numbas.py:16-212).
+
+    SEMICOARSENING: only the trailing (y, x) dims coarsen; the z column
+    stays at full resolution on every level and its strong f^2/N^2
+    coupling is handled by z-line smoothing.  Coefficients coarsen by
+    plane averaging/sampling over (y, x); each level re-discretises on the
+    doubled (dely, delx) with the original delz.
+    """
+    A = jnp.asarray(A)
+    B = jnp.asarray(B)
+    C = jnp.asarray(C)
+    F = jnp.asarray(F)
+    mask = jnp.asarray(Fdef).astype(bool)
+    if mask.ndim == 2:
+        mask = jnp.broadcast_to(mask[None], F.shape)
+    is_masked = not bool(np.all(np.asarray(Fdef)))
+
+    levels = []
+    delz, dely, delx = deltas
+    cur_bcs = tuple(bcs)
+    lvl_shape = F.shape[-2:]
+    while True:
+        spec = stencil.standard_3d(A, B, C, F, mask, (delz, dely, delx),
+                                   cur_bcs)
+        omega = jnp.asarray(1.0)
+        odd = tuple(n % 2 == 1 for n in lvl_shape)
+        levels.append(MGLevel(spec=spec, omega=omega, odd=odd,
+                              masked=is_masked))
+
+        nxt = tuple((n + 1) // 2 if n % 2 else n // 2 for n in lvl_shape)
+        if (len(levels) >= max_levels or min(nxt) < min_size
+                or any(cur_bcs[1 + i] == "periodic" and lvl_shape[i] % 2
+                       for i in range(2))):
+            levels[-1] = dataclasses.replace(
+                levels[-1], omega=jnp.asarray(optimal_omega(
+                    (F.shape[0],) + lvl_shape)))
+            break
+        A = _coarsen_plane(A, odd)
+        B = _coarsen_plane(B, odd)
+        C = _coarsen_plane(C, odd)
+        mask = _coarsen_mask(mask, odd)
+        F = jnp.zeros((F.shape[0],) + nxt, F.dtype)
+        dely, delx = dely * 2, delx * 2
+        lvl_shape = nxt
+
+    return levels
+
+
+def build_pyramid_bih2d(coeffs, J, Fdef, deltas, bcs,
+                        min_size: int = 15,
+                        max_levels: int = 10) -> List[MGLevel]:
+    """Coefficient pyramid for the general biharmonic family
+    A Syyyy + B Syyxx + C Sxxxx + D Syy + E Syx + F Sxx + G Sy + H Sx
+    + I S = J (stencil.general_2d_bih / numbas.py:1205-1586 — the
+    Stommel-Munk gyre).
+
+    ``coeffs`` is the tuple (A, B, C, D, E, F, G, H, I); each level
+    re-discretises the plane-coarsened coefficients on doubled spacings.
+    The folded system carries delx^4, handled by the V-cycle's residual
+    scale.
+    """
+    cs = [jnp.asarray(c) if not np.isscalar(c)
+          else jnp.zeros(J.shape[-2:], jnp.asarray(J).dtype) + c
+          for c in coeffs]
+    J = jnp.asarray(J)
+    mask = jnp.asarray(Fdef).astype(bool)
+    is_masked = not bool(np.all(np.asarray(Fdef)))
+
+    levels = []
+    dy, dx = deltas
+    cur_bcs = tuple(bcs)
+    lvl_shape = J.shape[-2:]
+    while True:
+        spec = stencil.general_2d_bih(*cs, J, mask, (dy, dx), cur_bcs)
+        levels.append(MGLevel(spec=spec, omega=jnp.asarray(1.0),
+                              odd=tuple(n % 2 == 1 for n in lvl_shape),
+                              masked=is_masked))
+        odd = levels[-1].odd
+
+        nxt = tuple((n + 1) // 2 if n % 2 else n // 2 for n in lvl_shape)
+        if (len(levels) >= max_levels or min(nxt) < min_size
+                or any(cur_bcs[i] == "periodic" and lvl_shape[i] % 2
+                       for i in range(2))):
+            # the coarsest biharmonic level relaxes with omega ~ 1 (the
+            # near-2 Laplacian-optimal factor diverges on the 13-point
+            # stencil, cf. models/api._AUTO_OMEGA)
+            break
+        cs = [_coarsen_plane(c, odd) for c in cs]
+        mask = _coarsen_mask(mask, odd)
+        J = jnp.zeros(nxt, J.dtype)
+        dy, dx = dy * 2, dx * 2
+        lvl_shape = nxt
+
+    return levels
+
+
 # ---------------------------------------------------------------- smoothers
 
 def _smooth(level: MGLevel, S, n):
@@ -233,50 +342,70 @@ def _smooth(level: MGLevel, S, n):
         0, n, lambda i, s: _sweep_with(level.spec, s, rr, rb), S)
 
 
-def _zebra_x_sweep(spec, S):
-    """One zebra x-line iteration: solve every odd row's (cyclic)
-    tridiagonal exactly, then every even row's.
+def _zebra_line_sweep(spec, S, axis):
+    """One zebra line iteration along ``axis`` (negative, core-relative):
+    solve every odd line's (cyclic) tridiagonal exactly, then every even
+    line's — parity is the checkerboard of the OTHER core dims, so
+    same-parity lines do not couple through the off-axis offsets.
 
-    Strong x-coupling (the 1/cos^2(lat) polar metric) sits INSIDE the line
-    solve, so this smooths anisotropic problems that point relaxation
-    cannot.  Inactive cells become identity rows (b=1, rhs=S) — exact
-    Dirichlet handling inside the line.
+    Strong along-axis coupling (the 1/cos^2(lat) polar metric for x, the
+    f^2 (delx/delz)^2 stiffness for z) sits INSIDE the line solve, so this
+    smooths anisotropic problems that point relaxation cannot.  Inactive
+    cells become identity rows (b=1, rhs=S) — exact Dirichlet handling
+    inside the line.
     """
     from .ops.tridiag import traceCyclic
     from .solver import _apply_extend
 
+    nd = spec.ndim
     offs = {tuple(o): k for k, o in enumerate(spec.offsets)}
-    kxp, kxm = offs[(0, 1)], offs[(0, -1)]
+    unit = tuple(1 if i == nd + axis else 0 for i in range(nd))
+    nunit = tuple(-u for u in unit)
+    kp, km = offs[unit], offs[nunit]
     active = spec.active
-    periodic = spec.bcs[-1] == "periodic"
+    periodic = spec.bcs[axis] == "periodic"
 
     def solve_parity(S, parity):
-        ny, nx = S.shape[-2:]
         acc = spec.g
         for k, off in enumerate(spec.offsets):
-            if off[0] == 0:
+            if off[nd + axis] != 0:
                 continue
             shifts = tuple(-o for o in off if o != 0)
-            axes = tuple(ax - 2 for ax, o in enumerate(off) if o != 0)
+            axes = tuple(ax - nd for ax, o in enumerate(off) if o != 0)
             acc = acc + spec.w[k] * jnp.roll(S, shift=shifts, axis=axes)
-        # per-row system: a x_{i-1} + b x_i + c x_{i+1} = d
-        a_full = jnp.where(active, spec.w[kxm], 0.0)
-        c_full = jnp.where(active, spec.w[kxp], 0.0)
+        # per-line system: a x_{i-1} + b x_i + c x_{i+1} = d along `axis`
+        a_full = jnp.where(active, spec.w[km], 0.0)
+        c_full = jnp.where(active, spec.w[kp], 0.0)
         b_full = jnp.where(active, spec.w0, 1.0)
         d_full = jnp.where(active, -acc, S)
+
+        def lines(a):
+            """Move `axis` last and flatten the rest to a batch of lines."""
+            m = jnp.moveaxis(a, axis, -1)
+            return m.reshape((-1, m.shape[-1])), m.shape
+
+        a_l, mshape = lines(a_full)
+        c_l, _ = lines(c_full)
+        b_l, _ = lines(b_full)
+        d_l, _ = lines(d_full)
+        nlines = a_l.shape[0]
         if periodic:
-            a0 = a_full[:, 0]
-            cn = c_full[:, -1]
-            a_in = a_full[:, 1:]
-            c_in = c_full[:, :-1]
+            a0, cn = a_l[:, 0], c_l[:, -1]
         else:
-            a0 = jnp.zeros(ny, S.dtype)
-            cn = jnp.zeros(ny, S.dtype)
-            a_in = a_full[:, 1:]
-            c_in = c_full[:, :-1]
-        sol = jax.vmap(traceCyclic)(a_in, b_full, c_in, d_full, a0, cn)
-        row = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 0)
-        take = (row % 2) == parity
+            a0 = jnp.zeros(nlines, S.dtype)
+            cn = jnp.zeros(nlines, S.dtype)
+        sol = jax.vmap(traceCyclic)(a_l[:, 1:], b_l, c_l[:, :-1], d_l,
+                                    a0, cn)
+        sol = jnp.moveaxis(sol.reshape(mshape), -1, axis)
+
+        # checkerboard parity over the non-axis core dims
+        par = 0
+        core_shape = S.shape[-nd:]
+        for ax in range(nd):
+            if ax == nd + axis:
+                continue
+            par = par + jax.lax.broadcasted_iota(jnp.int32, core_shape, ax)
+        take = (par % 2) == parity
         return jnp.where(jnp.logical_and(take, active), sol, S)
 
     S = _apply_extend(spec, S)
@@ -285,9 +414,16 @@ def _zebra_x_sweep(spec, S):
     return S
 
 
-def _smooth_line(level: MGLevel, S, n):
-    return jax.lax.fori_loop(
-        0, n, lambda i, s: _zebra_x_sweep(level.spec, s), S)
+_SMOOTH_AXES = {"line": (-1,), "xline": (-1,), "zline": (-3,),
+                "zxline": (-3, -1)}
+
+
+def _smooth_line(level: MGLevel, S, n, axes=(-1,)):
+    def one(i, s):
+        for ax in axes:
+            s = _zebra_line_sweep(level.spec, s, ax)
+        return s
+    return jax.lax.fori_loop(0, n, one, S)
 
 
 def _residual(spec, S):
@@ -302,7 +438,12 @@ def _residual(spec, S):
 def _vcycle(levels: List[MGLevel], lvl: int, S, g_override,
             nu1: int, nu2: int, coarse_iters: int, alpha: float = 1.0,
             smoother: str = "point"):
-    sm = _smooth_line if smoother == "line" else _smooth
+    if smoother in _SMOOTH_AXES:
+        axes = _SMOOTH_AXES[smoother]
+        def sm(level, S, n):
+            return _smooth_line(level, S, n, axes)
+    else:
+        sm = _smooth
     level = levels[lvl]
     spec = level.spec
     if g_override is not None:
@@ -316,16 +457,16 @@ def _vcycle(levels: List[MGLevel], lvl: int, S, g_override,
     S = sm(level, S, nu1)
     # residual of the folded system: sum w S + w0 S + g = 0
     r = _residual(spec, S)
-    bcs = spec.bcs
-    r_c = restrict(r, level.odd, bcs)
+    bcs2 = spec.bcs[-2:]          # only the trailing (y, x) dims coarsen
+    r_c = restrict(r, level.odd, bcs2)
     # the error e solves M e = r, i.e. folded form M_c e + g_c = 0 with
-    # g_c = -scale * r_c; scale = (delx_c/delx_f)^2 = 4 because the folded
-    # residual carries the level's delx^2
-    g_c = -4.0 * r_c
+    # g_c = -scale * r_c; the folded system carries the level's delx^2
+    # (delx^4 for the biharmonic family), so scale = (delx_c/delx_f)^p
+    g_c = (-16.0 if spec.bih else -4.0) * r_c
     e0 = jnp.zeros_like(levels[lvl + 1].spec.w0)
     e = _vcycle(levels, lvl + 1, e0, g_c, nu1, nu2, coarse_iters, alpha,
                 smoother)
-    corr = prolong(e, spec.w0.shape[-2:], level.odd, bcs)
+    corr = prolong(e, spec.w0.shape[-2:], level.odd, bcs2)
     # alpha < 1 damps the coarse-grid correction: with re-discretised
     # (non-Galerkin) coarse operators and irregular masks, the undamped
     # correction can over-shoot coastline modes and destabilise the cycle
@@ -335,9 +476,11 @@ def _vcycle(levels: List[MGLevel], lvl: int, S, g_override,
 
 @partial(jax.jit, static_argnames=("max_cycles", "nu1", "nu2",
                                    "coarse_iters", "alpha", "smoother"))
-def _solve_mg_jit(levels, S0, tol, max_cycles, nu1, nu2, coarse_iters,
+def _solve_mg_jit(levels, S0, g0, tol, max_cycles, nu1, nu2, coarse_iters,
                   alpha, smoother):
     spec = levels[0].spec
+    if g0 is not None:
+        spec = dataclasses.replace(spec, g=jnp.where(spec.active, g0, 0.0))
     # dtype-aware floor: 1e-300 flushes to 0 in f32 (the TPU dtype) and an
     # all-zero forcing would then report res = 0/0 = nan
     g_scale = jnp.maximum(jnp.max(jnp.abs(spec.g)),
@@ -354,7 +497,7 @@ def _solve_mg_jit(levels, S0, tol, max_cycles, nu1, nu2, coarse_iters,
 
     def body(c):
         S, k, res, stall = c
-        S = _vcycle(levels, 0, S, None, nu1, nu2, coarse_iters, alpha,
+        S = _vcycle(levels, 0, S, spec.g, nu1, nu2, coarse_iters, alpha,
                     smoother)
         new_res = jnp.max(jnp.abs(_residual(spec, S))) / g_scale
         stall = jnp.where(new_res <= 0.9 * res, 0, stall + 1)
@@ -369,30 +512,55 @@ def _solve_mg_jit(levels, S0, tol, max_cycles, nu1, nu2, coarse_iters,
 def solve_mg(levels: List[MGLevel], S0=None, tol: float = 1e-6,
              max_cycles: int = 50, nu1: int = 2, nu2: int = 2,
              coarse_iters: int = 60, alpha: Optional[float] = None,
-             smoother: Optional[str] = None):
+             smoother: Optional[str] = None, g0=None):
     """V-cycle to a RESIDUAL tolerance (relative to max |g|).
 
     Note the convergence criterion differs from the SOR driver's
     solution-change rule: multigrid makes the true residual cheap to track,
     so we use it directly.
 
+    ``g0`` overrides the finest level's folded constant term (the
+    ``-F*delx^2`` forcing), enabling BATCHED solves over a shared operator:
+    when ``S0``/``g0`` carry a leading batch axis the V-cycle is vmapped
+    over it (each batch member converges by its own residual test).  ``S0``
+    doubles as the icbc warm start — inactive (masked/boundary) cells keep
+    their initial values, so Dirichlet data rides in unchanged.
+
     Returns ``(solution, cycles, res, converged)``; ``converged`` is False
     when the cycle budget or the stagnation guard ended the solve with
-    ``res`` still above ``tol``.
+    ``res`` still above ``tol`` (any member, for batched solves).
     """
     spec = levels[0].spec
+    nd = spec.ndim
     if smoother is None:
-        # x/y coupling anisotropy of the fine operator: line relaxation in
-        # x when x-coupling dominates anywhere by >10x (e.g. polar metric)
+        # coupling anisotropy of the fine operator selects line relaxation
+        # along any axis that dominates the others by >10x anywhere (the
+        # 1/cos^2 polar metric in x; f^2 (delx/delz)^2 stiffness in z)
         offs = {tuple(o): k for k, o in enumerate(spec.offsets)}
         w = spec.w
         act = np.asarray(spec.active)
-        if act.any() and (0, 1) in offs and (1, 0) in offs:
-            cx = np.abs(np.asarray(w[offs[(0, 1)]] + w[offs[(0, -1)]]))
-            cy = np.abs(np.asarray(w[offs[(1, 0)]] + w[offs[(-1, 0)]]))
-            floor = np.finfo(cy.dtype).tiny
-            ratio = np.max(np.where(act, cx / np.maximum(cy, floor), 0.0))
-            smoother = "line" if ratio > 10.0 else "point"
+        floor = np.finfo(np.asarray(spec.w0).dtype).tiny
+
+        def coupling(axis):
+            unit = tuple(1 if i == axis else 0 for i in range(nd))
+            nunit = tuple(-u for u in unit)
+            if unit not in offs or nunit not in offs:
+                return None
+            return np.abs(np.asarray(w[offs[unit]] + w[offs[nunit]]))
+
+        if act.any() and nd == 2:
+            cx, cy = coupling(1), coupling(0)
+            ratio = (np.max(np.where(act, cx / np.maximum(cy, floor), 0.0))
+                     if cx is not None and cy is not None else 0.0)
+            smoother = "xline" if ratio > 10.0 else "point"
+        elif act.any() and nd == 3:
+            # semicoarsening quadruples the relative z coupling per level,
+            # so z-lines are ALWAYS needed once the hierarchy has depth;
+            # add x-lines for the polar 1/cos^2 metric
+            cy, cx = coupling(1), coupling(2)
+            rx = (np.max(np.where(act, cx / np.maximum(cy, floor), 0.0))
+                  if cx is not None and cy is not None else 0.0)
+            smoother = "zxline" if rx > 10.0 else "zline"
         else:
             smoother = "point"
     if alpha is None:
@@ -400,8 +568,23 @@ def solve_mg(levels: List[MGLevel], S0=None, tol: float = 1e-6,
         # active domains; irregular masks need damping for stability
         alpha = 0.8 if levels[0].masked else 1.0
     if S0 is None:
-        S0 = jnp.zeros(spec.w0.shape[-2:], spec.w0.dtype)
-    S, k, res = _solve_mg_jit(tuple(levels), jnp.asarray(S0),
+        S0 = jnp.zeros(spec.w0.shape[-nd:], spec.w0.dtype)
+    S0 = jnp.asarray(S0)
+    batched = S0.ndim > nd
+    if batched:
+        S0 = S0.reshape((-1,) + S0.shape[-nd:])
+        if g0 is None:
+            raise ValueError("batched solve_mg needs a batched g0")
+        g0 = jnp.asarray(g0).reshape((-1,) + S0.shape[1:])
+        fn = jax.vmap(lambda s, g: _solve_mg_jit(
+            tuple(levels), s, g, jnp.asarray(tol, S0.dtype), max_cycles,
+            nu1, nu2, coarse_iters, float(alpha), str(smoother)))
+        S, k, res = fn(S0, g0)
+        res_f = float(jnp.max(res))
+        return S, int(jnp.max(k)), res_f, res_f < tol
+    if g0 is not None:
+        g0 = jnp.asarray(g0)
+    S, k, res = _solve_mg_jit(tuple(levels), S0, g0,
                               jnp.asarray(tol, S0.dtype), max_cycles,
                               nu1, nu2, coarse_iters, float(alpha),
                               str(smoother))

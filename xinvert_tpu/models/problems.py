@@ -325,8 +325,9 @@ def build_stommel_test(curl, cdef, grid: Grid, mp):
     return stencil.standard_2d_e(A, B, C, D, E, Fs, cdef, grid.deltas, grid.bcs)
 
 
-def build_stommelmunk(curl, cdef, grid: Grid, mp):
-    """Stommel-Munk gyre with biharmonic viscosity (apps.py:1793-1836)."""
+def stommelmunk_coeffs(curl, cdef, grid: Grid, mp):
+    """The Stommel-Munk A..I planes and forcing J (apps.py:1793-1836);
+    shared by the SOR builder and the multigrid entry point."""
     nd, shape = grid.ndim, grid.shape
     A4, R, depth, rho0 = mp["A4"], mp["R"], mp["D"], mp["rho0"]
     zero = jnp.zeros(shape)
@@ -345,8 +346,13 @@ def build_stommelmunk(curl, cdef, grid: Grid, mp):
         Fc = jnp.full(shape, -R / depth)
         H = jnp.full(shape, -mp["beta"])
     J = -_fill(curl, cdef) / depth / rho0
-    return stencil.general_2d_bih(A, zero, C, D, zero, Fc, zero, H, zero, J,
-                                  cdef, grid.deltas, grid.bcs)
+    return (A, zero, C, D, zero, Fc, zero, H, zero), J
+
+
+def build_stommelmunk(curl, cdef, grid: Grid, mp):
+    """Stommel-Munk gyre with biharmonic viscosity (apps.py:1793-1836)."""
+    coeffs, J = stommelmunk_coeffs(curl, cdef, grid, mp)
+    return stencil.general_2d_bih(*coeffs, J, cdef, grid.deltas, grid.bcs)
 
 
 def build_stommelarons(Q, Qdef, grid: Grid, mp):
@@ -447,8 +453,9 @@ def build_fofonoff(F, Fdef, grid: Grid, mp):
                                  grid.deltas, grid.bcs)
 
 
-def build_omega(F, Fdef, grid: Grid, mp):
-    """QG omega equation, standard 3D (apps.py:2016-2052)."""
+def omega_coeffs(F, Fdef, grid: Grid, mp):
+    """The omega-equation A/B/C planes and scaled forcing (apps.py:
+    2016-2052); shared by the SOR builder and the multigrid entry point."""
     nd, shape = grid.ndim, grid.shape
     N2 = np.asarray(mp["N2"], np.float64)
     if grid.coord_type == "lat-lon":
@@ -467,6 +474,12 @@ def build_omega(F, Fdef, grid: Grid, mp):
         B = np.broadcast_to(N2 * np.ones(shape), shape)
         C = np.broadcast_to(N2 * np.ones(shape), shape)
         Fs = _fill(F, Fdef)
+    return A, B, C, Fs
+
+
+def build_omega(F, Fdef, grid: Grid, mp):
+    """QG omega equation, standard 3D (apps.py:2016-2052)."""
+    A, B, C, Fs = omega_coeffs(F, Fdef, grid, mp)
     return stencil.standard_3d(jnp.asarray(A), jnp.asarray(B), jnp.asarray(C),
                                Fs, Fdef, grid.deltas, grid.bcs)
 

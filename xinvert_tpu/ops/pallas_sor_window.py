@@ -96,6 +96,15 @@ def _extend_windowed(S, row_g, ny, nx, periodic_x, bih):
     return S
 
 
+# The AOT compile stack stack-allocates the whole pallas RESULT in scoped
+# VMEM regardless of blocked out_specs (the round-1 blocker).  The scoped
+# limit is only a compiler default: raising it per-compile makes results up
+# to ~RESULT_CAP legal.  96 MiB verified compiling AND running on the v5e.
+_SCOPED_VMEM_KIB = 98304
+WINDOW_COMPILER_OPTS = {"xla_tpu_scoped_vmem_limit_kib": str(_SCOPED_VMEM_KIB)}
+_RESULT_CAP = 64 * 1024 * 1024      # result bytes; leaves room for buffers
+
+
 def window_plan(spec, S_shape):
     """Pick (tile, k_sweeps, halo) fitting the VMEM budget, or None.
 
@@ -110,13 +119,16 @@ def window_plan(spec, S_shape):
         return None
     if ny % 8 or ny < 64:
         return None
+    if ny * nx * np.dtype(spec.w0.dtype).itemsize > _RESULT_CAP:
+        return None       # result would overflow the raised scoped budget
     K = len(spec.offsets)
     P = K + 3
     itemsize = np.dtype(spec.w0.dtype).itemsize
     row_bytes = nx * itemsize
-    budget_rows = int(VMEM_BUDGET * 1.15) // row_bytes   # pallas_sor leaves
-    # headroom below 16M; the window path has no slack buffers, so a
-    # slightly higher effective budget is safe
+    # the raised scoped-VMEM budget (WINDOW_COMPILER_OPTS) holds the
+    # stack-allocated result plus the pipeline buffers; keep 15% headroom
+    budget_rows = (int(_SCOPED_VMEM_KIB * 1024 * 0.85)
+                   - ny * nx * itemsize) // row_bytes
     radius = _radius(spec.offsets)
 
     # candidate tiles: multiples of 8 dividing ny (the 1-D grid covers ny
@@ -158,32 +170,28 @@ def window_applicable(spec, S_shape) -> bool:
 
 
 def _kernel(n_ref, W_ref, s_ref, out_ref, *, K, offsets, tile, halo, ny, nx,
-            extend_y, periodic_x, bih):
+            extend_y, periodic_x, bih, dtype):
     win = tile + 2 * halo
     t = pl.program_id(0)
     n_t = pl.num_programs(0)
     start = jnp.clip(t * tile - halo, 0, ny - win)
 
-    w = [W_ref[k] for k in range(K)]
-    w0 = W_ref[K]
-    g = W_ref[K + 1]
-    rel = W_ref[K + 2]
-
-    # red/black parity and extend-row conditions in GLOBAL coordinates
-    row_g = jax.lax.broadcasted_iota(jnp.int32, (win, nx), 0) + start
-    col = jax.lax.broadcasted_iota(jnp.int32, (win, nx), 1)
-    red = ((row_g + col) % 2 == 0).astype(rel.dtype)
-    rr = rel * red
-    rb = rel - rr
-
     def one_sweep(_, S):
+        # everything below reads the weight refs transiently per use:
+        # hoisting value copies of the K+3 planes out of the loop doubles
+        # live VMEM and sends Mosaic into spill territory at large tiles
+        row_g = jax.lax.broadcasted_iota(jnp.int32, (win, nx), 0) + start
         if extend_y:
             S = _extend_windowed(S, row_g, ny, nx, periodic_x, bih)
-        for r in (rr, rb):
-            acc = g
+        parity = row_g + jax.lax.broadcasted_iota(jnp.int32, (win, nx), 1)
+        for color in (0, 1):
+            acc = W_ref[K + 1]                     # g
             for k in range(K):
-                acc = acc + w[k] * _roll2(S, offsets[k])
-            S = S + r * (acc + w0 * S)
+                acc = acc + W_ref[k] * _roll2(S, offsets[k])
+            # red/black parity in GLOBAL coordinates
+            sel = ((parity % 2) == color).astype(dtype)
+            r = W_ref[K + 2] * sel                 # omega * relax * color
+            S = S + r * (acc + W_ref[K] * S)
         return S
 
     S = jax.lax.fori_loop(0, n_ref[0], one_sweep, s_ref[:])
@@ -237,42 +245,45 @@ def _window_chunk(spec, S, rel, n, k_sweeps: int, tile: int,
         tile=tile, halo=halo, ny=ny, nx=nx,
         extend_y=spec.bcs[-2] == "extend",
         periodic_x=spec.bcs[-1] == "periodic",
-        bih=spec.bih,
+        bih=spec.bih, dtype=dtype,
     )
 
+    def _start(t):
+        # tile, halo, ny and win are all multiples of the (8, 128) sublane
+        # tiling, so every clamped window start is too — Mosaic cannot
+        # prove that through the clip, hence the explicit hint
+        return pl.multiple_of(jnp.clip(t * tile - halo, 0, ny - win), 8)
+
     def wmap(t):
-        return (0, jnp.clip(t * tile - halo, 0, ny - win), 0)
+        return (0, _start(t), 0)
 
     def smap(t):
-        return (jnp.clip(t * tile - halo, 0, ny - win), 0)
+        return (_start(t), 0)
 
     nS = jnp.reshape(jnp.asarray(n, jnp.int32), (1,))
     Element = pallas_core.Element
+    # Mosaic requires all-or-none Element dims within a BlockSpec; the
+    # non-windowed dims are full-size Elements at offset 0
     return pl.pallas_call(
         kern,
         grid=(ny // tile,),
         in_specs=[
             pl.BlockSpec((1,), lambda t: (0,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((K + 3, Element(win), nx), wmap,
+            pl.BlockSpec((Element(K + 3), Element(win), Element(nx)), wmap,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Element(win), nx), smap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Element(win), Element(nx)), smap,
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tile, nx), lambda t: (t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ny, nx), dtype),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(nS, W, S)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def sor_sweeps_window(spec, S, omega, n_sweeps, interpret: bool = False):
-    """Run n_sweeps full red-black iterations on a >VMEM 2-D problem.
-
-    Bit-identical to ``solve_fixed``'s XLA path (validated in
-    tests/test_pallas_window.py).  ``n_sweeps`` may be traced; iterations
-    run in chunks of the planned ``k_sweeps`` per pallas launch, the last
-    chunk clamped inside the kernel via its SMEM sweep count.
-    """
+def _sor_sweeps_window_impl(spec, S, omega, n_sweeps, interpret: bool = False):
     if S.ndim != 2:
         raise ValueError("window kernel supports unbatched 2-D problems")
     plan = window_plan(spec, S.shape)
@@ -290,3 +301,31 @@ def sor_sweeps_window(spec, S, omega, n_sweeps, interpret: bool = False):
                              tile, interpret=interpret)
 
     return jax.lax.fori_loop(0, chunks, body, S)
+
+
+_jit_plain = jax.jit(_sor_sweeps_window_impl, static_argnames=("interpret",))
+_jit_tpu = jax.jit(_sor_sweeps_window_impl, static_argnames=("interpret",),
+                   compiler_options=WINDOW_COMPILER_OPTS)
+
+
+def sor_sweeps_window(spec, S, omega, n_sweeps, interpret: bool = False):
+    """Run n_sweeps full red-black iterations on a >VMEM 2-D problem.
+
+    Bit-identical to ``solve_fixed``'s XLA path (validated in
+    tests/test_pallas_window.py).  ``n_sweeps`` may be traced; iterations
+    run in chunks of the planned ``k_sweeps`` per pallas launch, the last
+    chunk clamped inside the kernel via its SMEM sweep count.
+
+    On TPU the jit carries the raised scoped-VMEM compiler option (see
+    WINDOW_COMPILER_OPTS); elsewhere (CPU tests, interpret mode, or when
+    inlined into an outer jit that sets the option itself) the plain jit
+    is used — TPU-only options would fail the CPU compiler.
+    """
+    # compiler_options are only legal on a top-level jit: inside an outer
+    # trace (e.g. the solve driver, which carries the option itself) use
+    # the plain jit
+    nested = isinstance(S, jax.core.Tracer)
+    use_tpu_opts = (not interpret and not nested
+                    and jax.default_backend() == "tpu")
+    fn = _jit_tpu if use_tpu_opts else _jit_plain
+    return fn(spec, S, omega, n_sweeps, interpret=interpret)

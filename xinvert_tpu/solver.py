@@ -188,9 +188,8 @@ def _use_pallas(spec, S) -> bool:
     return _select_kernel(spec, S) == "vmem"
 
 
-@partial(jax.jit, static_argnames=("check_every", "kernel"))
-def _solve_jit(spec, S0, omega, tol, max_iters, check_every=1,
-               kernel=None):
+def _solve_impl(spec, S0, omega, tol, max_iters, check_every=1,
+                kernel=None):
     dtype = S0.dtype
     rr, rb = _color_relax(spec, jnp.asarray(omega, dtype))
     batch_shape = jnp.shape(S0)[: S0.ndim - spec.ndim]
@@ -270,6 +269,25 @@ def _solve_jit(spec, S0, omega, tol, max_iters, check_every=1,
                        overflow=out["overflow"])
 
 
+_solve_jit = partial(jax.jit, static_argnames=("check_every", "kernel"))(
+    _solve_impl)
+# the windowed >VMEM kernel needs the raised scoped-VMEM budget on the
+# top-level compile (see ops/pallas_sor_window.WINDOW_COMPILER_OPTS)
+_solve_jit_window = None
+
+
+def _solve_jit_for(kernel):
+    global _solve_jit_window
+    if kernel != "window":
+        return _solve_jit
+    if _solve_jit_window is None:
+        from .ops.pallas_sor_window import WINDOW_COMPILER_OPTS
+        _solve_jit_window = partial(
+            jax.jit, static_argnames=("check_every", "kernel"),
+            compiler_options=WINDOW_COMPILER_OPTS)(_solve_impl)
+    return _solve_jit_window
+
+
 def solve(spec: StencilSpec, S0, omega: Optional[float] = None,
           tol: float = 1e-8, max_iters: int = 5000,
           check_every: int = 1,
@@ -298,11 +316,11 @@ def solve(spec: StencilSpec, S0, omega: Optional[float] = None,
         kernel = "vmem"
     else:
         kernel = None
-    return _solve_jit(spec, S0, jnp.asarray(omega, S0.dtype),
-                      jnp.asarray(tol, S0.dtype),
-                      jnp.asarray(max_iters, jnp.int32),
-                      check_every=int(check_every),
-                      kernel=kernel)
+    return _solve_jit_for(kernel)(spec, S0, jnp.asarray(omega, S0.dtype),
+                                  jnp.asarray(tol, S0.dtype),
+                                  jnp.asarray(max_iters, jnp.int32),
+                                  check_every=int(check_every),
+                                  kernel=kernel)
 
 
 @partial(jax.jit, static_argnames=("n_iters",))
