@@ -4,12 +4,24 @@ with ``lax.ppermute`` ring shifts of the block edges.
 
 The GSPMD path (mesh.py) lets the partitioner derive the halo traffic from
 sharding annotations.  This module is the hand-scheduled equivalent — the
-collective pattern the BASELINE targets name explicitly: per sweep, each
-device ppermutes its edge rings to its mesh neighbors, pads its local block,
-and runs the red-black update on the padded block.  Periodic x wraps
-naturally around the ring; non-periodic global edges receive a wrapped ring
-whose values are never used (the global boundary cells there are inactive,
-their relax weight is zero).
+collective pattern the BASELINE targets name explicitly — tuned for
+latency-bound multi-host meshes: ONE exchange per half-sweep, carrying only
+the values the next color's update can read.
+
+- Red-black structure: the black half-sweep reads only values produced by
+  (or unchanged since) the red half, so each half-sweep needs exactly one
+  fresh ring.  The extend-BC pre-pass is applied locally by the edge
+  devices (their own interior rows supply the extended values; no other
+  device reads rows that shallow — guarded by ``by >= ring + radius``).
+- Color packing: for nearest-neighbor stencils (no diagonal couplings) a
+  half-sweep of one color reads ONLY opposite-color halo values, so the
+  exchanged rings are stride-2 packed — half the bytes.  Diagonal/biharmonic
+  stencils exchange full rings (both colors are read).
+
+Net exchanged bytes per iteration drop from 3-4 full rings (pad + extend
+re-pad + per-color re-pads) to 1 full-ring equivalent for the
+nearest-neighbor families (2 half-packed exchanges), verified by the
+trace-time traffic counter ``last_traffic_bytes_per_iter``.
 
 Correctness requires the red/black parity and the extend-BC pre-pass to be
 computed in GLOBAL coordinates; both are derived from the device's block
@@ -30,7 +42,21 @@ except ImportError:                      # pragma: no cover - older jax
 
 from ..stencil import StencilSpec
 
-__all__ = ["solve_fixed_halo"]
+__all__ = ["solve_fixed_halo", "last_traffic_bytes_per_iter"]
+
+# trace-time accounting: bytes moved by ppermute per ITERATION of the last
+# traced solve (the fori_loop body is traced once, so summing payload sizes
+# during tracing yields exactly the per-iteration traffic)
+_traffic = {"bytes": 0}
+
+
+def last_traffic_bytes_per_iter() -> int:
+    return _traffic["bytes"]
+
+
+def _ppermute(data, axis_name, perm):
+    _traffic["bytes"] += int(np.prod(data.shape) * data.dtype.itemsize)
+    return jax.lax.ppermute(data, axis_name, perm)
 
 
 def _ring_halo(local, axis_name, width, axis, n):
@@ -44,7 +70,7 @@ def _ring_halo(local, axis_name, width, axis, n):
         return jax.lax.slice_in_dim(local, *sl, axis=axis)
 
     size = local.shape[axis]
-    hi_edge = (size - width, size)    # my top rows -> neighbor below me
+    hi_edge = (size - width, size)    # my top rows -> neighbor above me
     lo_edge = (0, width)
 
     if n == 1:
@@ -53,18 +79,32 @@ def _ring_halo(local, axis_name, width, axis, n):
 
     fwd = [(i, (i + 1) % n) for i in range(n)]     # send toward +axis
     bwd = [(i, (i - 1) % n) for i in range(n)]
-    lo_halo = jax.lax.ppermute(take(hi_edge), axis_name, fwd)
-    hi_halo = jax.lax.ppermute(take(lo_edge), axis_name, bwd)
+    lo_halo = _ppermute(take(hi_edge), axis_name, fwd)
+    hi_halo = _ppermute(take(lo_edge), axis_name, bwd)
     return lo_halo, hi_halo
 
 
-def _pad_with_halos(local, ring, mesh_yx):
-    """Pad the 2 trailing axes of the local block with exchanged halos."""
-    my_, mx_ = mesh_yx
-    lo_y, hi_y = _ring_halo(local, "y", ring, local.ndim - 2, my_)
-    local = jnp.concatenate([lo_y, local, hi_y], axis=local.ndim - 2)
-    lo_x, hi_x = _ring_halo(local, "x", ring, local.ndim - 1, mx_)
-    return jnp.concatenate([lo_x, local, hi_x], axis=local.ndim - 1)
+def _pack2(a, axis, s0):
+    """Take every other element along `axis` starting at traced offset s0."""
+    n = a.shape[axis]
+    shp = list(a.shape)
+    shp[axis:axis + 1] = [n // 2, 2]
+    pairs = a.reshape(shp)
+    return jax.lax.dynamic_index_in_dim(pairs, s0, axis=axis + 1,
+                                        keepdims=False)
+
+
+def _unpack2(vals, axis, s0, n):
+    """Inverse of _pack2: interleave zeros at the complementary parity."""
+    sel = jax.lax.broadcasted_iota(jnp.int32, (2,), 0)
+    expand = list(vals.shape)
+    expand.insert(axis + 1, 2)
+    pick = (sel == s0).reshape((1,) * (axis + 1) + (2,)
+                               + (1,) * (vals.ndim - axis - 1))
+    out = jnp.where(pick, jnp.expand_dims(vals, axis + 1), 0.0)
+    shp = list(vals.shape)
+    shp[axis] = n
+    return out.reshape(shp)
 
 
 def solve_fixed_halo(spec: StencilSpec, S, omega, n_iters: int,
@@ -87,13 +127,20 @@ def solve_fixed_halo(spec: StencilSpec, S, omega, n_iters: int,
         from .mesh import make_grid_mesh
         mesh = make_grid_mesh()
     ring = 2 if spec.bih else 1
+    radius = max(max(abs(o) for o in off) for off in spec.offsets)
     ny, nx = S.shape[-2:]
     my_, mx_ = mesh.shape["y"], mesh.shape["x"]
     if ny % my_ or nx % mx_:
         raise ValueError(f"grid {ny}x{nx} not divisible by mesh {my_}x{mx_}")
     by, bx = ny // my_, nx // mx_
-    if by < ring or bx < ring:
-        raise ValueError("block smaller than halo ring")
+    if by < ring + radius or bx < ring + radius:
+        raise ValueError("block smaller than halo ring + stencil radius")
+
+    # nearest-neighbor stencils read only the opposite color: pack halos
+    no_cross = (ring == 1 and
+                all(sum(1 for o in off if o != 0) == 1
+                    for off in spec.offsets))
+    pack = no_cross and by % 2 == 0 and bx % 2 == 0
 
     omega = jnp.asarray(omega, S.dtype)
     from ..solver import _color_relax
@@ -109,8 +156,7 @@ def solve_fixed_halo(spec: StencilSpec, S, omega, n_iters: int,
     offsets = spec.offsets
     nd = S.ndim
 
-    def crop(a):
-        return a[..., ring:-ring, ring:-ring]
+    _traffic["bytes"] = 0
 
     def local_step(w, w0, g, rrl, rbl, Sl):
         iy = jax.lax.axis_index("y")
@@ -118,7 +164,7 @@ def solve_fixed_halo(spec: StencilSpec, S, omega, n_iters: int,
         y0 = iy * by
         x0 = ix * bx
 
-        # global red/black parity of the local block origin
+        # global red/black parity of the local block
         row = jax.lax.broadcasted_iota(jnp.int32, (by, bx), 0) + y0
         col = jax.lax.broadcasted_iota(jnp.int32, (by, bx), 1) + x0
         red = ((row + col) % 2 == 0).astype(Sl.dtype)
@@ -128,69 +174,140 @@ def solve_fixed_halo(spec: StencilSpec, S, omega, n_iters: int,
         first_y = iy == 0
         last_y = iy == my_ - 1
 
-        def apply_extend(Sp):
-            """Extend-BC pre-pass on the PADDED block: boundary rows copy the
-            adjacent interior row(s), with corner clamping for non-periodic
-            x.  Shift sources are at most `ring` rows/cols away, so the halo
-            padding guarantees they are present even when the source row
-            lives on a neighboring device.  Mirrors solver._apply_extend."""
-            shp = Sp.shape[-2:]
-            grow = jax.lax.broadcasted_iota(jnp.int32, shp, 0) + y0 - ring
-            gcol = jax.lax.broadcasted_iota(jnp.int32, shp, 1) + x0 - ring
-            up1 = jnp.roll(Sp, -1, nd - 2)
-            dn1 = jnp.roll(Sp, 1, nd - 2)
+        def apply_extend(Sl):
+            """Extend-BC pre-pass, LOCAL to the edge devices: boundary rows
+            copy adjacent interior rows of the same block (``by >= ring +
+            radius`` guarantees no other device reads rows that shallow).
+            Mirrors solver._apply_extend in global coordinates."""
+            grow = jax.lax.broadcasted_iota(jnp.int32, (by, bx), 0) + y0
+            gcol = jax.lax.broadcasted_iota(jnp.int32, (by, bx), 1) + x0
+            up1 = jnp.roll(Sl, -1, nd - 2)
+            dn1 = jnp.roll(Sl, 1, nd - 2)
 
             def colfix(a, width):
                 if periodic_x:
                     return a
-                # clamp the outermost columns to the nearest interior column
                 out = a
-                for w in range(1, width + 1):
-                    out = jnp.where(gcol == w - 1,
-                                    jnp.roll(a, -(width - w + 1), nd - 1), out)
-                    out = jnp.where(gcol == nx - w,
-                                    jnp.roll(a, width - w + 1, nd - 1), out)
+                for w_ in range(1, width + 1):
+                    out = jnp.where(gcol == w_ - 1,
+                                    jnp.roll(a, -(width - w_ + 1), nd - 1),
+                                    out)
+                    out = jnp.where(gcol == nx - w_,
+                                    jnp.roll(a, width - w_ + 1, nd - 1), out)
                 return out
 
+            # x-rolls stay inside the block except at block seams, where
+            # the copied rows' x-neighbors live on another device.  The
+            # corner-clamp columns (gcol < ring or >= nx - ring) are always
+            # inside the first/last x blocks together with their sources
+            # (bx >= ring + radius), so colfix is block-local too.
             if not spec.bih:
                 top = colfix(up1, 1)
                 bot = colfix(dn1, 1)
-                Sp = jnp.where(jnp.logical_and(first_y, grow == 0), top, Sp)
-                Sp = jnp.where(jnp.logical_and(last_y, grow == ny - 1), bot, Sp)
-                return Sp
+                Sl = jnp.where(jnp.logical_and(first_y, grow == 0), top, Sl)
+                Sl = jnp.where(jnp.logical_and(last_y, grow == ny - 1), bot,
+                               Sl)
+                return Sl
 
-            up2 = jnp.roll(Sp, -2, nd - 2)
-            dn2 = jnp.roll(Sp, 2, nd - 2)
+            up2 = jnp.roll(Sl, -2, nd - 2)
+            dn2 = jnp.roll(Sl, 2, nd - 2)
             if periodic_x:
-                top = up1                       # row0<-S[1], row1<-S[2]
+                top = up1
             else:
-                top = jnp.where(grow == 0, up2, up1)   # both rows <- S[2]
+                top = jnp.where(grow == 0, up2, up1)
                 top = colfix(top, 2)
-            bot = jnp.where(grow == ny - 1, dn2, dn1)  # both rows <- S[-3]
+            bot = jnp.where(grow == ny - 1, dn2, dn1)
             if not periodic_x:
                 bot = colfix(bot, 2)
-            Sp = jnp.where(jnp.logical_and(first_y, grow <= 1), top, Sp)
-            Sp = jnp.where(jnp.logical_and(last_y, grow >= ny - 2), bot, Sp)
-            return Sp
+            Sl = jnp.where(jnp.logical_and(first_y, grow <= 1), top, Sl)
+            Sl = jnp.where(jnp.logical_and(last_y, grow >= ny - 2), bot, Sl)
+            return Sl
 
-        def one_iter(_, S):
-            # pad with fresh halos, then (optionally) extend rows; re-pad so
-            # neighbors of the edge devices see the extended values
-            Sp = _pad_with_halos(S, ring, (my_, mx_))
+        def exchange(Sl, parity):
+            """Fresh halos carrying (when packable) only `parity` values.
+
+            Returns the padded block; corners are zero for packed
+            nearest-neighbor exchanges (never read) and filled through the
+            sequential y-then-x padding otherwise."""
+            if not pack:
+                lo_y, hi_y = _ring_halo(Sl, "y", ring, nd - 2, my_)
+                Sp = jnp.concatenate([lo_y, Sl, hi_y], axis=nd - 2)
+                lo_x, hi_x = _ring_halo(Sp, "x", ring, nd - 1, mx_)
+                return jnp.concatenate([lo_x, Sp, hi_x], axis=nd - 1)
+
+            # --- packed path (ring == 1) ---
+            # y-halos: single rows at global rows y0-1 / y0+by; the needed
+            # elements satisfy (grow + gcol) % 2 == parity
+            def pack_row(rowvals, grow_of_row):
+                s0 = (parity - grow_of_row - x0) % 2
+                return _pack2(rowvals, nd - 1, s0), s0
+
+            top_row = jax.lax.slice_in_dim(Sl, by - 1, by, axis=nd - 2)
+            bot_row = jax.lax.slice_in_dim(Sl, 0, 1, axis=nd - 2)
+            # my top row has grow y0+by-1; as the receiver's lo halo it
+            # keeps its global row, so pack by its own parity start
+            top_p, _ = pack_row(top_row, y0 + by - 1)
+            bot_p, _ = pack_row(bot_row, y0)
+            if my_ == 1:
+                lo_p, hi_p = top_p, bot_p
+            else:
+                fwd = [(i, (i + 1) % my_) for i in range(my_)]
+                bwd = [(i, (i - 1) % my_) for i in range(my_)]
+                lo_p = _ppermute(top_p, "y", fwd)
+                hi_p = _ppermute(bot_p, "y", bwd)
+            # unpack with the halo rows' own global parities
+            s0_lo = (parity - (y0 - 1) - x0) % 2
+            s0_hi = (parity - (y0 + by) - x0) % 2
+            lo_y = _unpack2(lo_p, nd - 1, s0_lo, bx)
+            hi_y = _unpack2(hi_p, nd - 1, s0_hi, bx)
+
+            # x-halos: single columns at gcol x0-1 / x0+bx, packed along y
+            def pack_col(colvals, gcol_of_col):
+                s0 = (parity - gcol_of_col - y0) % 2
+                return _pack2(colvals, nd - 2, s0)
+
+            right_col = jax.lax.slice_in_dim(Sl, bx - 1, bx, axis=nd - 1)
+            left_col = jax.lax.slice_in_dim(Sl, 0, 1, axis=nd - 1)
+            right_p = pack_col(right_col, x0 + bx - 1)
+            left_p = pack_col(left_col, x0)
+            if mx_ == 1:
+                lo_xp, hi_xp = right_p, left_p
+            else:
+                fwd = [(i, (i + 1) % mx_) for i in range(mx_)]
+                bwd = [(i, (i - 1) % mx_) for i in range(mx_)]
+                lo_xp = _ppermute(right_p, "x", fwd)
+                hi_xp = _ppermute(left_p, "x", bwd)
+            s0_lo_x = (parity - (x0 - 1) - y0) % 2
+            s0_hi_x = (parity - (x0 + bx) - y0) % 2
+            lo_x = _unpack2(lo_xp, nd - 2, s0_lo_x, by)
+            hi_x = _unpack2(hi_xp, nd - 2, s0_hi_x, by)
+
+            # assemble padded block with zero corners (never read)
+            Sp = jnp.concatenate([lo_y, Sl, hi_y], axis=nd - 2)
+            zc = jnp.zeros(Sp.shape[:nd - 2] + (1, 1), Sp.dtype)
+            lo_x = jnp.concatenate([zc, lo_x, zc], axis=nd - 2)
+            hi_x = jnp.concatenate([zc, hi_x, zc], axis=nd - 2)
+            return jnp.concatenate([lo_x, Sp, hi_x], axis=nd - 1)
+
+        def half_sweep(Sl, rel, parity):
+            """Update `parity` cells: one exchange carrying the values the
+            update reads (the opposite color, when packable)."""
+            Sp = exchange(Sl, 1 - parity if pack else parity)
+            acc = g
+            for k, off in enumerate(offsets):
+                dy, dx = off
+                acc = acc + w[k] * jax.lax.dynamic_slice_in_dim(
+                    jax.lax.dynamic_slice_in_dim(
+                        Sp, ring + dy, by, nd - 2),
+                    ring + dx, bx, nd - 1)
+            return Sl + rel * (acc + w0 * Sl)
+
+        def one_iter(_, Sl):
             if extend_y:
-                Sp = _pad_with_halos(crop(apply_extend(Sp)), ring, (my_, mx_))
-            for rel in (rr_loc, rb_loc):
-                acc = g
-                for k, off in enumerate(offsets):
-                    dy, dx = off
-                    acc = acc + w[k] * jax.lax.dynamic_slice_in_dim(
-                        jax.lax.dynamic_slice_in_dim(
-                            Sp, ring + dy, by, nd - 2),
-                        ring + dx, bx, nd - 1)
-                Sl_c = crop(Sp)
-                Snew = Sl_c + rel * (acc + w0 * Sl_c)
-                Sp = _pad_with_halos(Snew, ring, (my_, mx_))
-            return crop(Sp)
+                Sl = apply_extend(Sl)
+            Sl = half_sweep(Sl, rr_loc, 0)     # red reads black halos
+            Sl = half_sweep(Sl, rb_loc, 1)     # black reads fresh red halos
+            return Sl
 
         return jax.lax.fori_loop(0, n_iters, one_iter, Sl)
 
@@ -200,4 +317,6 @@ def solve_fixed_halo(spec: StencilSpec, S, omega, n_iters: int,
                   plane_spec(rr), plane_spec(rb), grid_spec),
         out_specs=grid_spec,
     )
-    return mapped(spec.w, spec.w0, spec.g, rr, rb, jnp.asarray(S))
+    out = mapped(spec.w, spec.w0, spec.g, rr, rb, jnp.asarray(S))
+    # the fori_loop body traces once: recorded bytes are per iteration
+    return out
