@@ -264,3 +264,31 @@ def test_halo_traffic_cross_stencil_full_rings():
     expected = 2 * (2 * bx + 2 * (by + 2)) * itemsize
     assert last_traffic_bytes_per_iter() == expected, (
         last_traffic_bytes_per_iter(), expected)
+
+
+def test_scaling_bench_schema():
+    """The scaling harness produces the BASELINE efficiency-table schema on
+    whatever mesh exists (virtual CPU here; unchanged on real slices)."""
+    from xinvert_tpu.parallel import scaling_bench, format_scaling_table
+
+    rows = scaling_bench(device_counts=[1, 4], base_ny=64, base_nx=64,
+                         n_iters=10)
+    assert [r["devices"] for r in rows] == [1, 4]
+    for r in rows:
+        assert set(r) == {"devices", "mesh", "grid", "pts_per_s",
+                          "pts_per_s_per_device", "efficiency"}
+        assert r["pts_per_s"] > 0
+    assert rows[0]["efficiency"] == 1.0
+    table = format_scaling_table(rows)
+    assert "devices" in table and "eff" in table
+
+
+def test_initialize_distributed_single_process():
+    from xinvert_tpu.parallel import initialize_distributed
+    assert initialize_distributed() is False      # single-process: no DCN
+
+
+def test_hybrid_mesh_single_host():
+    from xinvert_tpu.parallel import make_hybrid_mesh
+    mesh = make_hybrid_mesh()
+    assert tuple(mesh.axis_names) == ("batch", "y", "x")

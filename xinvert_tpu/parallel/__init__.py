@@ -15,3 +15,8 @@ from .mesh import (                                              # noqa: F401
     make_grid_mesh, shard_problem, solve_sharded, solve_fixed_sharded,
     problem_pspecs,
 )
+from .halo import solve_fixed_halo                               # noqa: F401
+from .scaling import (                                           # noqa: F401
+    initialize_distributed, make_hybrid_mesh, scaling_bench,
+    format_scaling_table,
+)
