@@ -151,6 +151,26 @@ def _init_state(vals, Fdef, icbc, grid, ft, warm=False):
     return np.where(mask, ic, 0.0)
 
 
+def _auto_check_every(user_iParams, iP) -> int:
+    """Amortised convergence checking on TPU (round-1 VERDICT item 5).
+
+    The reference checks convergence after EVERY sweep (numbas.py:401-414);
+    on TPU that costs a norm reduction — and on the Pallas paths a kernel
+    launch — per sweep.  When the user did not ask for a specific cadence,
+    the TPU f32 path checks every min(32, mxLoop/10) sweeps: termination
+    can only land later than the per-sweep rule (never earlier), so the
+    tolerance contract still holds.  CPU/f64 (the parity platform) and any
+    explicit ``checkEvery`` keep the reference cadence.
+    """
+    if user_iParams and "checkEvery" in user_iParams:
+        return int(user_iParams["checkEvery"])
+    ce = int(iP.get("checkEvery", 1))
+    if ce == 1 and jax.default_backend() == "tpu" \
+            and not jax.config.jax_enable_x64:
+        ce = max(1, min(32, int(iP["mxLoop"]) // 10))
+    return ce
+
+
 def _validate_bcs(iParams, ndim):
     bcs = list(iParams["BCs"])
     if ndim == 1:
@@ -204,7 +224,7 @@ def _invert(problem_key, F, dims, coords, icbc, valid_mp, mParams, iParams,
 
     res = solve(spec, jnp.asarray(S0), omega=omega,
                 tol=iP["tolerance"], max_iters=iP["mxLoop"],
-                check_every=int(iP.get("checkEvery", 1)))
+                check_every=_auto_check_every(iParams, iP))
     global LAST_SOLVE
     LAST_SOLVE = res
     S = np.asarray(res.S)

@@ -170,7 +170,7 @@ def window_applicable(spec, S_shape) -> bool:
 
 
 def _kernel(n_ref, W_ref, s_ref, out_ref, *, K, offsets, tile, halo, ny, nx,
-            extend_y, periodic_x, bih, dtype):
+            extend_y, periodic_x, bih, dtype, n_static=None):
     win = tile + 2 * halo
     t = pl.program_id(0)
     n_t = pl.num_programs(0)
@@ -194,7 +194,14 @@ def _kernel(n_ref, W_ref, s_ref, out_ref, *, K, offsets, tile, halo, ny, nx,
             S = S + r * (acc + W_ref[K] * S)
         return S
 
-    S = jax.lax.fori_loop(0, n_ref[0], one_sweep, s_ref[:])
+    if n_static is not None:
+        # fully unrolled sweep loop: a dynamic (SMEM) trip count defeats
+        # Mosaic's scheduling; the fixed-iteration hot path unrolls
+        S = s_ref[:]
+        for i in range(n_static):
+            S = one_sweep(i, S)
+    else:
+        S = jax.lax.fori_loop(0, n_ref[0], one_sweep, s_ref[:])
 
     # write back this tile's rows.  The clamped window start leaves the
     # tile at local offset halo for interior tiles, 0 for the first and
@@ -216,10 +223,14 @@ def _kernel(n_ref, W_ref, s_ref, out_ref, *, K, offsets, tile, halo, ny, nx,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k_sweeps", "tile", "interpret"))
+                   static_argnames=("k_sweeps", "tile", "interpret",
+                                    "n_static"))
 def _window_chunk(spec, S, rel, n, k_sweeps: int, tile: int,
-                  interpret: bool = False):
-    """One pallas launch running ``n`` (<= k_sweeps) full iterations."""
+                  interpret: bool = False, n_static=None):
+    """One pallas launch running ``n`` (<= k_sweeps) full iterations.
+
+    ``n_static`` (<= k_sweeps) unrolls the sweep loop statically — the
+    fixed-iteration hot path; ``n`` is then ignored."""
     ny, nx = S.shape
     dtype = S.dtype
     radius = _radius(spec.offsets)
@@ -245,7 +256,7 @@ def _window_chunk(spec, S, rel, n, k_sweeps: int, tile: int,
         tile=tile, halo=halo, ny=ny, nx=nx,
         extend_y=spec.bcs[-2] == "extend",
         periodic_x=spec.bcs[-1] == "periodic",
-        bih=spec.bih, dtype=dtype,
+        bih=spec.bih, dtype=dtype, n_static=n_static,
     )
 
     def _start(t):
@@ -293,6 +304,19 @@ def _sor_sweeps_window_impl(spec, S, omega, n_sweeps, interpret: bool = False):
     dtype = S.dtype
     rel = (jnp.asarray(omega, dtype) * spec.relax).astype(dtype)
 
+    if isinstance(n_sweeps, (int, np.integer)):
+        # static count: chunks run the fully unrolled kernel
+        full, rem = divmod(int(n_sweeps), k)
+        S = jax.lax.fori_loop(
+            0, full,
+            lambda i, s: _window_chunk(spec, s, rel, k, k, tile,
+                                       interpret=interpret, n_static=k),
+            S)
+        if rem:
+            S = _window_chunk(spec, S, rel, rem, k, tile,
+                              interpret=interpret, n_static=rem)
+        return S
+
     n = jnp.asarray(n_sweeps, jnp.int32)
     chunks = (n + k - 1) // k
 
@@ -306,6 +330,14 @@ def _sor_sweeps_window_impl(spec, S, omega, n_sweeps, interpret: bool = False):
 _jit_plain = jax.jit(_sor_sweeps_window_impl, static_argnames=("interpret",))
 _jit_tpu = jax.jit(_sor_sweeps_window_impl, static_argnames=("interpret",),
                    compiler_options=WINDOW_COMPILER_OPTS)
+# static sweep-count variants: the kernel unrolls its sweep loop (the
+# fixed-iteration hot path; a dynamic SMEM trip count defeats Mosaic's
+# scheduling)
+_jit_plain_n = jax.jit(_sor_sweeps_window_impl,
+                       static_argnames=("n_sweeps", "interpret"))
+_jit_tpu_n = jax.jit(_sor_sweeps_window_impl,
+                     static_argnames=("n_sweeps", "interpret"),
+                     compiler_options=WINDOW_COMPILER_OPTS)
 
 
 def sor_sweeps_window(spec, S, omega, n_sweeps, interpret: bool = False):
@@ -327,5 +359,10 @@ def sor_sweeps_window(spec, S, omega, n_sweeps, interpret: bool = False):
     nested = isinstance(S, jax.core.Tracer)
     use_tpu_opts = (not interpret and not nested
                     and jax.default_backend() == "tpu")
+    static_n = (isinstance(n_sweeps, (int, np.integer))
+                and not isinstance(n_sweeps, jax.core.Tracer))
+    if static_n:
+        fn = _jit_tpu_n if use_tpu_opts else _jit_plain_n
+        return fn(spec, S, omega, int(n_sweeps), interpret=interpret)
     fn = _jit_tpu if use_tpu_opts else _jit_plain
     return fn(spec, S, omega, n_sweeps, interpret=interpret)
