@@ -105,6 +105,14 @@ WINDOW_COMPILER_OPTS = {"xla_tpu_scoped_vmem_limit_kib": str(_SCOPED_VMEM_KIB)}
 _RESULT_CAP = 64 * 1024 * 1024      # result bytes; leaves room for buffers
 
 
+def _no_cross_r1(spec) -> bool:
+    """Nearest-neighbor radius-1 stencil (the standard Poisson family):
+    eligible for the in-place shifted-load kernel."""
+    return (not spec.bih
+            and all(sum(1 for o in off if o != 0) == 1 and
+                    max(abs(o) for o in off) == 1 for off in spec.offsets))
+
+
 def window_plan(spec, S_shape):
     """Pick (tile, k_sweeps, halo) fitting the VMEM budget, or None.
 
@@ -132,37 +140,35 @@ def window_plan(spec, S_shape):
     radius = _radius(spec.offsets)
 
     # candidate tiles: multiples of 8 dividing ny (the 1-D grid covers ny
-    # exactly), largest first
-    tiles = [t for t in range(8, min(ny, 1024) + 1, 8) if ny % t == 0]
+    # exactly).  Measured on the v5e (2048^2 Poisson, statically unrolled):
+    # tile=128/k=4 runs at 5.1e10 pt-sweeps/s, tile=64/k=8 at 3.8e10,
+    # tile>=256 falls off a VMEM-pressure cliff — so prefer the largest
+    # tile <= 128 and k=4, shrinking only when the budget demands it.
+    tiles = [t for t in range(8, min(ny, 192) + 1, 8) if ny % t == 0]
     tiles.sort(reverse=True)
 
-    # cost model per point-sweep: max(VPU compute ~ c0 * win/tile,
-    # HBM traffic ~ c1 * ((P+1)*win + tile) / (k*tile)) with the measured
-    # compute rate of the VMEM-resident kernel (~2.1e10 pt/s) and ~80% of
-    # v5e HBM bandwidth; both only matter as a RATIO (c0/c1 ~ 8 planes)
-    c0_over_c1 = 8.0
-    best = None
-    for k in (8, 6, 4, 3, 2, 1):
+    for k in (4, 2, 1):
         halo = _round8(2 * radius * k)
         for tile in tiles:
             win = tile + 2 * halo
-            rows = 2 * (P + 1) * win + 2 * tile
-            if win > ny or rows > budget_rows:
-                continue
-            cost = max(c0_over_c1 * win / tile,
-                       ((P + 1) * win + tile) / (k * tile))
-            if best is None or cost < best[0]:
-                best = (cost, k, tile, halo)
-            break   # smaller tiles only cost more at this k
-    if best is None:
-        return None
-    _, k, tile, halo = best
-    return tile, k, halo
+            # pipeline buffers + output + the in-place kernel's scratch
+            rows = 2 * (P + 1) * win + 2 * tile + (win + 16) * 2
+            if win <= ny and rows <= budget_rows:
+                return tile, k, halo
+    return None
 
 
-def window_applicable(spec, S_shape) -> bool:
+# auto-dispatch gate (measured on the v5e, 2048^2 masked Poisson): the
+# statically-unrolled windowed kernel runs ~5e10 pt-sweeps/s vs ~9e9 for
+# the XLA roll path, so the solver auto-selects it for eligible problems.
+WINDOW_AUTODISPATCH = True
+
+
+def window_applicable(spec, S_shape, for_dispatch: bool = False) -> bool:
     """True when the windowed >VMEM path applies: 2-D unbatched spec too
     large for the VMEM-resident kernel but with a feasible window plan."""
+    if for_dispatch and not WINDOW_AUTODISPATCH:
+        return False
     from .pallas_sor import pallas_applicable
     if pallas_applicable(spec, S_shape):
         return False
@@ -222,6 +228,102 @@ def _kernel(n_ref, W_ref, s_ref, out_ref, *, K, offsets, tile, halo, ny, nx,
         out_ref[:] = S[2 * halo:2 * halo + tile, :]
 
 
+def _kernel_inplace(n_ref, W_ref, s_ref, out_ref, sc, *, K, offsets, tile,
+                    halo, ny, nx, extend_y, periodic_x, dtype, n_static):
+    """Shifted-load in-place variant for nearest-neighbor radius-1 stencils.
+
+    ``pltpu.roll`` materializes a rotated copy per neighbor (8 full-array
+    writes per sweep); here the window lives in a VMEM scratch with one
+    ring of border cells, neighbors are read as direct shifted slices, and
+    each color updates the scratch IN PLACE — safe because a color's
+    neighbors are all the opposite color, whose stored values are bitwise
+    unchanged by the color's own write.  The interior sits at an aligned
+    (8, 128) offset so only the +-1 neighbor reads are unaligned.
+    """
+    win = tile + 2 * halo
+    OY, OX = 8, 128                   # aligned interior origin
+    t = pl.program_id(0)
+    n_t = pl.num_programs(0)
+    start = jnp.clip(t * tile - halo, 0, ny - win)
+    first = t == 0
+    last = t == n_t - 1
+
+    # stage the window; border ring zeroed (read by discard-tolerated
+    # window-edge updates only — must be finite, never correct)
+    sc[:, :] = jnp.zeros_like(sc)
+    sc[OY:OY + win, OX:OX + nx] = s_ref[:]
+
+    def refresh_wrap():
+        if periodic_x:
+            sc[OY:OY + win, OX - 1:OX] = sc[OY:OY + win, OX + nx - 1:OX + nx]
+            sc[OY:OY + win, OX + nx:OX + nx + 1] = sc[OY:OY + win, OX:OX + 1]
+
+    refresh_wrap()
+
+    row_g = jax.lax.broadcasted_iota(jnp.int32, (win, nx), 0) + start
+    parity = row_g + jax.lax.broadcasted_iota(jnp.int32, (win, nx), 1)
+
+    col1 = jax.lax.broadcasted_iota(jnp.int32, (1, nx), 1)
+
+    def extend_rows():
+        # the extend pre-pass touches only global rows 0 / ny-1, which sit
+        # at STATIC scratch rows of the first/last windows
+        if not extend_y:
+            return
+
+        def fix(row):                  # corner clamp for non-periodic x
+            if periodic_x:
+                return row
+            row = jnp.where(col1 == 0, pltpu.roll(row, -1, 1), row)
+            return jnp.where(col1 == nx - 1, pltpu.roll(row, 1, 1), row)
+
+        @pl.when(first)
+        def _():
+            sc[OY:OY + 1, OX:OX + nx] = fix(sc[OY + 1:OY + 2, OX:OX + nx])
+
+        @pl.when(last)
+        def _():
+            sc[OY + win - 1:OY + win, OX:OX + nx] = fix(
+                sc[OY + win - 2:OY + win - 1, OX:OX + nx])
+
+        @pl.when(first | last)
+        def _():
+            refresh_wrap()
+
+    def one_sweep(_, carry):
+        extend_rows()
+        for color in (0, 1):
+            acc = W_ref[K + 1]
+            for k in range(K):
+                dy, dx = offsets[k]
+                acc = acc + W_ref[k] * sc[OY + dy:OY + dy + win,
+                                          OX + dx:OX + dx + nx]
+            sel = ((parity % 2) == color).astype(dtype)
+            r = W_ref[K + 2] * sel
+            Sv = sc[OY:OY + win, OX:OX + nx]
+            sc[OY:OY + win, OX:OX + nx] = Sv + r * (acc + W_ref[K] * Sv)
+            refresh_wrap()
+        return carry
+
+    if n_static is not None:
+        for i in range(n_static):
+            one_sweep(i, 0)
+    else:
+        jax.lax.fori_loop(0, n_ref[0], one_sweep, 0)
+
+    @pl.when(jnp.logical_and(~first, ~last))
+    def _():
+        out_ref[:] = sc[OY + halo:OY + halo + tile, OX:OX + nx]
+
+    @pl.when(first)
+    def _():
+        out_ref[:] = sc[OY:OY + tile, OX:OX + nx]
+
+    @pl.when(jnp.logical_and(last, ~first))
+    def _():
+        out_ref[:] = sc[OY + 2 * halo:OY + 2 * halo + tile, OX:OX + nx]
+
+
 @functools.partial(jax.jit,
                    static_argnames=("k_sweeps", "tile", "interpret",
                                     "n_static"))
@@ -249,15 +351,30 @@ def _window_chunk(spec, S, rel, n, k_sweeps: int, tile: int,
     W = jnp.concatenate([w, plane(spec.w0)[None], plane(spec.g)[None],
                          plane(rel)[None]], axis=0)
 
-    kern = functools.partial(
-        _kernel,
-        K=K,
-        offsets=tuple(tuple(int(x) for x in o) for o in spec.offsets),
-        tile=tile, halo=halo, ny=ny, nx=nx,
-        extend_y=spec.bcs[-2] == "extend",
-        periodic_x=spec.bcs[-1] == "periodic",
-        bih=spec.bih, dtype=dtype, n_static=n_static,
-    )
+    win = tile + 2 * halo
+    inplace = _no_cross_r1(spec)
+    if inplace:
+        kern = functools.partial(
+            _kernel_inplace,
+            K=K,
+            offsets=tuple(tuple(int(x) for x in o) for o in spec.offsets),
+            tile=tile, halo=halo, ny=ny, nx=nx,
+            extend_y=spec.bcs[-2] == "extend",
+            periodic_x=spec.bcs[-1] == "periodic",
+            dtype=dtype, n_static=n_static,
+        )
+        scratch = [pltpu.VMEM((win + 16, nx + 256), dtype)]
+    else:
+        kern = functools.partial(
+            _kernel,
+            K=K,
+            offsets=tuple(tuple(int(x) for x in o) for o in spec.offsets),
+            tile=tile, halo=halo, ny=ny, nx=nx,
+            extend_y=spec.bcs[-2] == "extend",
+            periodic_x=spec.bcs[-1] == "periodic",
+            bih=spec.bih, dtype=dtype, n_static=n_static,
+        )
+        scratch = []
 
     def _start(t):
         # tile, halo, ny and win are all multiples of the (8, 128) sublane
@@ -288,6 +405,7 @@ def _window_chunk(spec, S, rel, n, k_sweeps: int, tile: int,
         out_specs=pl.BlockSpec((tile, nx), lambda t: (t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ny, nx), dtype),
+        scratch_shapes=scratch,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,

@@ -178,7 +178,7 @@ def _select_kernel(spec, S):
     if pallas_applicable(spec, jnp.shape(S)):
         return "vmem"
     from .ops.pallas_sor_window import window_applicable
-    if window_applicable(spec, jnp.shape(S)):
+    if window_applicable(spec, jnp.shape(S), for_dispatch=True):
         return "window"
     return None
 
@@ -203,7 +203,13 @@ def _solve_impl(spec, S0, omega, tol, max_iters, check_every=1,
         from .ops.pallas_sor_window import sor_sweeps_window
 
         def sweeps(S, k):
-            return sor_sweeps_window(spec, S, omega, k)
+            # full chunks take the statically-unrolled fast kernel; only
+            # the clamped final chunk pays the dynamic-count variant
+            return jax.lax.cond(
+                k == check_every,
+                lambda s: sor_sweeps_window(spec, s, omega, check_every),
+                lambda s: sor_sweeps_window(spec, s, omega, k),
+                S)
     elif check_every == 1:
         def sweeps(S, k):
             return _sweep_with(spec, S, rr, rb)
