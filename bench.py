@@ -50,11 +50,15 @@ def main():
         return dt
 
     run(1)            # warmup / compile
-    t_long = run(chain)
-    t_short = run(1)
-    # subtract fixed dispatch/fetch overhead using the two chain lengths
-    per_call = max((t_long - t_short) / (chain - 1), 1e-9)
-    pts_per_s = batch * ny * nx * iters / per_call
+    # the remote-compile relay's host timing jitters by up to ~3x between
+    # trials: repeat the chained measurement and take the median rate
+    rates = []
+    for _ in range(3):
+        t_long = run(chain)
+        t_short = run(1)
+        per_call = max((t_long - t_short) / (chain - 1), 1e-9)
+        rates.append(batch * ny * nx * iters / per_call)
+    pts_per_s = float(np.median(rates))
     print(json.dumps({
         "metric": "masked_poisson_sor_point_sweeps_per_s",
         "value": pts_per_s,

@@ -84,3 +84,20 @@ def test_window_applicability_vs_vmem():
         bih=small.bih, stop_on_zero_norm=small.stop_on_zero_norm)
     assert pallas_applicable(small32, (96, 128))
     assert not window_applicable(small32, (96, 128))
+
+
+def test_window_squeezes_unit_batch():
+    """A leading size-1 batch dim (the bench harness shape) squeezes away."""
+    ny, nx = 96, 128
+    spec = _spec(ny, nx, ("extend", "periodic"), mask=True)
+    import dataclasses
+    import jax.numpy as jnp
+    specB = dataclasses.replace(
+        spec, w0=spec.w0[None], g=spec.g[None], relax=spec.relax[None],
+        active=spec.active[None])
+    S0 = jnp.zeros((1, ny, nx))
+    assert window_plan(specB, (1, ny, nx)) is not None
+    out = sor_sweeps_window(spec, S0, 1.4, 6, interpret=True)
+    ref = solver.solve_fixed(spec, jnp.zeros((ny, nx)), 1.4, 6,
+                             use_pallas=False)
+    assert np.array_equal(np.asarray(out)[0], np.asarray(ref))
