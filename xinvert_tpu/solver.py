@@ -180,6 +180,9 @@ def _select_kernel(spec, S):
     from .ops.pallas_sor_window import window_applicable
     if window_applicable(spec, jnp.shape(S), for_dispatch=True):
         return "window"
+    from .ops.pallas_sor3d import pallas3d_applicable
+    if pallas3d_applicable(spec, jnp.shape(S)):
+        return "vmem3d"
     return None
 
 
@@ -199,6 +202,11 @@ def _solve_impl(spec, S0, omega, tol, max_iters, check_every=1,
 
         def sweeps(S, k):
             return sor_sweeps_pallas(spec, S, omega, k)
+    elif kernel == "vmem3d":
+        from .ops.pallas_sor3d import sor_sweeps_pallas3d
+
+        def sweeps(S, k):
+            return sor_sweeps_pallas3d(spec, S, omega, k)
     elif kernel == "window":
         from .ops.pallas_sor_window import sor_sweeps_window
 
@@ -277,14 +285,15 @@ def _solve_impl(spec, S0, omega, tol, max_iters, check_every=1,
 
 _solve_jit = partial(jax.jit, static_argnames=("check_every", "kernel"))(
     _solve_impl)
-# the windowed >VMEM kernel needs the raised scoped-VMEM budget on the
-# top-level compile (see ops/pallas_sor_window.WINDOW_COMPILER_OPTS)
+# the windowed >VMEM and VMEM-resident 3-D kernels need the raised
+# scoped-VMEM budget on the top-level compile
+# (see ops/pallas_sor_window.WINDOW_COMPILER_OPTS)
 _solve_jit_window = None
 
 
 def _solve_jit_for(kernel):
     global _solve_jit_window
-    if kernel != "window":
+    if kernel not in ("window", "vmem3d"):
         return _solve_jit
     if _solve_jit_window is None:
         from .ops.pallas_sor_window import WINDOW_COMPILER_OPTS
@@ -359,6 +368,10 @@ def solve_fixed(spec: StencilSpec, S0, omega, n_iters: int,
         from .ops.pallas_sor_window import sor_sweeps_window
         return sor_sweeps_window(spec, S0, jnp.asarray(omega, S0.dtype),
                                  n_iters)
+    if kernel == "vmem3d":
+        from .ops.pallas_sor3d import sor_sweeps_pallas3d
+        return sor_sweeps_pallas3d(spec, S0, jnp.asarray(omega, S0.dtype),
+                                   n_iters)
     return _solve_fixed_xla(spec, S0, omega, n_iters)
 
 
