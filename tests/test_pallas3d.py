@@ -65,6 +65,20 @@ def test_pallas3d_general():
                                rtol=1e-11, atol=1e-11)
 
 
+def test_dispatch_selects_vmem3d(monkeypatch):
+    """On a TPU backend, an f32 3-D problem that fits the raised budget
+    dispatches to the VMEM-resident 3-D kernel; f64 stays on XLA."""
+    import jax
+    from xinvert_tpu import solver
+
+    spec, S0 = _standard3d(("fixed", "extend", "periodic"))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    spec32 = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.float32) if hasattr(a, "astype") else a, spec)
+    assert solver._select_kernel(spec32, S0.astype(jnp.float32)) == "vmem3d"
+    assert solver._select_kernel(spec, S0.astype(jnp.float64)) is None
+
+
 def test_pallas3d_not_applicable_2d():
     rng = np.random.default_rng(1)
     shape = (10, 14)
