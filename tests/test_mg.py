@@ -280,3 +280,41 @@ def test_invert_omega_mg_icbc(data_dir):
                          mParams={"N2": a3.N2prof})
     scale = np.abs(w_sor.values).max()
     assert np.abs(w_mg.values - w_sor.values).max() < 1e-4 * scale
+
+
+def test_smoother_stamped_and_jit_composable():
+    """The smoother choice is made at pyramid-build time (stamped on the
+    finest level), so the V-cycle core composes under an outer jit with a
+    traced state/forcing — no concrete pulls at trace time."""
+    import jax
+    from xinvert_tpu.mg import _solve_mg_jit
+
+    ny, nx = 33, 32
+    bcs = ("fixed", "fixed")
+    A, C, F, Fdef = _problem(ny, nx, bcs)
+    pyr = build_pyramid_standard2d(A, 0.0, C, F, Fdef, (1.2e5, 1.0e5), bcs)
+    assert pyr[0].smoother == "point"
+
+    # anisotropic x-coupling (the polar-metric analog) -> xline
+    pyr_aniso = build_pyramid_standard2d(A, 0.0, C * 1e3, F, Fdef,
+                                         (1.2e5, 1.0e5), bcs)
+    assert pyr_aniso[0].smoother == "xline"
+
+    levels = tuple(pyr)
+
+    @jax.jit
+    def embedded(S0, g0):
+        S, k, res = _solve_mg_jit(levels, S0, g0,
+                                  jnp.asarray(1e-8, S0.dtype), 30, 2, 2, 60,
+                                  1.0, levels[0].smoother)
+        return S, res
+
+    g0 = jnp.asarray(-F * 1.0e5 ** 2)
+    S, res = embedded(jnp.zeros((ny, nx), g0.dtype), g0)
+    assert float(res) < 1e-8
+
+    # matches the public driver
+    S_ref, _, res_ref, conv = solve_mg(pyr, tol=1e-8, max_cycles=30)
+    assert conv
+    np.testing.assert_allclose(np.asarray(S), np.asarray(S_ref),
+                               rtol=1e-10, atol=1e-12)

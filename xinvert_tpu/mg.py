@@ -51,7 +51,8 @@ __all__ = ["build_pyramid_standard2d", "build_pyramid_standard3d",
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["spec", "omega"], meta_fields=["odd", "masked"])
+         data_fields=["spec", "omega"],
+         meta_fields=["odd", "masked", "smoother"])
 @dataclasses.dataclass(frozen=True)
 class MGLevel:
     spec: object                 # StencilSpec
@@ -59,6 +60,45 @@ class MGLevel:
     odd: Tuple[bool, bool]       # per coarsened dim (the trailing y, x):
     #                              vertex (odd) vs cell coarsening
     masked: bool = False         # fine problem has interior inactive cells
+    smoother: Optional[str] = None   # auto-selected at BUILD time (where the
+    #                              coefficient planes are concrete) so that
+    #                              solve_mg stays jit/shard-composable
+
+
+def _auto_smoother(spec) -> str:
+    """Coupling-anisotropy smoother selection (host-side; needs concrete
+    coefficient planes — call at pyramid build time, not under a trace).
+
+    Line relaxation along any axis whose coupling dominates the others by
+    >10x anywhere (the 1/cos^2 polar metric in x; f^2 (delx/delz)^2
+    stiffness in z, amplified by semicoarsening)."""
+    nd = spec.ndim
+    offs = {tuple(o): k for k, o in enumerate(spec.offsets)}
+    w = spec.w
+    act = np.asarray(spec.active)
+    floor = np.finfo(np.asarray(spec.w0).dtype).tiny
+
+    def coupling(axis):
+        unit = tuple(1 if i == axis else 0 for i in range(nd))
+        nunit = tuple(-u for u in unit)
+        if unit not in offs or nunit not in offs:
+            return None
+        return np.abs(np.asarray(w[offs[unit]] + w[offs[nunit]]))
+
+    if act.any() and nd == 2:
+        cx, cy = coupling(1), coupling(0)
+        ratio = (np.max(np.where(act, cx / np.maximum(cy, floor), 0.0))
+                 if cx is not None and cy is not None else 0.0)
+        return "xline" if ratio > 10.0 else "point"
+    if act.any() and nd == 3:
+        # semicoarsening quadruples the relative z coupling per level, so
+        # z-lines are ALWAYS needed once the hierarchy has depth; add
+        # x-lines for the polar 1/cos^2 metric
+        cy, cx = coupling(1), coupling(2)
+        rx = (np.max(np.where(act, cx / np.maximum(cy, floor), 0.0))
+              if cx is not None and cy is not None else 0.0)
+        return "zxline" if rx > 10.0 else "zline"
+    return "point"
 
 
 # ---------------------------------------------------------------- transfer
@@ -231,6 +271,14 @@ def build_pyramid_standard2d(A, B, C, F, Fdef, deltas, bcs,
         # else the boundary component of the error is uncorrectable
         lvl_shape = nxt
 
+    return _stamp_smoother(levels)
+
+
+def _stamp_smoother(levels):
+    """Record the auto-selected smoother on the finest level (build time is
+    the one place the coefficient planes are guaranteed concrete)."""
+    levels[0] = dataclasses.replace(levels[0],
+                                    smoother=_auto_smoother(levels[0].spec))
     return levels
 
 
@@ -283,7 +331,7 @@ def build_pyramid_standard3d(A, B, C, F, Fdef, deltas, bcs,
         dely, delx = dely * 2, delx * 2
         lvl_shape = nxt
 
-    return levels
+    return _stamp_smoother(levels)
 
 
 def build_pyramid_bih2d(coeffs, J, Fdef, deltas, bcs,
@@ -331,7 +379,7 @@ def build_pyramid_bih2d(coeffs, J, Fdef, deltas, bcs,
         dy, dx = dy * 2, dx * 2
         lvl_shape = nxt
 
-    return levels
+    return _stamp_smoother(levels)
 
 
 # ---------------------------------------------------------------- smoothers
@@ -533,36 +581,11 @@ def solve_mg(levels: List[MGLevel], S0=None, tol: float = 1e-6,
     spec = levels[0].spec
     nd = spec.ndim
     if smoother is None:
-        # coupling anisotropy of the fine operator selects line relaxation
-        # along any axis that dominates the others by >10x anywhere (the
-        # 1/cos^2 polar metric in x; f^2 (delx/delz)^2 stiffness in z)
-        offs = {tuple(o): k for k, o in enumerate(spec.offsets)}
-        w = spec.w
-        act = np.asarray(spec.active)
-        floor = np.finfo(np.asarray(spec.w0).dtype).tiny
-
-        def coupling(axis):
-            unit = tuple(1 if i == axis else 0 for i in range(nd))
-            nunit = tuple(-u for u in unit)
-            if unit not in offs or nunit not in offs:
-                return None
-            return np.abs(np.asarray(w[offs[unit]] + w[offs[nunit]]))
-
-        if act.any() and nd == 2:
-            cx, cy = coupling(1), coupling(0)
-            ratio = (np.max(np.where(act, cx / np.maximum(cy, floor), 0.0))
-                     if cx is not None and cy is not None else 0.0)
-            smoother = "xline" if ratio > 10.0 else "point"
-        elif act.any() and nd == 3:
-            # semicoarsening quadruples the relative z coupling per level,
-            # so z-lines are ALWAYS needed once the hierarchy has depth;
-            # add x-lines for the polar 1/cos^2 metric
-            cy, cx = coupling(1), coupling(2)
-            rx = (np.max(np.where(act, cx / np.maximum(cy, floor), 0.0))
-                  if cx is not None and cy is not None else 0.0)
-            smoother = "zxline" if rx > 10.0 else "zline"
-        else:
-            smoother = "point"
+        # prefer the choice stamped at build time (keeps this function
+        # trace-composable: no concrete pulls of traced planes); pyramids
+        # assembled by hand fall back to selecting here, host-side
+        smoother = getattr(levels[0], "smoother", None) or \
+            _auto_smoother(spec)
     if alpha is None:
         # undamped correction gives the textbook ~6-cycle rate on fully
         # active domains; irregular masks need damping for stability
