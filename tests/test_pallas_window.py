@@ -68,8 +68,10 @@ def test_window_plan_properties():
     assert halo >= 2 * k                      # covers the k-sweep cone
     assert halo % 8 == 0
 
-    # batched or 1-D/3-D shapes are not applicable
-    assert not window_applicable(spec, (4, 2048, 128))
+    # batched shapes ride the leading grid dim (round 2); the whole
+    # stacked result must still fit the raised scoped-VMEM budget
+    assert window_applicable(spec, (4, 2048, 128))
+    assert not window_applicable(spec, (4096, 2048, 128))
 
 
 def test_window_applicability_vs_vmem():
@@ -101,3 +103,35 @@ def test_window_squeezes_unit_batch():
     ref = solver.solve_fixed(spec, jnp.zeros((ny, nx)), 1.4, 6,
                              use_pallas=False)
     assert np.array_equal(np.asarray(out)[0], np.asarray(ref))
+
+
+@pytest.mark.parametrize("shared_weights", [True, False])
+def test_window_batched_matches_xla(shared_weights):
+    """Batch slices ride the leading grid dim — bit-exact vs XLA for both
+    shared (broadcast) and per-slice coefficient planes."""
+    ny, nx, B = 96, 128, 3
+    rng = np.random.default_rng(3)
+    A = np.abs(rng.normal(1, 0.1, (ny, nx))) + 0.5
+    C = np.abs(rng.normal(1, 0.1, (ny, nx))) + 0.5
+    F = rng.normal(0, 1, (ny, nx) if shared_weights else (B, ny, nx))
+    Fdef = np.ones((ny, nx), bool)
+    Fdef[10:20, 30:60] = False
+    spec = stencil.standard_2d(jnp.asarray(A), 0.0, jnp.asarray(C),
+                               jnp.asarray(F), jnp.asarray(Fdef),
+                               (1.3, 1.0), ("extend", "periodic"))
+    S0 = jnp.zeros((B, ny, nx))
+    ref = solver.solve_fixed(spec, S0, 1.5, 9, use_pallas=False)
+    out = sor_sweeps_window(spec, S0, 1.5, 9, interpret=True)
+    assert np.array_equal(np.asarray(out), np.asarray(ref)), (
+        np.abs(np.asarray(out) - np.asarray(ref)).max())
+
+
+def test_window_batched_extra_leading_dims():
+    """Two non-core dims flatten onto the grid and reshape back."""
+    ny, nx = 96, 128
+    spec = _spec(ny, nx, ("fixed", "periodic"), mask=True)
+    S0 = jnp.zeros((2, 2, ny, nx))
+    ref = solver.solve_fixed(spec, S0, 1.5, 7, use_pallas=False)
+    out = sor_sweeps_window(spec, S0, 1.5, 7, interpret=True)
+    assert out.shape == (2, 2, ny, nx)
+    assert np.array_equal(np.asarray(out), np.asarray(ref))

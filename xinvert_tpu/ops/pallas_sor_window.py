@@ -26,8 +26,10 @@ HBM traffic per sweep drops from ~2x(K+5) plane reads (the XLA roll path,
 once per color) to ~(K+4) * win / (tile * k_sweeps) plane-equivalents —
 about an order of magnitude for the flagship 2048^2 masked Poisson.
 
-x stays unsplit (wrap-around periodic via pltpu.roll); 2-D specs only,
-single slice (batched large grids fall back to the XLA path).
+x stays unsplit (wrap-around periodic via pltpu.roll); 2-D specs only.
+Batch slices (the reference's `loop_noncore` loop) map onto a leading grid
+dim — the whole (B, ny, nx) result must still fit the raised scoped-VMEM
+budget, which bounds B at ~64 MiB / plane-size.
 """
 from __future__ import annotations
 
@@ -131,13 +133,13 @@ def window_plan(spec, S_shape):
     if spec.ndim != 2:
         return None
     ny, nx = S_shape[-2:]
-    # leading size-1 batch dims squeeze away; real batches fall back
-    if int(np.prod(S_shape[:-2], dtype=np.int64)) != 1:
-        return None
+    B = int(np.prod(S_shape[:-2], dtype=np.int64))
     if ny % 8 or ny < 64:
         return None
-    if ny * nx * np.dtype(spec.w0.dtype).itemsize > _RESULT_CAP:
-        return None       # result would overflow the raised scoped budget
+    # the whole (B, ny, nx) result is stack-allocated in scoped VMEM by the
+    # AOT stack (the round-1 blocker) — it must fit the raised budget
+    if B * ny * nx * np.dtype(spec.w0.dtype).itemsize > _RESULT_CAP:
+        return None
     K = len(spec.offsets)
     P = K + 3
     itemsize = np.dtype(spec.w0.dtype).itemsize
@@ -145,7 +147,7 @@ def window_plan(spec, S_shape):
     # the raised scoped-VMEM budget (WINDOW_COMPILER_OPTS) holds the
     # stack-allocated result plus the pipeline buffers; keep 15% headroom
     budget_rows = (int(_SCOPED_VMEM_KIB * 1024 * 0.85)
-                   - ny * nx * itemsize) // row_bytes
+                   - B * ny * nx * itemsize) // row_bytes
     radius = _radius(spec.offsets)
 
     # candidate tiles: multiples of 8 dividing ny (the 1-D grid covers ny
@@ -187,8 +189,8 @@ def window_applicable(spec, S_shape, for_dispatch: bool = False) -> bool:
 def _kernel(n_ref, W_ref, s_ref, out_ref, *, K, offsets, tile, halo, ny, nx,
             extend_y, periodic_x, bih, dtype, n_static=None):
     win = tile + 2 * halo
-    t = pl.program_id(0)
-    n_t = pl.num_programs(0)
+    t = pl.program_id(1)          # grid = (batch, tiles)
+    n_t = pl.num_programs(1)
     start = jnp.clip(t * tile - halo, 0, ny - win)
 
     # extend rows (global 0 / ny-1) exist only in the first and last
@@ -209,23 +211,23 @@ def _kernel(n_ref, W_ref, s_ref, out_ref, *, K, offsets, tile, halo, ny, nx,
                 lambda s: s, S)
         parity = row_g + jax.lax.broadcasted_iota(jnp.int32, (win, nx), 1)
         for color in (0, 1):
-            acc = W_ref[K + 1]                     # g
+            acc = W_ref[0, K + 1]                  # g
             for k in range(K):
-                acc = acc + W_ref[k] * _roll2(S, offsets[k])
+                acc = acc + W_ref[0, k] * _roll2(S, offsets[k])
             # red/black parity in GLOBAL coordinates
             sel = ((parity % 2) == color).astype(dtype)
-            r = W_ref[K + 2] * sel                 # omega * relax * color
-            S = S + r * (acc + W_ref[K] * S)
+            r = W_ref[0, K + 2] * sel              # omega * relax * color
+            S = S + r * (acc + W_ref[0, K] * S)
         return S
 
     if n_static is not None:
         # fully unrolled sweep loop: a dynamic (SMEM) trip count defeats
         # Mosaic's scheduling; the fixed-iteration hot path unrolls
-        S = s_ref[:]
+        S = s_ref[0]
         for i in range(n_static):
             S = one_sweep(i, S)
     else:
-        S = jax.lax.fori_loop(0, n_ref[0], one_sweep, s_ref[:])
+        S = jax.lax.fori_loop(0, n_ref[0], one_sweep, s_ref[0])
 
     # write back this tile's rows.  The clamped window start leaves the
     # tile at local offset halo for interior tiles, 0 for the first and
@@ -235,15 +237,15 @@ def _kernel(n_ref, W_ref, s_ref, out_ref, *, K, offsets, tile, halo, ny, nx,
 
     @pl.when(jnp.logical_and(~first, ~last))
     def _():
-        out_ref[:] = S[halo:halo + tile, :]
+        out_ref[0] = S[halo:halo + tile, :]
 
     @pl.when(first)
     def _():
-        out_ref[:] = S[0:tile, :]
+        out_ref[0] = S[0:tile, :]
 
     @pl.when(jnp.logical_and(last, ~first))
     def _():
-        out_ref[:] = S[2 * halo:2 * halo + tile, :]
+        out_ref[0] = S[2 * halo:2 * halo + tile, :]
 
 
 def _kernel_inplace(n_ref, W_ref, s_ref, out_ref, sc, *, K, offsets, tile,
@@ -260,8 +262,8 @@ def _kernel_inplace(n_ref, W_ref, s_ref, out_ref, sc, *, K, offsets, tile,
     """
     win = tile + 2 * halo
     OY, OX = 8, 128                   # aligned interior origin
-    t = pl.program_id(0)
-    n_t = pl.num_programs(0)
+    t = pl.program_id(1)              # grid = (batch, tiles)
+    n_t = pl.num_programs(1)
     start = jnp.clip(t * tile - halo, 0, ny - win)
     first = t == 0
     last = t == n_t - 1
@@ -269,7 +271,7 @@ def _kernel_inplace(n_ref, W_ref, s_ref, out_ref, sc, *, K, offsets, tile,
     # stage the window; border ring zeroed (read by discard-tolerated
     # window-edge updates only — must be finite, never correct)
     sc[:, :] = jnp.zeros_like(sc)
-    sc[OY:OY + win, OX:OX + nx] = s_ref[:]
+    sc[OY:OY + win, OX:OX + nx] = s_ref[0]
 
     def refresh_wrap():
         if periodic_x:
@@ -311,13 +313,13 @@ def _kernel_inplace(n_ref, W_ref, s_ref, out_ref, sc, *, K, offsets, tile,
     def one_sweep(_, carry):
         extend_rows()
         for color in (0, 1):
-            acc = W_ref[K + 1]
+            acc = W_ref[0, K + 1]
             for k in range(K):
                 dy, dx = offsets[k]
-                acc = acc + W_ref[k] * sc[OY + dy:OY + dy + win,
-                                          OX + dx:OX + dx + nx]
+                acc = acc + W_ref[0, k] * sc[OY + dy:OY + dy + win,
+                                             OX + dx:OX + dx + nx]
             sel = ((parity % 2) == color).astype(dtype)
-            r = W_ref[K + 2] * sel
+            r = W_ref[0, K + 2] * sel
             Sv = sc[OY:OY + win, OX:OX + nx]
             sc[OY:OY + win, OX:OX + nx] = Sv + r * (acc + W_ref[K] * Sv)
             refresh_wrap()
@@ -331,15 +333,15 @@ def _kernel_inplace(n_ref, W_ref, s_ref, out_ref, sc, *, K, offsets, tile,
 
     @pl.when(jnp.logical_and(~first, ~last))
     def _():
-        out_ref[:] = sc[OY + halo:OY + halo + tile, OX:OX + nx]
+        out_ref[0] = sc[OY + halo:OY + halo + tile, OX:OX + nx]
 
     @pl.when(first)
     def _():
-        out_ref[:] = sc[OY:OY + tile, OX:OX + nx]
+        out_ref[0] = sc[OY:OY + tile, OX:OX + nx]
 
     @pl.when(jnp.logical_and(last, ~first))
     def _():
-        out_ref[:] = sc[OY + 2 * halo:OY + 2 * halo + tile, OX:OX + nx]
+        out_ref[0] = sc[OY + 2 * halo:OY + 2 * halo + tile, OX:OX + nx]
 
 
 @functools.partial(jax.jit,
@@ -350,8 +352,10 @@ def _window_chunk(spec, S, rel, n, k_sweeps: int, tile: int,
     """One pallas launch running ``n`` (<= k_sweeps) full iterations.
 
     ``n_static`` (<= k_sweeps) unrolls the sweep loop statically — the
-    fixed-iteration hot path; ``n`` is then ignored."""
-    ny, nx = S.shape
+    fixed-iteration hot path; ``n`` is then ignored.  ``S`` is (B, ny, nx);
+    batch slices map onto the leading grid dim (weights may be shared or
+    per-slice)."""
+    B, ny, nx = S.shape
     dtype = S.dtype
     radius = _radius(spec.offsets)
     halo = _round8(2 * radius * k_sweeps)
@@ -359,15 +363,21 @@ def _window_chunk(spec, S, rel, n, k_sweeps: int, tile: int,
     K = len(spec.offsets)
 
     def plane(a):
-        if a.ndim > 2:
-            a = a.reshape(a.shape[-2:])
-        return jnp.broadcast_to(a, (ny, nx)).astype(dtype)
+        """(b, ny, nx) with b in {1, B}."""
+        a = jnp.asarray(a, dtype)
+        a = a.reshape((-1,) + a.shape[-2:]) if a.ndim > 2 else a[None]
+        return jnp.broadcast_to(a, (a.shape[0], ny, nx))
 
-    w = spec.w.astype(dtype)
-    if w.ndim > 3:
-        w = w.reshape((w.shape[0],) + w.shape[-2:])
-    W = jnp.concatenate([w, plane(spec.w0)[None], plane(spec.g)[None],
-                         plane(rel)[None]], axis=0)
+    w = spec.w.astype(dtype)                     # (K, ...) maybe batched
+    w = jnp.moveaxis(w.reshape((K, -1) + w.shape[-2:]), 0, 1)
+    w0, g, r = plane(spec.w0), plane(spec.g), plane(rel)
+    bW = max(w.shape[0], w0.shape[0], g.shape[0], r.shape[0])
+
+    def bcast(a):
+        return jnp.broadcast_to(a, (bW,) + a.shape[1:])
+
+    W = jnp.concatenate([bcast(w), bcast(w0)[:, None], bcast(g)[:, None],
+                         bcast(r)[:, None]], axis=1)     # (bW, K+3, ny, nx)
 
     win = tile + 2 * halo
     inplace = _no_cross_r1(spec)
@@ -400,29 +410,29 @@ def _window_chunk(spec, S, rel, n, k_sweeps: int, tile: int,
         # prove that through the clip, hence the explicit hint
         return pl.multiple_of(jnp.clip(t * tile - halo, 0, ny - win), 8)
 
-    def wmap(t):
-        return (0, _start(t), 0)
+    def wmap(b, t):
+        return ((b if bW > 1 else 0), 0, _start(t), 0)
 
-    def smap(t):
-        return (_start(t), 0)
+    def smap(b, t):
+        return (b, _start(t), 0)
 
     nS = jnp.reshape(jnp.asarray(n, jnp.int32), (1,))
     Element = pallas_core.Element
     # Mosaic requires all-or-none Element dims within a BlockSpec; the
-    # non-windowed dims are full-size Elements at offset 0
+    # non-windowed dims are full-size (or unit) Elements at their offset
     return pl.pallas_call(
         kern,
-        grid=(ny // tile,),
+        grid=(B, ny // tile),
         in_specs=[
-            pl.BlockSpec((1,), lambda t: (0,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((Element(K + 3), Element(win), Element(nx)), wmap,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Element(win), Element(nx)), smap,
+            pl.BlockSpec((1,), lambda b, t: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((Element(1), Element(K + 3), Element(win),
+                          Element(nx)), wmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Element(1), Element(win), Element(nx)), smap,
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile, nx), lambda t: (t, 0),
+        out_specs=pl.BlockSpec((1, tile, nx), lambda b, t: (b, t, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((ny, nx), dtype),
+        out_shape=jax.ShapeDtypeStruct((B, ny, nx), dtype),
         scratch_shapes=scratch,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -431,11 +441,11 @@ def _window_chunk(spec, S, rel, n, k_sweeps: int, tile: int,
 
 
 def _sor_sweeps_window_impl(spec, S, omega, n_sweeps, interpret: bool = False):
-    if S.ndim != 2:
-        if int(np.prod(S.shape[:-2], dtype=np.int64)) != 1:
-            raise ValueError("window kernel supports unbatched 2-D problems")
-        out = _sor_sweeps_window_impl(spec, S.reshape(S.shape[-2:]), omega,
-                                      n_sweeps, interpret=interpret)
+    if S.ndim != 3:
+        # canonical layout is (B, ny, nx); batch dims flatten, 2-D gains B=1
+        out = _sor_sweeps_window_impl(
+            spec, S.reshape((-1,) + S.shape[-2:]), omega, n_sweeps,
+            interpret=interpret)
         return out.reshape(S.shape)
     plan = window_plan(spec, S.shape)
     if plan is None:
