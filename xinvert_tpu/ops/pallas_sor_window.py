@@ -344,22 +344,13 @@ def _kernel_inplace(n_ref, W_ref, s_ref, out_ref, sc, *, K, offsets, tile,
         out_ref[0] = sc[OY + 2 * halo:OY + 2 * halo + tile, OX:OX + nx]
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("k_sweeps", "tile", "interpret",
-                                    "n_static"))
-def _window_chunk(spec, S, rel, n, k_sweeps: int, tile: int,
-                  interpret: bool = False, n_static=None):
-    """One pallas launch running ``n`` (<= k_sweeps) full iterations.
+def _stack_planes(spec, rel, ny, nx, dtype):
+    """The (bW, K+3, ny, nx) stacked coefficient volume the kernel streams.
 
-    ``n_static`` (<= k_sweeps) unrolls the sweep loop statically — the
-    fixed-iteration hot path; ``n`` is then ignored.  ``S`` is (B, ny, nx);
-    batch slices map onto the leading grid dim (weights may be shared or
-    per-slice)."""
-    B, ny, nx = S.shape
-    dtype = S.dtype
-    radius = _radius(spec.offsets)
-    halo = _round8(2 * radius * k_sweeps)
-    win = tile + 2 * halo
+    Built ONCE per solve call (outside the chunk loop): for per-slice
+    batched coefficients the stack is B full plane sets, and rebuilding it
+    inside the chunk fori_loop would add ~3x HBM traffic (measured: 4x1024^2
+    at 2.2e10 with the in-loop build vs 6.2e10 for the B=1 shape)."""
     K = len(spec.offsets)
 
     def plane(a):
@@ -376,8 +367,28 @@ def _window_chunk(spec, S, rel, n, k_sweeps: int, tile: int,
     def bcast(a):
         return jnp.broadcast_to(a, (bW,) + a.shape[1:])
 
-    W = jnp.concatenate([bcast(w), bcast(w0)[:, None], bcast(g)[:, None],
-                         bcast(r)[:, None]], axis=1)     # (bW, K+3, ny, nx)
+    return jnp.concatenate([bcast(w), bcast(w0)[:, None], bcast(g)[:, None],
+                            bcast(r)[:, None]], axis=1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k_sweeps", "tile", "interpret",
+                                    "n_static"))
+def _window_chunk(spec, W, S, n, k_sweeps: int, tile: int,
+                  interpret: bool = False, n_static=None):
+    """One pallas launch running ``n`` (<= k_sweeps) full iterations.
+
+    ``n_static`` (<= k_sweeps) unrolls the sweep loop statically — the
+    fixed-iteration hot path; ``n`` is then ignored.  ``S`` is (B, ny, nx);
+    batch slices map onto the leading grid dim, streaming blocks of the
+    prebuilt ``W`` stack (shared or per-slice coefficient planes)."""
+    B, ny, nx = S.shape
+    dtype = S.dtype
+    radius = _radius(spec.offsets)
+    halo = _round8(2 * radius * k_sweeps)
+    win = tile + 2 * halo
+    K = len(spec.offsets)
+    bW = W.shape[0]
 
     win = tile + 2 * halo
     inplace = _no_cross_r1(spec)
@@ -453,17 +464,19 @@ def _sor_sweeps_window_impl(spec, S, omega, n_sweeps, interpret: bool = False):
     tile, k, halo = plan
     dtype = S.dtype
     rel = (jnp.asarray(omega, dtype) * spec.relax).astype(dtype)
+    ny, nx = S.shape[-2:]
+    W = _stack_planes(spec, rel, ny, nx, dtype)
 
     if isinstance(n_sweeps, (int, np.integer)):
         # static count: chunks run the fully unrolled kernel
         full, rem = divmod(int(n_sweeps), k)
         S = jax.lax.fori_loop(
             0, full,
-            lambda i, s: _window_chunk(spec, s, rel, k, k, tile,
+            lambda i, s: _window_chunk(spec, W, s, k, k, tile,
                                        interpret=interpret, n_static=k),
             S)
         if rem:
-            S = _window_chunk(spec, S, rel, rem, k, tile,
+            S = _window_chunk(spec, W, S, rem, k, tile,
                               interpret=interpret, n_static=rem)
         return S
 
@@ -471,7 +484,7 @@ def _sor_sweeps_window_impl(spec, S, omega, n_sweeps, interpret: bool = False):
     chunks = (n + k - 1) // k
 
     def body(i, s):
-        return _window_chunk(spec, s, rel, jnp.minimum(k, n - i * k), k,
+        return _window_chunk(spec, W, s, jnp.minimum(k, n - i * k), k,
                              tile, interpret=interpret)
 
     return jax.lax.fori_loop(0, chunks, body, S)
