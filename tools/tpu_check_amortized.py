@@ -24,7 +24,7 @@ def main():
     # convergence-checked at tol 1e-6 with the auto-amortised cadence
     def run_solve():
         t0 = time.perf_counter()
-        r = solve(spec, S0, om, tol=1e-6, max_iters=4000, check_every=32)
+        r = solve(spec, S0, om, tol=1e-6, max_iters=4000, check_every=64)
         it = int(jnp.max(r.iters))
         rel = float(jnp.max(r.rel_change))
         dt = time.perf_counter() - t0
@@ -33,7 +33,7 @@ def main():
     dt, iters, rel = run_solve()                       # compile
     dts = [run_solve()[0] for _ in range(3)]
     t_solve = float(np.median(dts))
-    print(f"solve(tol=1e-6, checkEvery=32): {iters} sweeps, rel {rel:.2e}, "
+    print(f"solve(tol=1e-6, checkEvery=64): {iters} sweeps, rel {rel:.2e}, "
           f"median {t_solve*1e3:.1f} ms")
 
     def run_fixed(n):

@@ -21,7 +21,10 @@ from .stencil import StencilSpec                                # noqa: F401
 from .solver import solve, solve_fixed, solve_trajectory, SolveResult  # noqa: F401
 from .fd import FiniteDiff, padBCs, deriv, deriv2               # noqa: F401
 from .ops.tridiag import trace, traceCyclic, tridiag_solve      # noqa: F401
-from .mg import build_pyramid_standard2d, solve_mg              # noqa: F401
+from .mg import (                                               # noqa: F401
+    build_pyramid_standard2d, build_pyramid_standard3d, build_pyramid_bih2d,
+    solve_mg,
+)
 from .lexico import solve_fixed_lexicographic                   # noqa: F401
 from .core import (                                             # noqa: F401
     inv_standard1D, inv_standard2D, inv_standard2D_test, inv_standard3D,
@@ -29,7 +32,8 @@ from .core import (                                             # noqa: F401
 )
 from .models.params import default_iParams, default_mParams     # noqa: F401
 from .models.api import (                                       # noqa: F401
-    invert_Poisson, invert_Poisson_mg, invert_RefState, invert_GeoAdjustment,
+    invert_Poisson, invert_Poisson_mg, invert_omega_mg, invert_StommelMunk_mg,
+    invert_RefState, invert_GeoAdjustment,
     invert_RefStateSWM, invert_PV2D, invert_Eliassen,
     invert_GillMatsuno, invert_GillMatsuno_test, invert_Stommel,
     invert_Stommel_test, invert_StommelMunk, invert_StommelArons,

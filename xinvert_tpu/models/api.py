@@ -24,7 +24,8 @@ from . import problems
 from .params import default_iParams, default_mParams, merge_params
 
 __all__ = [
-    "invert_Poisson", "invert_Poisson_mg", "invert_RefState",
+    "invert_Poisson", "invert_Poisson_mg", "invert_omega_mg",
+    "invert_StommelMunk_mg", "invert_RefState",
     "invert_GeoAdjustment",
     "invert_RefStateSWM", "invert_PV2D", "invert_Eliassen",
     "invert_GillMatsuno", "invert_GillMatsuno_test", "invert_Stommel",
@@ -157,17 +158,22 @@ def _auto_check_every(user_iParams, iP) -> int:
     The reference checks convergence after EVERY sweep (numbas.py:401-414);
     on TPU that costs a norm reduction — and on the Pallas paths a kernel
     launch — per sweep.  When the user did not ask for a specific cadence,
-    the TPU f32 path checks every min(32, mxLoop/10) sweeps: termination
+    the TPU f32 path checks every min(64, mxLoop/10) sweeps: termination
     can only land later than the per-sweep rule (never earlier), so the
     tolerance contract still holds.  CPU/f64 (the parity platform) and any
     explicit ``checkEvery`` keep the reference cadence.
+
+    Cadence 64 measured on the v5e (2048^2 masked Poisson, 4000 sweeps):
+    the check cost is per-check launch/bookkeeping, ~0.7 ms each — cadence
+    32 ran 1.24x solve_fixed, 64 brings the checked solve within the 1.2x
+    acceptance bound while still testing every ~1.6% of the sweep budget.
     """
     if user_iParams and "checkEvery" in user_iParams:
         return int(user_iParams["checkEvery"])
     ce = int(iP.get("checkEvery", 1))
     if ce == 1 and jax.default_backend() == "tpu" \
             and not jax.config.jax_enable_x64:
-        ce = max(1, min(32, int(iP["mxLoop"]) // 10))
+        ce = max(1, min(64, int(iP["mxLoop"]) // 10))
     return ce
 
 
