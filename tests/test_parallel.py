@@ -292,3 +292,71 @@ def test_hybrid_mesh_single_host():
     from xinvert_tpu.parallel import make_hybrid_mesh
     mesh = make_hybrid_mesh()
     assert tuple(mesh.axis_names) == ("batch", "y", "x")
+
+
+@pytest.mark.parametrize("bcs,k", [
+    (("fixed", "fixed"), 2),
+    (("fixed", "periodic"), 2),
+    (("extend", "periodic"), 2),
+    (("extend", "periodic"), 4),
+])
+def test_halo_kavoid_matches_single_device(bcs, k):
+    """Communication-avoiding executor (one exchange per k iterations,
+    ghost zones covering the k-sweep cone) is bit-equal to the XLA path,
+    including non-multiple iteration counts."""
+    from xinvert_tpu.parallel.halo import solve_fixed_halo
+    rng = np.random.default_rng(5)
+    yc, xc = 32, 48
+    A = np.abs(rng.normal(1.0, 0.1, (yc, xc))) + 0.5
+    C = np.abs(rng.normal(1.0, 0.1, (yc, xc))) + 0.5
+    F = rng.normal(0.0, 1.0, (yc, xc))
+    Fdef = np.ones((yc, xc), bool)
+    Fdef[11:17, 9:30] = False
+    spec = stencil.standard_2d(jnp.asarray(A), 0.0, jnp.asarray(C),
+                               jnp.asarray(F), jnp.asarray(Fdef),
+                               (1.1e5, 1.0e5), bcs, include_cross=False)
+    S0 = jnp.zeros((yc, xc))
+    omega = optimal_omega((yc, xc))
+    mesh = make_grid_mesh(8, batch=1)
+    for n in (k, 2 * k + 1, 7):
+        single = solve_fixed(spec, S0, omega, n)
+        halo = solve_fixed_halo(spec, S0, omega, n, mesh=mesh, k_sweeps=k)
+        np.testing.assert_allclose(np.asarray(halo), np.asarray(single),
+                                   rtol=1e-12, atol=1e-12)
+
+
+def test_halo_kavoid_biharmonic():
+    from xinvert_tpu.parallel.halo import solve_fixed_halo
+    rng = np.random.default_rng(7)
+    yc, xc = 32, 48
+    shape = (yc, xc)
+    A4 = np.full(shape, 5e3)
+    zero = np.zeros(shape)
+    D = np.full(shape, -1e-6)
+    H = np.full(shape, -1.8e-11)
+    J = rng.normal(0, 1e-7, shape)
+    spec = stencil.general_2d_bih(
+        jnp.asarray(A4), zero + 1e2, jnp.asarray(A4), jnp.asarray(D), zero,
+        jnp.asarray(D), zero, jnp.asarray(H), zero, jnp.asarray(J),
+        jnp.ones(shape, bool), (5e4, 5e4), ("extend", "periodic"))
+    S0 = jnp.zeros(shape)
+    single = solve_fixed(spec, S0, 1.0, 10)
+    mesh = make_grid_mesh(8, batch=1)
+    halo = solve_fixed_halo(spec, S0, 1.0, 10, mesh=mesh, k_sweeps=2)
+    np.testing.assert_allclose(np.asarray(halo), np.asarray(single),
+                               rtol=1e-12, atol=1e-18)
+
+
+def test_halo_kavoid_rejects_thin_blocks():
+    from xinvert_tpu.parallel.halo import solve_fixed_halo
+    rng = np.random.default_rng(0)
+    yc, xc = 16, 24
+    A = np.abs(rng.normal(1.0, 0.1, (yc, xc))) + 0.5
+    spec = stencil.standard_2d(jnp.asarray(A), 0.0, jnp.asarray(A),
+                               jnp.asarray(rng.normal(0, 1, (yc, xc))),
+                               jnp.ones((yc, xc), bool), (1.1e5, 1.0e5),
+                               ("fixed", "periodic"), include_cross=False)
+    mesh = make_grid_mesh(8, batch=1)
+    with pytest.raises(ValueError, match="halo width"):
+        solve_fixed_halo(spec, jnp.zeros((yc, xc)), 1.4, 4, mesh=mesh,
+                         k_sweeps=8)

@@ -108,14 +108,29 @@ def _unpack2(vals, axis, s0, n):
 
 
 def solve_fixed_halo(spec: StencilSpec, S, omega, n_iters: int,
-                     mesh: Optional[Mesh] = None):
+                     mesh: Optional[Mesh] = None, k_sweeps: int = 1):
     """Fixed-iteration sharded solve with explicit ppermute halo exchange.
 
     Equivalent to ``solve_fixed`` for 2-D specs; batch dims are supported
     and stay unsharded (shard over 'batch' with the GSPMD path if needed).
+
+    ``k_sweeps > 1`` selects the COMMUNICATION-AVOIDING variant (the
+    multi-device analog of the windowed Pallas kernel): halos of width
+    ``2 * radius * k_sweeps`` are exchanged once per k iterations and each
+    device runs k padded local iterations, so the message COUNT per
+    iteration drops 2k-fold (2 exchanges per k iterations vs 2 per
+    half-sweep) at the cost of wider rings and
+    ``(b + 2h)^2 / b^2`` redundant compute.  The right trade for
+    latency-bound DCN links; per-half-sweep packed exchange (k=1) moves
+    fewer bytes on bandwidth-bound ICI.  Bit-identical to ``solve_fixed``
+    for any k: owned cells only ever read ghost values inside the fresh
+    dependence cone (tests/test_parallel.py).
     """
     if spec.ndim != 2:
         raise ValueError("halo executor supports 2-D problems")
+    if k_sweeps > 1:
+        return _solve_fixed_halo_kavoid(spec, S, omega, n_iters, mesh,
+                                        int(k_sweeps))
     for name in ("w0", "g", "relax"):
         a = getattr(spec, name)
         if a.ndim > jnp.ndim(S):
@@ -320,3 +335,155 @@ def solve_fixed_halo(spec: StencilSpec, S, omega, n_iters: int,
     out = mapped(spec.w, spec.w0, spec.g, rr, rb, jnp.asarray(S))
     # the fori_loop body traces once: recorded bytes are per iteration
     return out
+
+
+def _solve_fixed_halo_kavoid(spec: StencilSpec, S, omega,
+                             n_iters: int, mesh: Optional[Mesh],
+                             k_sweeps: int):
+    """Ghost-zone (communication-avoiding) sharded executor: one exchange
+    per ``k_sweeps`` iterations with halos covering the k-sweep dependence
+    cone.  See ``solve_fixed_halo``; the validity-frontier argument is the
+    same as the windowed Pallas kernel's (ops/pallas_sor_window.py): a
+    ghost cell at depth j holds globally-correct values through iteration
+    i while j <= h - 2*radius*i, and owned cells only ever read inside
+    that frontier.  Beyond-domain ghosts on non-periodic edges hold
+    wrapped garbage but are only read by boundary cells, which never
+    update (relax = 0; extend rows are overwritten from interior rows)."""
+    if mesh is None:
+        from .mesh import make_grid_mesh
+        mesh = make_grid_mesh()
+    radius = max(max(abs(o) for o in off) for off in spec.offsets)
+    h = 2 * radius * k_sweeps
+    ny, nx = S.shape[-2:]
+    my_, mx_ = mesh.shape["y"], mesh.shape["x"]
+    if ny % my_ or nx % mx_:
+        raise ValueError(f"grid {ny}x{nx} not divisible by mesh {my_}x{mx_}")
+    by, bx = ny // my_, nx // mx_
+    if (by <= h and my_ > 1) or (bx <= h and mx_ > 1):
+        raise ValueError(f"halo width {h} (k_sweeps={k_sweeps}) needs "
+                         f"blocks larger than the halo; got {by}x{bx}")
+
+    omega = jnp.asarray(omega, S.dtype)
+    from ..solver import _color_relax
+    rr, rb = _color_relax(spec, omega)
+
+    grid_spec = P(*((None,) * (S.ndim - 2) + ("y", "x")))
+
+    def plane_spec(a):
+        return P(*((None,) * (a.ndim - 2) + ("y", "x")))
+
+    extend_y = spec.bcs[-2] == "extend"
+    periodic_x = spec.bcs[-1] == "periodic"
+    offsets = spec.offsets
+    bih = spec.bih
+    nd = S.ndim
+
+    _traffic["bytes"] = 0
+
+    def pad_hw(a, width, ya, xa):
+        """Pad both core axes with `width` neighbor rings (y then x on the
+        padded array, so corners carry genuine neighbor-of-neighbor data)."""
+        lo_y, hi_y = _ring_halo(a, "y", width, ya, my_)
+        ap = jnp.concatenate([lo_y, a, hi_y], axis=ya)
+        lo_x, hi_x = _ring_halo(ap, "x", width, xa, mx_)
+        return jnp.concatenate([lo_x, ap, hi_x], axis=xa)
+
+    def local_step(w, w0, g, rrl, rbl, Sl):
+        iy = jax.lax.axis_index("y")
+        ix = jax.lax.axis_index("x")
+        y0 = iy * by - h                      # global row of padded row 0
+        x0 = ix * bx - h
+        py, px = by + 2 * h, bx + 2 * h
+
+        # weights/relax padded ONCE per solve (loop-invariant; counted
+        # separately from the per-iteration S traffic)
+        wp = pad_hw(w, h, nd - 2 + (w.ndim - nd), nd - 1 + (w.ndim - nd))
+        w0p = pad_hw(w0, h, w0.ndim - 2, w0.ndim - 1)
+        gp = pad_hw(g, h, g.ndim - 2, g.ndim - 1)
+        rrp = pad_hw(rrl, h, rrl.ndim - 2, rrl.ndim - 1)
+        rbp = pad_hw(rbl, h, rbl.ndim - 2, rbl.ndim - 1)
+        setup_bytes = _traffic["bytes"]
+        _traffic["bytes"] = 0
+
+        row_g = jax.lax.broadcasted_iota(jnp.int32, (py, px), 0) + y0
+        col_g = jax.lax.broadcasted_iota(jnp.int32, (py, px), 1) + x0
+
+        def apply_extend(Sp):
+            """Extend pre-pass in global coordinates on the padded block —
+            fires wherever boundary rows appear (owned or ghost), keeping
+            ghost-row updates identical to the global sweep."""
+            up1 = jnp.roll(Sp, -1, nd - 2)
+            dn1 = jnp.roll(Sp, 1, nd - 2)
+
+            def colfix(a, width):
+                if periodic_x:
+                    return a
+                out = a
+                for w_ in range(1, width + 1):
+                    out = jnp.where(col_g == w_ - 1,
+                                    jnp.roll(a, -(width - w_ + 1), nd - 1),
+                                    out)
+                    out = jnp.where(col_g == nx - w_,
+                                    jnp.roll(a, width - w_ + 1, nd - 1), out)
+                return out
+
+            if not bih:
+                Sp = jnp.where(row_g == 0, colfix(up1, 1), Sp)
+                Sp = jnp.where(row_g == ny - 1, colfix(dn1, 1), Sp)
+                return Sp
+            up2 = jnp.roll(Sp, -2, nd - 2)
+            dn2 = jnp.roll(Sp, 2, nd - 2)
+            if periodic_x:
+                top = up1
+            else:
+                top = colfix(jnp.where(row_g == 0, up2, up1), 2)
+            bot = jnp.where(row_g == ny - 1, dn2, dn1)
+            if not periodic_x:
+                bot = colfix(bot, 2)
+            Sp = jnp.where(row_g <= 1, top, Sp)
+            Sp = jnp.where(row_g >= ny - 2, bot, Sp)
+            return Sp
+
+        red = ((row_g + col_g) % 2 == 0).astype(Sl.dtype)
+        rr_loc = rrp * red
+        rb_loc = rbp * (1.0 - red)
+
+        def padded_iter(Sp):
+            if extend_y:
+                Sp = apply_extend(Sp)
+            for rel in (rr_loc, rb_loc):
+                acc = gp
+                for k, off in enumerate(offsets):
+                    dy, dx = off
+                    acc = acc + wp[k] * jnp.roll(
+                        jnp.roll(Sp, -dy, nd - 2), -dx, nd - 1)
+                Sp = Sp + rel * (acc + w0p * Sp)
+            return Sp
+
+        n_chunks = -(-n_iters // k_sweeps)
+        rem = n_iters - (n_chunks - 1) * k_sweeps
+
+        def chunk(c, Sl):
+            Sp = pad_hw(Sl, h, nd - 2, nd - 1)
+            k_eff = jnp.where(c == n_chunks - 1, rem, k_sweeps)
+            Sp = jax.lax.fori_loop(
+                0, k_eff, lambda i, s: padded_iter(s), Sp)
+            return jax.lax.slice_in_dim(
+                jax.lax.slice_in_dim(Sp, h, h + by, axis=nd - 2),
+                h, h + bx, axis=nd - 1)
+
+        out = jax.lax.fori_loop(0, n_chunks, chunk, Sl)
+        # per-iteration accounting: the chunk body traced once moved one
+        # exchange; amortise over k_sweeps and add back the one-time setup
+        _traffic["bytes"] = _traffic["bytes"] // k_sweeps
+        _traffic.setdefault("setup", 0)
+        _traffic["setup"] = setup_bytes
+        return out
+
+    mapped = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(plane_spec(spec.w), plane_spec(spec.w0), plane_spec(spec.g),
+                  plane_spec(rr), plane_spec(rb), grid_spec),
+        out_specs=grid_spec,
+    )
+    return mapped(spec.w, spec.w0, spec.g, rr, rb, jnp.asarray(S))
