@@ -94,13 +94,25 @@ def _spatial_factor(n: int):
     return a, n // a
 
 
-def _bench_once(spec, S0, mesh, omega, n_iters, reps=3):
+def _bench_once(spec, S0, mesh, omega, n_iters, reps=3,
+                executor="gspmd", k_sweeps=1):
     """Median wall time of a fixed-iteration sharded solve, timed by
     chaining dependent runs and forcing a scalar fetch (robust against
-    async dispatch through the TPU relay)."""
-    from ..solver import solve_fixed
-    spec_sh, S_sh = shard_problem(spec, S0, mesh)
-    fn = lambda s: solve_fixed(spec_sh, s, omega, n_iters)
+    async dispatch through the TPU relay).
+
+    ``executor='gspmd'`` lets the partitioner derive the halo traffic from
+    sharding annotations; ``'halo'`` uses the explicit ppermute executor
+    (``k_sweeps>1`` for its communication-avoiding mode — the right
+    comparison point for latency-bound DCN meshes)."""
+    if executor == "gspmd":
+        from ..solver import solve_fixed
+        spec_sh, S_sh = shard_problem(spec, S0, mesh)
+        fn = lambda s: solve_fixed(spec_sh, s, omega, n_iters)
+    else:
+        from .halo import solve_fixed_halo
+        S_sh = S0
+        fn = lambda s: solve_fixed_halo(spec, s, omega, n_iters,
+                                        mesh=mesh, k_sweeps=k_sweeps)
     fn(S_sh)                       # compile
     times = []
     for _ in range(reps):
@@ -114,7 +126,7 @@ def _bench_once(spec, S0, mesh, omega, n_iters, reps=3):
 def scaling_bench(device_counts: Optional[Sequence[int]] = None,
                   base_ny: int = 256, base_nx: int = 256,
                   n_iters: int = 50, mode: str = "weak",
-                  dtype=None):
+                  dtype=None, executor: str = "gspmd", k_sweeps: int = 1):
     """Throughput vs device count for the flagship masked Poisson.
 
     ``mode='weak'``: the grid grows with the device count (fixed per-device
@@ -147,7 +159,8 @@ def scaling_bench(device_counts: Optional[Sequence[int]] = None,
         if ny % my_ or nx % mx_:
             continue
         spec, S0, grid = _poisson_problem(batch=0, ny=ny, nx=nx, dtype=dtype)
-        dt = _bench_once(spec, S0, mesh, grid.omega_opt, n_iters)
+        dt = _bench_once(spec, S0, mesh, grid.omega_opt, n_iters,
+                         executor=executor, k_sweeps=k_sweeps)
         pts = ny * nx * n_iters / dt
         per_dev = pts / c
         if base_rate is None:
