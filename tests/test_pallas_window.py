@@ -135,3 +135,18 @@ def test_window_batched_extra_leading_dims():
     out = sor_sweeps_window(spec, S0, 1.5, 7, interpret=True)
     assert out.shape == (2, 2, ny, nx)
     assert np.array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_window_extend_fold_close(monkeypatch):
+    """FOLD_EXTEND=True folds the extend row copies into the weights: same
+    fixed point and same iteration up to one fp reassociation per folded
+    row (not bit-exact — that's why it is off by default)."""
+    from xinvert_tpu.ops import pallas_sor_window as win
+    ny, nx = 96, 128
+    spec = _spec(ny, nx, ("extend", "periodic"), mask=True)
+    S0 = jnp.zeros((ny, nx))
+    ref = solver.solve_fixed(spec, S0, 1.5, 20, use_pallas=False)
+    monkeypatch.setattr(win, "FOLD_EXTEND", True)
+    out = sor_sweeps_window(spec, S0, 1.5, 20, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-12, atol=1e-12)
