@@ -46,23 +46,27 @@ def _extend_rows(S, periodic_x, bih):
     Mirrors solver._apply_extend (itself modeled on numbas.py:284-310 and
     :1299-1343): one ring (two for biharmonic) of y-boundary rows copies the
     nearest interior row, with corner clamping when x is not periodic.
-    """
+    The plane is whole-problem resident, so the non-biharmonic pass uses
+    STATIC single-row slices (no full-plane rolls — the rolls cost ~2 of
+    the sweep's ~10 plane copies)."""
     ny, nx = S.shape
     row = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 1)
-    up1 = _roll2(S, (1, 0))    # S[j+1, i]
-    dn1 = _roll2(S, (-1, 0))   # S[j-1, i]
 
     if not bih:
-        top = up1
-        bot = dn1
-        if not periodic_x:
-            # corners: S[0,0]=S[1,1], S[0,-1]=S[1,-2] (and bottom mirrored)
-            top = jnp.where(col == 0, _roll2(up1, (0, 1)),
-                            jnp.where(col == nx - 1, _roll2(up1, (0, -1)), top))
-            bot = jnp.where(col == 0, _roll2(dn1, (0, 1)),
-                            jnp.where(col == nx - 1, _roll2(dn1, (0, -1)), bot))
-        return jnp.where(row == 0, top, jnp.where(row == ny - 1, bot, S))
+        col1 = jax.lax.broadcasted_iota(jnp.int32, (1, nx), 1)
+
+        def fix_row(r):
+            if periodic_x:
+                return r
+            out = jnp.where(col1 == 0, pltpu.roll(r, nx - 1, 1), r)
+            return jnp.where(col1 == nx - 1, pltpu.roll(r, 1, 1), out)
+
+        S = jnp.where(row == 0, fix_row(S[1:2, :]), S)
+        return jnp.where(row == ny - 1, fix_row(S[ny - 2:ny - 1, :]), S)
+
+    up1 = _roll2(S, (1, 0))    # S[j+1, i]
+    dn1 = _roll2(S, (-1, 0))   # S[j-1, i]
 
     up2 = _roll2(S, (2, 0))
     dn2 = _roll2(S, (-2, 0))

@@ -51,23 +51,24 @@ def _extend_rows3d(S, periodic_x):
     """Per-iteration 'extend' pre-pass for 3-D: y-boundary rows copy the
     nearest interior row on INTERIOR z levels only, with corner clamping
     when x is not periodic (mirrors solver._apply_extend's nd==3 branch,
-    itself modeled on the reference numbas.py:87-115)."""
+    itself modeled on the reference numbas.py:87-115).  Source rows come
+    from STATIC single-row slices — no full-volume rolls."""
     nz, ny, nx = S.shape
     lev = jax.lax.broadcasted_iota(jnp.int32, S.shape, 0)
     row = jax.lax.broadcasted_iota(jnp.int32, S.shape, 1)
-    col = jax.lax.broadcasted_iota(jnp.int32, S.shape, 2)
-    up1 = _roll3(S, (0, 1, 0))     # S[k, j+1, i]
-    dn1 = _roll3(S, (0, -1, 0))    # S[k, j-1, i]
+    col1 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nx), 2)
 
-    top, bot = up1, dn1
-    if not periodic_x:
-        top = jnp.where(col == 0, _roll3(up1, (0, 0, 1)),
-                        jnp.where(col == nx - 1, _roll3(up1, (0, 0, -1)), top))
-        bot = jnp.where(col == 0, _roll3(dn1, (0, 0, 1)),
-                        jnp.where(col == nx - 1, _roll3(dn1, (0, 0, -1)), bot))
+    def fix_row(r):                    # (nz, 1, nx) corner clamp
+        if periodic_x:
+            return r
+        out = jnp.where(col1 == 0, pltpu.roll(r, nx - 1, 2), r)
+        return jnp.where(col1 == nx - 1, pltpu.roll(r, 1, 2), out)
+
     interior_z = jnp.logical_and(lev > 0, lev < nz - 1)
-    S = jnp.where(jnp.logical_and(row == 0, interior_z), top, S)
-    S = jnp.where(jnp.logical_and(row == ny - 1, interior_z), bot, S)
+    S = jnp.where(jnp.logical_and(row == 0, interior_z),
+                  fix_row(S[:, 1:2, :]), S)
+    S = jnp.where(jnp.logical_and(row == ny - 1, interior_z),
+                  fix_row(S[:, ny - 2:ny - 1, :]), S)
     return S
 
 
