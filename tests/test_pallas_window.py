@@ -50,7 +50,7 @@ def test_window_nonmultiple_sweep_count():
     ny, nx = 96, 128
     spec = _spec(ny, nx, ("extend", "periodic"), mask=True)
     S0 = jnp.zeros((ny, nx))
-    tile, k, halo = window_plan(spec, (ny, nx))
+    k = window_plan(spec, (ny, nx)).k_sweeps
     for n in (1, k - 1, k + 1, 3 * k + 2):
         if n < 1:
             continue
@@ -63,15 +63,45 @@ def test_window_plan_properties():
     spec = _spec(2048, 128, ("extend", "periodic"))
     plan = window_plan(spec, (2048, 128))
     assert plan is not None
-    tile, k, halo = plan
+    tile, k, halo = plan.tile, plan.k_sweeps, plan.halo
     assert 2048 % tile == 0 and tile % 8 == 0
     assert halo >= 2 * k                      # covers the k-sweep cone
     assert halo % 8 == 0
+    assert tile > halo                        # interior windows edge-free
+    assert plan.y_chunk == 2048 and plan.b_chunk == 1   # single call
 
-    # batched shapes ride the leading grid dim (round 2); the whole
-    # stacked result must still fit the raised scoped-VMEM budget
+    # batched shapes ride the leading grid dim (round 2); beyond the
+    # scoped-VMEM result cap the step splits into chunk calls, bounded at
+    # _MAX_CHUNKS — absurd batch counts still fall back to XLA
     assert window_applicable(spec, (4, 2048, 128))
     assert not window_applicable(spec, (4096, 2048, 128))
+
+
+def test_window_plan_chunked_shapes():
+    """Beyond the result cap the plan splits: y-row chunks for one huge
+    slice, batch groups for many moderate slices (f32 — the TPU dtype)."""
+    from xinvert_tpu.ops.pallas_sor_window import (_RESULT_CAP,
+                                                   _CHUNK_TARGET)
+
+    def f32spec(ny, nx):
+        import dataclasses
+        s = _spec(ny, nx, ("extend", "periodic"))
+        return dataclasses.replace(
+            s, w=s.w.astype(jnp.float32), w0=s.w0.astype(jnp.float32),
+            g=s.g.astype(jnp.float32), relax=s.relax.astype(jnp.float32))
+
+    # 8192^2 f32 = 256 MiB result: y-chunked, per-call result <= target
+    plan = window_plan(f32spec(8192, 8192), (8192, 8192))
+    assert plan is not None and plan.y_chunk < 8192
+    assert plan.y_chunk % plan.tile == 0
+    assert plan.y_chunk * 8192 * 4 <= _CHUNK_TARGET
+    assert plan.tile > plan.halo
+
+    # 64 x 1024^2 f32 = 256 MiB: batch groups of full-height slices
+    plan = window_plan(f32spec(1024, 1024), (64, 1024, 1024))
+    assert plan is not None and plan.y_chunk == 1024
+    assert 1 <= plan.b_chunk < 64
+    assert plan.b_chunk * 1024 * 1024 * 4 <= _RESULT_CAP
 
 
 def test_window_applicability_vs_vmem():
@@ -134,6 +164,105 @@ def test_window_batched_extra_leading_dims():
     ref = solver.solve_fixed(spec, S0, 1.5, 7, use_pallas=False)
     out = sor_sweeps_window(spec, S0, 1.5, 7, interpret=True)
     assert out.shape == (2, 2, ny, nx)
+    assert np.array_equal(np.asarray(out), np.asarray(ref))
+
+
+def _force_chunking(monkeypatch, cap, target):
+    from xinvert_tpu.ops import pallas_sor_window as win
+    monkeypatch.setattr(win, "_RESULT_CAP", cap)
+    monkeypatch.setattr(win, "_CHUNK_TARGET", target)
+
+
+# NOTE: chunked tests use shapes unique to this block — the module-level
+# jits cache traces per shape, and the monkeypatched caps are only read at
+# trace time.
+
+@pytest.mark.parametrize("bcs,mask,cross", [
+    (("extend", "periodic"), True, False),
+    (("fixed", "fixed"), False, False),
+    (("extend", "fixed"), True, True),
+])
+def test_window_chunked_matches_xla(monkeypatch, bcs, mask, cross):
+    """Row-chunked multi-call execution (result above the scoped-VMEM cap)
+    is bit-exact vs the XLA path."""
+    from xinvert_tpu.ops.pallas_sor_window import window_plan
+    _force_chunking(monkeypatch, 64 * 1024, 64 * 1024)
+    ny, nx = 256, 128
+    spec = _spec(ny, nx, bcs, mask=mask, cross=cross, seed=11)
+    plan = window_plan(spec, (ny, nx))
+    assert plan is not None and plan.y_chunk < ny, plan
+    S0 = jnp.zeros((ny, nx))
+    for n in (1, 9):
+        ref = solver.solve_fixed(spec, S0, 1.4, n, use_pallas=False)
+        out = sor_sweeps_window(spec, S0, 1.4, n, interpret=True)
+        assert np.array_equal(np.asarray(out), np.asarray(ref)), (
+            n, np.abs(np.asarray(out) - np.asarray(ref)).max())
+
+
+def test_window_chunked_biharmonic(monkeypatch):
+    """Two-ring (biharmonic) stencils row-chunk too: the per-chunk extend
+    pre-pass touches only its own true domain end."""
+    from xinvert_tpu import stencil as st
+    from xinvert_tpu.ops.pallas_sor_window import window_plan
+    _force_chunking(monkeypatch, 64 * 1024, 64 * 1024)
+    rng = np.random.default_rng(13)
+    ny, nx = 256, 128
+    shape = (ny, nx)
+    A4 = np.full(shape, 5e3)
+    zero = np.zeros(shape)
+    D = np.full(shape, -1e-6)
+    H = np.full(shape, -1.8e-11)
+    J = rng.normal(0, 1e-7, shape)
+    for bcs in (("extend", "periodic"), ("extend", "fixed")):
+        spec = st.general_2d_bih(
+            jnp.asarray(A4), zero + 1e2, jnp.asarray(A4), jnp.asarray(D),
+            zero, jnp.asarray(D), zero, jnp.asarray(H), zero,
+            jnp.asarray(J), np.ones(shape, bool), (5e4, 5e4), bcs)
+        plan = window_plan(spec, (ny, nx))
+        assert plan is not None and plan.y_chunk < ny, plan
+        S0 = jnp.zeros(shape)
+        ref = solver.solve_fixed(spec, S0, 1.0, 7, use_pallas=False)
+        out = sor_sweeps_window(spec, S0, 1.0, 7, interpret=True)
+        assert np.array_equal(np.asarray(out), np.asarray(ref)), bcs
+
+
+@pytest.mark.parametrize("shared_weights", [True, False])
+def test_window_batch_groups_match_xla(monkeypatch, shared_weights):
+    """Batch-group chunking (many moderate slices) is bit-exact, with
+    shared or per-slice coefficient planes."""
+    from xinvert_tpu.ops.pallas_sor_window import window_plan
+    _force_chunking(monkeypatch, 128 * 1024, 128 * 1024)
+    ny, nx, B = 64, 128, 5
+    rng = np.random.default_rng(17)
+    A = np.abs(rng.normal(1, 0.1, (ny, nx))) + 0.5
+    C = np.abs(rng.normal(1, 0.1, (ny, nx))) + 0.5
+    F = rng.normal(0, 1, (ny, nx) if shared_weights else (B, ny, nx))
+    Fdef = np.ones((ny, nx), bool)
+    Fdef[11:21, 31:61] = False
+    spec = stencil.standard_2d(jnp.asarray(A), 0.0, jnp.asarray(C),
+                               jnp.asarray(F), jnp.asarray(Fdef),
+                               (1.3, 1.0), ("extend", "periodic"))
+    plan = window_plan(spec, (B, ny, nx))
+    assert plan is not None and plan.b_chunk < B, plan
+    S0 = jnp.zeros((B, ny, nx))
+    ref = solver.solve_fixed(spec, S0, 1.5, 9, use_pallas=False)
+    out = sor_sweeps_window(spec, S0, 1.5, 9, interpret=True)
+    assert np.array_equal(np.asarray(out), np.asarray(ref)), (
+        np.abs(np.asarray(out) - np.asarray(ref)).max())
+
+
+def test_window_chunked_dynamic_count(monkeypatch):
+    """Traced sweep counts run the chunked SMEM-count kernel path."""
+    import jax
+    from xinvert_tpu.ops.pallas_sor_window import window_plan
+    _force_chunking(monkeypatch, 64 * 1024, 64 * 1024)
+    ny, nx = 256, 128
+    spec = _spec(ny, nx, ("extend", "periodic"), mask=True, seed=19)
+    assert window_plan(spec, (ny, nx)).y_chunk < ny
+    S0 = jnp.zeros((ny, nx))
+    n = jnp.asarray(6)          # traced-count path (SMEM trip count)
+    ref = solver.solve_fixed(spec, S0, 1.4, 6, use_pallas=False)
+    out = sor_sweeps_window(spec, S0, 1.4, n, interpret=True)
     assert np.array_equal(np.asarray(out), np.asarray(ref))
 
 

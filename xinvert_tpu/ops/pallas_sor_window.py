@@ -28,12 +28,19 @@ about an order of magnitude for the flagship 2048^2 masked Poisson.
 
 x stays unsplit (wrap-around periodic via pltpu.roll); 2-D specs only.
 Batch slices (the reference's `loop_noncore` loop) map onto a leading grid
-dim — the whole (B, ny, nx) result must still fit the raised scoped-VMEM
-budget, which bounds B at ~64 MiB / plane-size.
+dim.  A single pallas RESULT must fit the raised scoped-VMEM budget
+(~64 MiB — the AOT stack stack-allocates it); LARGER problems run as
+multiple chunk calls per step: the state lives as a list of row-chunk /
+batch-group arrays, each step assembles per-chunk inputs from a chunk plus
+``halo`` boundary rows of its neighbors, and every chunk call writes only
+its own rows.  Chunk kernels are position-independent (three static
+variants: top / interior / bottom), so chunk count does not multiply
+compiles — that matters through the slow remote-compile relay.
 """
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import numpy as np
 import jax
@@ -55,15 +62,20 @@ def _radius(offsets):
     return max(max(abs(o) for o in off) for off in offsets)
 
 
-def _extend_windowed(S, row_g, ny, nx, periodic_x, bih):
+def _extend_windowed(S, row_g, ny, nx, periodic_x, bih, which="both"):
     """Extend-BC pre-pass on a row window using global row indices.
 
     Mirrors solver._apply_extend (itself modeled on the reference kernels,
     numbas.py:284-310 and :1299-1343): one ring (two for biharmonic) of
     y-boundary rows copies the nearest interior row, with corner clamping
     when x is not periodic.  Row conditions come from the global row index
-    plane so the pass composes with any window of the domain."""
+    plane so the pass composes with any window of the domain.  ``which``
+    gates the ends ('both' | 'top' | 'bot'): a chunk of a row-split domain
+    holds at most one true boundary, and the other end's row test would
+    misfire on the chunk's own pad rows."""
     col = jax.lax.broadcasted_iota(jnp.int32, S.shape, 1)
+    do_top = which in ("both", "top")
+    do_bot = which in ("both", "bot")
     up1 = _roll2(S, (1, 0))
     dn1 = _roll2(S, (-1, 0))
 
@@ -78,23 +90,25 @@ def _extend_windowed(S, row_g, ny, nx, periodic_x, bih):
         return out
 
     if not bih:
-        top = colfix(up1, 1)
-        bot = colfix(dn1, 1)
-        S = jnp.where(row_g == 0, top, S)
-        S = jnp.where(row_g == ny - 1, bot, S)
+        if do_top:
+            S = jnp.where(row_g == 0, colfix(up1, 1), S)
+        if do_bot:
+            S = jnp.where(row_g == ny - 1, colfix(dn1, 1), S)
         return S
 
     up2 = _roll2(S, (2, 0))
     dn2 = _roll2(S, (-2, 0))
-    if periodic_x:
-        top = up1
-    else:
-        top = colfix(jnp.where(row_g == 0, up2, up1), 2)
-    bot = jnp.where(row_g == ny - 1, dn2, dn1)
-    if not periodic_x:
-        bot = colfix(bot, 2)
-    S = jnp.where(row_g <= 1, top, S)
-    S = jnp.where(row_g >= ny - 2, bot, S)
+    if do_top:
+        if periodic_x:
+            top = up1
+        else:
+            top = colfix(jnp.where(row_g == 0, up2, up1), 2)
+        S = jnp.where(row_g <= 1, top, S)
+    if do_bot:
+        bot = jnp.where(row_g == ny - 1, dn2, dn1)
+        if not periodic_x:
+            bot = colfix(bot, 2)
+        S = jnp.where(row_g >= ny - 2, bot, S)
     return S
 
 
@@ -123,12 +137,31 @@ def _no_cross_r1(spec) -> bool:
                     max(abs(o) for o in off) == 1 for off in spec.offsets))
 
 
+class WindowPlan(NamedTuple):
+    tile: int
+    k_sweeps: int
+    halo: int
+    y_chunk: int       # rows per chunk call (== ny when unchunked)
+    b_chunk: int       # batch slices per call (== B when unchunked)
+
+
+# per-call result bytes when the full result exceeds _RESULT_CAP and the
+# step splits into multiple chunk calls; bounded call count keeps the
+# per-step dispatch overhead and trace size sane
+_CHUNK_TARGET = 16 * 1024 * 1024
+_MAX_CHUNKS = 32
+
+
 def window_plan(spec, S_shape):
-    """Pick (tile, k_sweeps, halo) fitting the VMEM budget, or None.
+    """Pick a WindowPlan fitting the VMEM budget, or None.
 
     VMEM model (rows of nx * itemsize bytes): the P = K+3 stacked weight
     planes plus S are double-buffered at window height by the pipeline, and
-    the output block is double-buffered at tile height.
+    the output block is double-buffered at tile height.  When the full
+    (B, ny, nx) result exceeds the scoped-VMEM result cap — or squeezes the
+    pipeline budget below a good tile — the plan splits the step into
+    multiple chunk calls (batch groups, then y-row chunks), each call's
+    result at most ``_CHUNK_TARGET`` bytes.
     """
     if spec.ndim != 2:
         return None
@@ -136,18 +169,15 @@ def window_plan(spec, S_shape):
     B = int(np.prod(S_shape[:-2], dtype=np.int64))
     if ny % 8 or ny < 64:
         return None
-    # the whole (B, ny, nx) result is stack-allocated in scoped VMEM by the
-    # AOT stack (the round-1 blocker) — it must fit the raised budget
-    if B * ny * nx * np.dtype(spec.w0.dtype).itemsize > _RESULT_CAP:
-        return None
     K = len(spec.offsets)
     P = K + 3
     itemsize = np.dtype(spec.w0.dtype).itemsize
     row_bytes = nx * itemsize
+    slab = ny * row_bytes                 # one batch slice's result bytes
+    result = B * slab
     # the raised scoped-VMEM budget (WINDOW_COMPILER_OPTS) holds the
     # stack-allocated result plus the pipeline buffers; keep 15% headroom
-    budget_rows = (int(_SCOPED_VMEM_KIB * 1024 * 0.85)
-                   - B * ny * nx * itemsize) // row_bytes
+    budget = int(_SCOPED_VMEM_KIB * 1024 * 0.85)
     radius = _radius(spec.offsets)
 
     # candidate tiles: multiples of 8 dividing ny (the 1-D grid covers ny
@@ -161,11 +191,40 @@ def window_plan(spec, S_shape):
     for k in (4, 2, 1):
         halo = _round8(2 * radius * k)
         for tile in tiles:
+            if tile <= halo:
+                # interior windows must stay clear of the domain-edge rows
+                # (their extend pre-pass is statically skipped) and the
+                # three-case write-back assumes unclamped interior starts —
+                # both require tile > halo
+                continue
             win = tile + 2 * halo
+            if win > ny:
+                continue
             # pipeline buffers + output + the in-place kernel's scratch
-            rows = 2 * (P + 1) * win + 2 * tile + (win + 16) * 2
-            if win <= ny and rows <= budget_rows:
-                return tile, k, halo
+            need = 2 * (P + 1) * win + 2 * tile + (win + 16) * 2
+            if (result <= _RESULT_CAP
+                    and need <= (budget - result) // row_bytes):
+                return WindowPlan(tile, k, halo, ny, B)
+            # chunked multi-call at this (k, tile): per-call result bytes
+            # bounded by _CHUNK_TARGET
+            if need > (budget - min(result, _CHUNK_TARGET)) // row_bytes:
+                continue
+            if slab <= _CHUNK_TARGET:
+                b_chunk, y_chunk = max(1, min(B, _CHUNK_TARGET // slab)), ny
+            else:
+                b_chunk = 1
+                y_chunk = (_CHUNK_TARGET // row_bytes) // tile * tile
+                if y_chunk < tile + halo or y_chunk >= ny:
+                    # a chunk must hold a full window beside its one-sided
+                    # pad; y_chunk == ny is the unchunked case, which
+                    # already failed the budget above
+                    continue
+                if ny // tile < 2 * -(-ny // y_chunk):
+                    continue          # keep every chunk >= 2 tiles
+            calls = -(-B // b_chunk) * -(-ny // y_chunk)
+            if calls <= 1 or calls > _MAX_CHUNKS:
+                continue
+            return WindowPlan(tile, k, halo, y_chunk, b_chunk)
     return None
 
 
@@ -187,16 +246,28 @@ def window_applicable(spec, S_shape, for_dispatch: bool = False) -> bool:
 
 
 def _kernel(n_ref, W_ref, s_ref, out_ref, *, K, offsets, tile, halo, ny, nx,
-            extend_y, periodic_x, bih, dtype, n_static=None):
+            extend_y, periodic_x, bih, dtype, n_static=None,
+            pad_lo=0, has_top=True, has_bot=True):
+    """One grid program: k sweeps on an overlapping row window.
+
+    ``ny`` is the (sub-)domain height this call sees.  For a chunk of a
+    row-split larger domain, ``pad_lo`` rows of neighbor data precede the
+    chunk's own rows and ``has_top`` / ``has_bot`` say whether the
+    sub-domain's ends are TRUE domain boundaries — the kernel is otherwise
+    position-independent (the red-black parity offset of a chunk is a
+    multiple of the 8-aligned tile/halo, hence even), so every interior
+    chunk shares one compiled kernel regardless of its row offset.
+    """
     win = tile + 2 * halo
     t = pl.program_id(1)          # grid = (batch, tiles)
     n_t = pl.num_programs(1)
-    start = jnp.clip(t * tile - halo, 0, ny - win)
+    start = jnp.clip(pad_lo + t * tile - halo, 0, ny - win)
 
-    # extend rows (global 0 / ny-1) exist only in the first and last
-    # windows: interior programs skip the pre-pass entirely (measured ~27%
-    # of sweep cost when applied unconditionally)
-    touches_edge = jnp.logical_or(t == 0, t == n_t - 1)
+    # extend rows (domain rows 0 / ny-1) exist only in the first and last
+    # windows of edge chunks: interior programs skip the pre-pass entirely
+    # (measured ~27% of sweep cost when applied unconditionally)
+    is_top = jnp.logical_and(t == 0, has_top)
+    is_bot = jnp.logical_and(t == n_t - 1, has_bot)
 
     row_l = jax.lax.broadcasted_iota(jnp.int32, (win, nx), 0)
     col1 = jax.lax.broadcasted_iota(jnp.int32, (1, nx), 1)
@@ -208,6 +279,9 @@ def _kernel(n_ref, W_ref, s_ref, out_ref, *, K, offsets, tile, halo, ny, nx,
         out = jnp.where(col1 == 0, pltpu.roll(r, nx - 1, 1), r)
         return jnp.where(col1 == nx - 1, pltpu.roll(r, 1, 1), out)
 
+    which = ("both" if (has_top and has_bot)
+             else ("top" if has_top else "bot"))
+
     def one_sweep(_, S):
         # everything below reads the weight refs transiently per use:
         # hoisting value copies of the K+3 planes out of the loop doubles
@@ -215,23 +289,25 @@ def _kernel(n_ref, W_ref, s_ref, out_ref, *, K, offsets, tile, halo, ny, nx,
         row_g = jax.lax.broadcasted_iota(jnp.int32, (win, nx), 0) + start
         if extend_y and not bih:
             # extend rows via STATIC single-row slices: the clamped window
-            # start pins global row 0 to local row 0 of the first window
-            # and global ny-1 to local win-1 of the last, so no full-window
+            # start pins domain row 0 to local row 0 of the first window
+            # and domain ny-1 to local win-1 of the last, so no full-window
             # rolls are needed (the values match _extend_windowed exactly)
+            if has_top:
+                S = jax.lax.cond(
+                    t == 0,
+                    lambda s: jnp.where(row_l == 0, _fix_row(s[1:2, :]), s),
+                    lambda s: s, S)
+            if has_bot:
+                S = jax.lax.cond(
+                    t == n_t - 1,
+                    lambda s: jnp.where(row_l == win - 1,
+                                        _fix_row(s[win - 2:win - 1, :]), s),
+                    lambda s: s, S)
+        elif extend_y and (has_top or has_bot):
             S = jax.lax.cond(
-                t == 0,
-                lambda s: jnp.where(row_l == 0, _fix_row(s[1:2, :]), s),
-                lambda s: s, S)
-            S = jax.lax.cond(
-                t == n_t - 1,
-                lambda s: jnp.where(row_l == win - 1,
-                                    _fix_row(s[win - 2:win - 1, :]), s),
-                lambda s: s, S)
-        elif extend_y:
-            S = jax.lax.cond(
-                touches_edge,
+                jnp.logical_or(is_top, is_bot),
                 lambda s: _extend_windowed(s, row_g, ny, nx, periodic_x,
-                                           bih),
+                                           bih, which),
                 lambda s: s, S)
         parity = row_g + jax.lax.broadcasted_iota(jnp.int32, (win, nx), 1)
         for color in (0, 1):
@@ -254,10 +330,11 @@ def _kernel(n_ref, W_ref, s_ref, out_ref, *, K, offsets, tile, halo, ny, nx,
         S = jax.lax.fori_loop(0, n_ref[0], one_sweep, s_ref[0])
 
     # write back this tile's rows.  The clamped window start leaves the
-    # tile at local offset halo for interior tiles, 0 for the first and
-    # 2*halo for the last — all static slices under pl.when.
-    first = t == 0
-    last = t == n_t - 1
+    # tile at local offset halo for interior tiles, 0 for the first tile
+    # of a top-edge chunk and 2*halo for the last tile of a bottom-edge
+    # chunk — all static slices under pl.when.
+    first = is_top
+    last = is_bot
 
     @pl.when(jnp.logical_and(~first, ~last))
     def _():
@@ -446,16 +523,25 @@ def _stack_planes(spec, rel, ny, nx, dtype):
 
 @functools.partial(jax.jit,
                    static_argnames=("k_sweeps", "tile", "interpret",
-                                    "n_static"))
+                                    "n_static", "out_rows", "pad_lo",
+                                    "has_top", "has_bot"))
 def _window_chunk(spec, W, S, n, k_sweeps: int, tile: int,
-                  interpret: bool = False, n_static=None):
+                  interpret: bool = False, n_static=None,
+                  out_rows=None, pad_lo: int = 0,
+                  has_top: bool = True, has_bot: bool = True):
     """One pallas launch running ``n`` (<= k_sweeps) full iterations.
 
     ``n_static`` (<= k_sweeps) unrolls the sweep loop statically — the
     fixed-iteration hot path; ``n`` is then ignored.  ``S`` is (B, ny, nx);
     batch slices map onto the leading grid dim, streaming blocks of the
-    prebuilt ``W`` stack (shared or per-slice coefficient planes)."""
+    prebuilt ``W`` stack (shared or per-slice coefficient planes).
+
+    For a chunk call of a row-split larger domain, ``S`` and ``W`` hold the
+    chunk's rows plus its one-sided neighbor pads (``pad_lo`` below, the
+    rest above), ``out_rows`` are the rows this call owns and writes, and
+    ``has_top`` / ``has_bot`` mark true domain boundaries."""
     B, ny, nx = S.shape
+    out_rows = ny if out_rows is None else out_rows
     dtype = S.dtype
     radius = _radius(spec.offsets)
     halo = _round8(2 * radius * k_sweeps)
@@ -464,7 +550,8 @@ def _window_chunk(spec, W, S, n, k_sweeps: int, tile: int,
     bW = W.shape[0]
 
     win = tile + 2 * halo
-    inplace = _no_cross_r1(spec)
+    inplace = (_no_cross_r1(spec) and has_top and has_bot and pad_lo == 0
+               and out_rows == ny)
     if inplace:
         kern = functools.partial(
             _kernel_inplace,
@@ -485,14 +572,16 @@ def _window_chunk(spec, W, S, n, k_sweeps: int, tile: int,
             extend_y=spec.bcs[-2] == "extend",
             periodic_x=spec.bcs[-1] == "periodic",
             bih=spec.bih, dtype=dtype, n_static=n_static,
+            pad_lo=pad_lo, has_top=has_top, has_bot=has_bot,
         )
         scratch = []
 
     def _start(t):
-        # tile, halo, ny and win are all multiples of the (8, 128) sublane
-        # tiling, so every clamped window start is too — Mosaic cannot
-        # prove that through the clip, hence the explicit hint
-        return pl.multiple_of(jnp.clip(t * tile - halo, 0, ny - win), 8)
+        # tile, halo, pad_lo, ny and win are all multiples of the (8, 128)
+        # sublane tiling, so every clamped window start is too — Mosaic
+        # cannot prove that through the clip, hence the explicit hint
+        return pl.multiple_of(jnp.clip(pad_lo + t * tile - halo, 0, ny - win),
+                              8)
 
     def wmap(b, t):
         return ((b if bW > 1 else 0), 0, _start(t), 0)
@@ -506,7 +595,7 @@ def _window_chunk(spec, W, S, n, k_sweeps: int, tile: int,
     # non-windowed dims are full-size (or unit) Elements at their offset
     return pl.pallas_call(
         kern,
-        grid=(B, ny // tile),
+        grid=(B, out_rows // tile),
         in_specs=[
             pl.BlockSpec((1,), lambda b, t: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec((Element(1), Element(K + 3), Element(win),
@@ -516,7 +605,7 @@ def _window_chunk(spec, W, S, n, k_sweeps: int, tile: int,
         ],
         out_specs=pl.BlockSpec((1, tile, nx), lambda b, t: (b, t, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, ny, nx), dtype),
+        out_shape=jax.ShapeDtypeStruct((B, out_rows, nx), dtype),
         scratch_shapes=scratch,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -524,22 +613,84 @@ def _window_chunk(spec, W, S, n, k_sweeps: int, tile: int,
     )(nS, W, S)
 
 
-def _sor_sweeps_window_impl(spec, S, omega, n_sweeps, interpret: bool = False,
-                            fold: bool = False):
-    if S.ndim != 3:
-        # canonical layout is (B, ny, nx); batch dims flatten, 2-D gains B=1
-        out = _sor_sweeps_window_impl(
-            spec, S.reshape((-1,) + S.shape[-2:]), omega, n_sweeps,
-            interpret=interpret, fold=fold)
-        return out.reshape(S.shape)
-    plan = window_plan(spec, S.shape)
-    if plan is None:
-        raise ValueError("no feasible window plan for this problem")
-    tile, k, halo = plan
+class _RowChunks:
+    """Step executor for a y-row-split domain.
+
+    The state lives as a tuple of row-chunk arrays; each step assembles a
+    per-chunk input from the chunk plus ``halo`` boundary rows of its
+    neighbors and launches one position-independent kernel per chunk (the
+    full-domain result would exceed the scoped-VMEM result cap).  W slices
+    are precomputed (loop-invariant)."""
+
+    def __init__(self, W, ny, tile, k, halo, y_chunk, interpret):
+        self.tile, self.k, self.halo = tile, k, halo
+        self.interpret = interpret
+        n_chunks = -(-ny // y_chunk)
+        base, extra = divmod(ny // tile, n_chunks)
+        self.rows = [(base + (1 if c < extra else 0)) * tile
+                     for c in range(n_chunks)]
+        self.bounds = list(np.cumsum([0] + self.rows[:-1]))
+        self.Wsub = []
+        for c, (y0, r) in enumerate(zip(self.bounds, self.rows)):
+            lo = y0 - (halo if c > 0 else 0)
+            hi = y0 + r + (halo if c < n_chunks - 1 else 0)
+            self.Wsub.append(W[:, :, lo:hi, :])
+
+    def split(self, S):
+        return tuple(S[:, y0:y0 + r] for y0, r in zip(self.bounds, self.rows))
+
+    def join(self, chunks):
+        return jnp.concatenate(chunks, axis=1)
+
+    def step(self, spec, chunks, n, n_static):
+        C = len(chunks)
+        h = self.halo
+        out = []
+        for c in range(C):
+            pieces = ([chunks[c - 1][:, -h:]] if c > 0 else [])
+            pieces.append(chunks[c])
+            if c < C - 1:
+                pieces.append(chunks[c + 1][:, :h])
+            sub = pieces[0] if len(pieces) == 1 else jnp.concatenate(
+                pieces, axis=1)
+            out.append(_window_chunk(
+                spec, self.Wsub[c], sub, n, self.k, self.tile,
+                interpret=self.interpret, n_static=n_static,
+                out_rows=self.rows[c], pad_lo=0 if c == 0 else h,
+                has_top=(c == 0), has_bot=(c == C - 1)))
+        return tuple(out)
+
+
+class _OneCall:
+    """Trivial executor: the whole domain in one pallas call per step."""
+
+    def __init__(self, W, tile, k, interpret):
+        self.W, self.tile, self.k = W, tile, k
+        self.interpret = interpret
+
+    def split(self, S):
+        return S
+
+    def join(self, S):
+        return S
+
+    def step(self, spec, S, n, n_static):
+        return _window_chunk(spec, self.W, S, n, self.k, self.tile,
+                             interpret=self.interpret, n_static=n_static)
+
+
+def _run_group(spec, S, omega, n_sweeps, plan, interpret, fold):
+    """Solve one batch group: n_sweeps iterations on (B, ny, nx)."""
+    tile, k, halo, y_chunk, _ = plan
     dtype = S.dtype
-    rel = (jnp.asarray(omega, dtype) * spec.relax).astype(dtype)
     ny, nx = S.shape[-2:]
+    rel = (jnp.asarray(omega, dtype) * spec.relax).astype(dtype)
     W = _stack_planes(spec, rel, ny, nx, dtype)
+
+    def make_ex(Wx):
+        if y_chunk < ny:
+            return _RowChunks(Wx, ny, tile, k, halo, y_chunk, interpret)
+        return _OneCall(Wx, tile, k, interpret)
 
     if isinstance(n_sweeps, (int, np.integer)):
         # static count: chunks run the fully unrolled kernel.  For
@@ -553,31 +704,71 @@ def _sor_sweeps_window_impl(spec, S, omega, n_sweeps, interpret: bool = False,
             fspec = _fold_extend(spec)
             relf = (jnp.asarray(omega, dtype) * fspec.relax).astype(dtype)
             Wf = _stack_planes(fspec, relf, ny, nx, dtype)
-            run_spec, run_W = fspec, Wf
+            run_spec, run_ex = fspec, make_ex(Wf)
         else:
-            run_spec, run_W = spec, W
+            run_spec, run_ex = spec, make_ex(W)
         full, rem = divmod(n - tail, k)
-        S = jax.lax.fori_loop(
+        st = run_ex.split(S)
+        st = jax.lax.fori_loop(
             0, full,
-            lambda i, s: _window_chunk(run_spec, run_W, s, k, k, tile,
-                                       interpret=interpret, n_static=k),
-            S)
+            lambda i, s: run_ex.step(run_spec, s, k, n_static=k),
+            st)
         if rem:
-            S = _window_chunk(run_spec, run_W, S, rem, k, tile,
-                              interpret=interpret, n_static=rem)
+            st = run_ex.step(run_spec, st, rem, n_static=rem)
         if tail:
-            S = _window_chunk(spec, W, S, 1, k, tile,
-                              interpret=interpret, n_static=1)
-        return S
+            tail_ex = make_ex(W)
+            st = tail_ex.step(spec, st, 1, n_static=1)
+        return run_ex.join(st)
 
+    ex = make_ex(W)
     n = jnp.asarray(n_sweeps, jnp.int32)
     chunks = (n + k - 1) // k
+    st = ex.split(S)
+    st = jax.lax.fori_loop(
+        0, chunks,
+        lambda i, s: ex.step(spec, s, jnp.minimum(k, n - i * k), None),
+        st)
+    return ex.join(st)
 
-    def body(i, s):
-        return _window_chunk(spec, W, s, jnp.minimum(k, n - i * k), k,
-                             tile, interpret=interpret)
 
-    return jax.lax.fori_loop(0, chunks, body, S)
+def _sor_sweeps_window_impl(spec, S, omega, n_sweeps, interpret: bool = False,
+                            fold: bool = False):
+    if S.ndim != 3:
+        # canonical layout is (B, ny, nx); batch dims flatten, 2-D gains B=1
+        out = _sor_sweeps_window_impl(
+            spec, S.reshape((-1,) + S.shape[-2:]), omega, n_sweeps,
+            interpret=interpret, fold=fold)
+        return out.reshape(S.shape)
+    plan = window_plan(spec, S.shape)
+    if plan is None:
+        raise ValueError("no feasible window plan for this problem")
+    B = S.shape[0]
+    b_chunk = plan.b_chunk
+    if b_chunk >= B:
+        return _run_group(spec, S, omega, n_sweeps, plan, interpret, fold)
+
+    # batch groups: per-slice weight planes (if any) slice with the state;
+    # broadcast (size-1 or absent) batch dims are shared across groups
+    import dataclasses
+
+    def bsl(a, b0, nb, axis, base_ndim):
+        a = jnp.asarray(a)
+        if a.ndim > base_ndim and a.shape[axis] != 1:
+            return jax.lax.slice_in_dim(a, b0, b0 + nb, axis=axis)
+        return a
+
+    outs = []
+    for b0 in range(0, B, b_chunk):
+        nb = min(b_chunk, B - b0)
+        gspec = dataclasses.replace(
+            spec,
+            w=bsl(spec.w, b0, nb, 1, 3), w0=bsl(spec.w0, b0, nb, 0, 2),
+            g=bsl(spec.g, b0, nb, 0, 2), relax=bsl(spec.relax, b0, nb, 0, 2),
+            active=bsl(spec.active, b0, nb, 0, 2))
+        outs.append(_run_group(
+            gspec, jax.lax.slice_in_dim(S, b0, b0 + nb, axis=0), omega,
+            n_sweeps, plan, interpret, fold))
+    return jnp.concatenate(outs, axis=0)
 
 
 _jit_plain = jax.jit(_sor_sweeps_window_impl,
