@@ -196,6 +196,90 @@ def test_sharded_3d_omega():
     assert int(shard.iters) == int(single.iters)
 
 
+def test_sharded_mg_matches_single_device():
+    """solve_mg with the pyramid sharded over ('y','x') reproduces the
+    single-device V-cycle (line-smoother scans may reassociate, so
+    allclose rather than bit-equal) and still converges."""
+    from xinvert_tpu.mg import build_pyramid_standard2d, solve_mg
+    from xinvert_tpu.parallel import solve_mg_sharded
+
+    ny, nx = 128, 128            # cell-coarsened levels 128->64->32->16
+    rng = np.random.default_rng(2)  # stay mesh-divisible (device_put needs it)
+    A = np.abs(rng.normal(1, .05, (ny, nx))) + 1.0
+    C = np.abs(rng.normal(1, .05, (ny, nx))) + 1.0
+    F = rng.normal(0, 1, (ny, nx))
+    Fdef = np.ones((ny, nx), bool)
+    Fdef[40:55, 30:90] = False
+    pyr = build_pyramid_standard2d(A, 0.0, C, F, Fdef, (1.2e5, 1.0e5),
+                                   ("fixed", "periodic"))
+    S, k, res, conv = solve_mg(pyr, tol=1e-8, max_cycles=40)
+    assert conv
+
+    mesh = make_grid_mesh(8, batch=1)
+    Ssh, ksh, res_sh, conv_sh = solve_mg_sharded(pyr, mesh=mesh, tol=1e-8,
+                                                 max_cycles=40)
+    assert conv_sh and res_sh < 1e-8
+    scale = np.abs(np.asarray(S)).max()
+    np.testing.assert_allclose(np.asarray(Ssh), np.asarray(S),
+                               rtol=0, atol=1e-9 * scale)
+
+
+def test_sharded_mg_batched():
+    """Batched V-cycles (shared operator, per-member forcing) shard over
+    the mesh 'batch' axis and match the unsharded batched solve."""
+    from xinvert_tpu.mg import build_pyramid_standard2d, solve_mg
+    from xinvert_tpu.parallel import solve_mg_sharded
+
+    ny, nx, B = 64, 64, 4
+    rng = np.random.default_rng(5)
+    A = np.abs(rng.normal(1, .05, (ny, nx))) + 1.0
+    C = np.abs(rng.normal(1, .05, (ny, nx))) + 1.0
+    F = rng.normal(0, 1, (ny, nx))
+    Fdef = np.ones((ny, nx), bool)
+    pyr = build_pyramid_standard2d(A, 0.0, C, F, Fdef, (1.2e5, 1.0e5),
+                                   ("fixed", "fixed"))
+    # folded per-member constant terms: scaled copies of the fine g
+    g0 = jnp.stack([(0.5 + 0.5 * b) * pyr[0].spec.g for b in range(B)])
+    S0 = jnp.zeros((B, ny, nx))
+    S, k, res, conv = solve_mg(pyr, S0, g0=g0, tol=1e-8, max_cycles=30)
+    assert conv
+
+    mesh = make_grid_mesh(8, batch=2)
+    Ssh, ksh, res_sh, conv_sh = solve_mg_sharded(
+        pyr, S0, g0=g0, mesh=mesh, tol=1e-8, max_cycles=30)
+    assert conv_sh and res_sh < 1e-8
+    scale = np.abs(np.asarray(S)).max()
+    np.testing.assert_allclose(np.asarray(Ssh), np.asarray(S),
+                               rtol=0, atol=1e-9 * scale)
+
+
+def test_sharded_mg_3d_semicoarsened():
+    """The 3-D semicoarsened pyramid (z-line smoothing, z replicated)
+    solves under ('y','x') sharding — the omega-across-hosts MG path."""
+    from xinvert_tpu.mg import build_pyramid_standard3d, solve_mg
+    from xinvert_tpu.parallel import solve_mg_sharded
+
+    nz, ny, nx = 6, 32, 32
+    rng = np.random.default_rng(7)
+    A = np.full((nz, ny, nx), 1e-8)
+    Bc = np.abs(rng.normal(1, .05, (nz, ny, nx))) + 1.0
+    C = np.abs(rng.normal(1, .05, (nz, ny, nx))) + 1.0
+    F = rng.normal(0, 1, (nz, ny, nx))
+    Fdef = np.ones((nz, ny, nx), bool)
+    pyr = build_pyramid_standard3d(A, Bc, C, F, Fdef, (7e3, 1.2e5, 1.0e5),
+                                   ("fixed", "fixed", "periodic"))
+    S, k, res, conv = solve_mg(pyr, tol=1e-7, max_cycles=40)
+    assert conv
+
+    mesh = make_grid_mesh(4, batch=1)
+    Ssh, ksh, res_sh, conv_sh = solve_mg_sharded(pyr, mesh=mesh, tol=1e-7,
+                                                 max_cycles=40)
+    assert conv_sh and res_sh < 1e-7
+    scale = np.abs(np.asarray(S)).max()
+    np.testing.assert_allclose(np.asarray(Ssh), np.asarray(S),
+                               rtol=0, atol=1e-8 * scale)
+
+
 def test_halo_traffic_one_packed_exchange_per_half_sweep():
     """The latency-optimized executor moves ONE color-packed ring per
     half-sweep for nearest-neighbor stencils: exchanged bytes per iteration

@@ -13,7 +13,7 @@ the sharding annotations.
 """
 from .mesh import (                                              # noqa: F401
     make_grid_mesh, shard_problem, solve_sharded, solve_fixed_sharded,
-    problem_pspecs,
+    problem_pspecs, shard_mg_levels, solve_mg_sharded,
 )
 from .halo import solve_fixed_halo                               # noqa: F401
 from .scaling import (                                           # noqa: F401

@@ -25,6 +25,7 @@ from ..solver import solve, solve_fixed, SolveResult
 __all__ = [
     "make_grid_mesh", "problem_pspecs", "shard_problem",
     "solve_sharded", "solve_fixed_sharded",
+    "shard_mg_levels", "solve_mg_sharded",
 ]
 
 
@@ -126,6 +127,75 @@ def solve_sharded(spec: StencilSpec, S0, mesh: Optional[Mesh] = None,
         mesh = make_grid_mesh()
     spec_sh, S0_sh = shard_problem(spec, S0, mesh)
     return solve(spec_sh, S0_sh, omega=omega, tol=tol, max_iters=max_iters)
+
+
+def _fit_pspec(p: P, shape, mesh: Mesh) -> P:
+    """Drop mesh axes from a PartitionSpec on dims they do not divide.
+
+    ``device_put`` requires even divisibility; multigrid pyramids have
+    odd (vertex-coarsened) and small coarse dims, which simply replicate —
+    the right distributed-MG behavior anyway (coarse grids are too small
+    to be worth distributing)."""
+    names = list(p) + [None] * (len(shape) - len(p))
+    for i, (ax, n) in enumerate(zip(names, shape)):
+        if ax is not None and n % mesh.shape[ax]:
+            names[i] = None
+    return P(*names)
+
+
+def shard_mg_levels(levels, mesh: Mesh):
+    """Place every multigrid level's arrays onto the mesh.
+
+    Core dims shard like :func:`problem_pspecs` (rows over 'y', columns
+    over 'x') wherever the mesh divides them; odd or small (coarse) dims
+    replicate — the fine levels carry virtually all of the work anyway.
+    Smoother choice and coarsening parity are static metadata stamped at
+    build time, so the jitted V-cycle inherits the shardings unchanged
+    (zebra line solves reshard their scan axis as needed).
+    """
+    import dataclasses
+
+    def put(a, p):
+        return jax.device_put(a, NamedSharding(mesh,
+                                               _fit_pspec(p, a.shape, mesh)))
+
+    out = []
+    for lv in levels:
+        sp = lv.spec
+        pspecs, _ = problem_pspecs(sp, 0)
+        spec_sh = StencilSpec(
+            w=put(sp.w, pspecs.w), w0=put(sp.w0, pspecs.w0),
+            g=put(sp.g, pspecs.g), relax=put(sp.relax, pspecs.relax),
+            active=put(sp.active, pspecs.active),
+            offsets=sp.offsets, bcs=sp.bcs, bih=sp.bih,
+            stop_on_zero_norm=sp.stop_on_zero_norm,
+        )
+        out.append(dataclasses.replace(lv, spec=spec_sh,
+                                       omega=put(lv.omega, P())))
+    return out
+
+
+def solve_mg_sharded(levels, S0=None, mesh: Optional[Mesh] = None,
+                     g0=None, **kw):
+    """:func:`xinvert_tpu.mg.solve_mg` with the pyramid sharded over
+    ``mesh`` — same semantics, distributed placement.  ``S0``/``g0`` may
+    carry a leading batch axis (sharded over the mesh 'batch' axis)."""
+    from ..mg import solve_mg
+
+    if mesh is None:
+        mesh = make_grid_mesh()
+    levels_sh = shard_mg_levels(levels, mesh)
+    spec = levels[0].spec
+
+    def put_state(a):
+        if a is None:
+            return None
+        a = jax.numpy.asarray(a)
+        _, p = problem_pspecs(spec, a.ndim - spec.ndim)
+        return jax.device_put(a, NamedSharding(mesh,
+                                               _fit_pspec(p, a.shape, mesh)))
+
+    return solve_mg(levels_sh, put_state(S0), g0=put_state(g0), **kw)
 
 
 def solve_fixed_sharded(spec: StencilSpec, S0, n_iters: int,
