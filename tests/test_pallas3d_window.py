@@ -1,0 +1,141 @@
+# -*- coding: utf-8 -*-
+"""Windowed >VMEM 3-D Pallas kernel parity vs the XLA roll path (interpret
+mode on CPU; the same kernel compiles via Mosaic on TPU).
+
+The kernel targets the reference's deep-atmosphere omega workloads
+(11_Omega_equation.ipynb interpolates the 37-level case to 73 levels —
+too large for the VMEM-resident 3-D kernel)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from xinvert_tpu import stencil
+from xinvert_tpu.solver import _solve_fixed_xla
+from xinvert_tpu.ops.pallas_sor3d_window import (sor_sweeps_window3d,
+                                                 window3d_applicable,
+                                                 window3d_plan)
+
+
+def _standard3d(bcs, batch=0, seed=0, shape3=(5, 48, 16)):
+    rng = np.random.default_rng(seed)
+    zc, yc, xc = shape3
+    A = np.abs(rng.normal(1.0, 0.1, shape3)) + 0.5
+    B = np.abs(rng.normal(1.0, 0.1, shape3)) + 0.5
+    C = np.abs(rng.normal(1.0, 0.1, shape3)) + 0.5
+    shape = ((batch,) + shape3 if batch else shape3)
+    F = rng.normal(0.0, 1.0, shape)
+    Fdef = np.ones(shape3, bool)
+    Fdef[2:4, 10:20, 4:8] = False
+    spec = stencil.standard_3d(jnp.asarray(A), jnp.asarray(B), jnp.asarray(C),
+                               jnp.asarray(F), jnp.asarray(Fdef),
+                               (5e3, 1.1e5, 1.0e5), bcs)
+    return spec, jnp.zeros(shape)
+
+
+def test_window3d_plan_shapes():
+    spec, S0 = _standard3d(("fixed", "extend", "periodic"))
+    plan = window3d_plan(spec, S0.shape)
+    assert plan is not None
+    assert plan.tile > plan.halo
+    assert plan.tile + 2 * plan.halo <= S0.shape[-2]
+    # ny not a sublane multiple -> no plan
+    spec2, S2 = _standard3d(("fixed", "fixed", "fixed"), shape3=(5, 42, 16))
+    assert window3d_plan(spec2, S2.shape) is None
+    # the reference's 73-level omega shape has a feasible f32 plan
+    spec73, S73 = _standard3d(("fixed", "extend", "periodic"),
+                              shape3=(5, 72, 16))
+    import jax.tree_util as jtu
+    spec73 = jtu.tree_map(
+        lambda a: a.astype(jnp.float32) if hasattr(a, "astype") else a,
+        spec73)
+    assert window3d_plan(spec73, (73, 72, 288)) is not None
+
+
+@pytest.mark.parametrize("bcs,batch", [
+    (("fixed", "fixed", "fixed"), 0),
+    (("fixed", "fixed", "periodic"), 0),
+    (("fixed", "extend", "periodic"), 0),
+    (("fixed", "extend", "fixed"), 0),
+    (("fixed", "extend", "periodic"), 3),
+])
+def test_window3d_matches_xla_standard(bcs, batch):
+    spec, S0 = _standard3d(bcs, batch=batch)
+    ref = _solve_fixed_xla(spec, S0, 1.2, 11)
+    out = sor_sweeps_window3d(spec, S0, 1.2, 11, interpret=True)
+    # CPU-interpret comparisons see ~1-ulp FMA-contraction noise between
+    # the two program structures (same convention as test_pallas3d; the
+    # kernels are bit-exact vs the XLA path on TPU hardware —
+    # tools/tpu_window3d_check.py)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-11, atol=1e-11)
+
+
+def test_window3d_general():
+    rng = np.random.default_rng(7)
+    shape = (5, 48, 16)
+    A = np.abs(rng.normal(1.0, 0.1, shape)) + 0.5
+    B = np.abs(rng.normal(1.0, 0.1, shape)) + 0.5
+    C = np.abs(rng.normal(1.0, 0.1, shape)) + 0.5
+    D = rng.normal(0, 1e-6, shape)
+    E = rng.normal(0, 1e-6, shape)
+    Fc = rng.normal(0, 1e-6, shape)
+    G = -np.abs(rng.normal(1e-10, 1e-11, shape))
+    H = rng.normal(0, 1.0, shape)
+    spec = stencil.general_3d(*map(jnp.asarray, (A, B, C, D, E, Fc, G, H)),
+                              jnp.ones(shape, bool), (5e3, 1.1e5, 1.0e5),
+                              ("fixed", "fixed", "periodic"))
+    S0 = jnp.zeros(shape)
+    ref = _solve_fixed_xla(spec, S0, 1.2, 9)
+    out = sor_sweeps_window3d(spec, S0, 1.2, 9, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-11, atol=1e-11)
+
+
+def test_window3d_dynamic_count():
+    """Traced sweep counts run through the SMEM trip-count kernel."""
+    spec, S0 = _standard3d(("fixed", "extend", "periodic"), seed=3)
+    ref = _solve_fixed_xla(spec, S0, 1.3, 7)
+    n = jnp.asarray(7, jnp.int32)
+    out = sor_sweeps_window3d(spec, S0, 1.3, n, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-11, atol=1e-11)
+
+
+def test_window3d_batch_groups(monkeypatch):
+    """Forcing a small result cap splits the batch into group calls."""
+    from xinvert_tpu.ops import pallas_sor3d_window as m
+    # unique shape so the forced-plan trace cannot collide with cached jits
+    spec, S0 = _standard3d(("fixed", "extend", "periodic"), batch=4,
+                           shape3=(4, 48, 24), seed=11)
+    slab = int(np.prod(S0.shape[-3:])) * 8      # f64 on CPU
+    monkeypatch.setattr(m, "_RESULT_CAP", 2 * slab)
+    monkeypatch.setattr(m, "_CHUNK_TARGET", 2 * slab)
+    plan = m.window3d_plan(spec, S0.shape)
+    assert plan is not None and plan.b_chunk == 2
+    ref = _solve_fixed_xla(spec, S0, 1.2, 6)
+    out = sor_sweeps_window3d(spec, S0, 1.2, 6, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-11, atol=1e-11)
+
+
+def test_dispatch_selects_window3d(monkeypatch):
+    """On a TPU backend, an f32 3-D problem too large for the VMEM-resident
+    kernel but with a feasible window plan dispatches to window3d."""
+    from xinvert_tpu import solver
+    from xinvert_tpu.ops import pallas_sor3d
+
+    spec, S0 = _standard3d(("fixed", "extend", "periodic"))
+    spec32 = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.float32) if hasattr(a, "astype") else a, spec)
+    S32 = S0.astype(jnp.float32)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert solver._select_kernel(spec32, S32) == "vmem3d"
+    monkeypatch.setattr(pallas_sor3d, "VMEM3D_BUDGET", 1024)
+    assert solver._select_kernel(spec32, S32) == "window3d"
+
+
+def test_window3d_applicable_excludes_vmem3d():
+    spec, S0 = _standard3d(("fixed", "extend", "periodic"))
+    # fits VMEM-resident -> windowed path defers
+    assert not window3d_applicable(spec, S0.shape)

@@ -183,6 +183,9 @@ def _select_kernel(spec, S):
     from .ops.pallas_sor3d import pallas3d_applicable
     if pallas3d_applicable(spec, jnp.shape(S)):
         return "vmem3d"
+    from .ops.pallas_sor3d_window import window3d_applicable
+    if window3d_applicable(spec, jnp.shape(S), for_dispatch=True):
+        return "window3d"
     return None
 
 
@@ -217,6 +220,15 @@ def _solve_impl(spec, S0, omega, tol, max_iters, check_every=1,
                 k == check_every,
                 lambda s: sor_sweeps_window(spec, s, omega, check_every),
                 lambda s: sor_sweeps_window(spec, s, omega, k),
+                S)
+    elif kernel == "window3d":
+        from .ops.pallas_sor3d_window import sor_sweeps_window3d
+
+        def sweeps(S, k):
+            return jax.lax.cond(
+                k == check_every,
+                lambda s: sor_sweeps_window3d(spec, s, omega, check_every),
+                lambda s: sor_sweeps_window3d(spec, s, omega, k),
                 S)
     elif check_every == 1:
         def sweeps(S, k):
@@ -293,7 +305,7 @@ _solve_jit_window = None
 
 def _solve_jit_for(kernel):
     global _solve_jit_window
-    if kernel not in ("window", "vmem3d"):
+    if kernel not in ("window", "vmem3d", "window3d"):
         return _solve_jit
     if _solve_jit_window is None:
         from .ops.pallas_sor_window import WINDOW_COMPILER_OPTS
@@ -371,6 +383,10 @@ def solve_fixed(spec: StencilSpec, S0, omega, n_iters: int,
     if kernel == "vmem3d":
         from .ops.pallas_sor3d import sor_sweeps_pallas3d
         return sor_sweeps_pallas3d(spec, S0, jnp.asarray(omega, S0.dtype),
+                                   n_iters)
+    if kernel == "window3d":
+        from .ops.pallas_sor3d_window import sor_sweeps_window3d
+        return sor_sweeps_window3d(spec, S0, jnp.asarray(omega, S0.dtype),
                                    n_iters)
     return _solve_fixed_xla(spec, S0, omega, n_iters)
 
