@@ -4,7 +4,7 @@ mode on CPU; the same kernel compiles via Mosaic on TPU).
 
 The kernel targets the reference's deep-atmosphere omega workloads
 (11_Omega_equation.ipynb interpolates the 37-level case to 73 levels —
-too large for the VMEM-resident 3-D kernel)."""
+too large for the VMEM-resident 3-D kernel), windowing along z."""
 import numpy as np
 import pytest
 import jax
@@ -17,7 +17,7 @@ from xinvert_tpu.ops.pallas_sor3d_window import (sor_sweeps_window3d,
                                                  window3d_plan)
 
 
-def _standard3d(bcs, batch=0, seed=0, shape3=(5, 48, 16)):
+def _standard3d(bcs, batch=0, seed=0, shape3=(24, 16, 20)):
     rng = np.random.default_rng(seed)
     zc, yc, xc = shape3
     A = np.abs(rng.normal(1.0, 0.1, shape3)) + 0.5
@@ -26,7 +26,7 @@ def _standard3d(bcs, batch=0, seed=0, shape3=(5, 48, 16)):
     shape = ((batch,) + shape3 if batch else shape3)
     F = rng.normal(0.0, 1.0, shape)
     Fdef = np.ones(shape3, bool)
-    Fdef[2:4, 10:20, 4:8] = False
+    Fdef[8:16, 5:10, 4:8] = False
     spec = stencil.standard_3d(jnp.asarray(A), jnp.asarray(B), jnp.asarray(C),
                                jnp.asarray(F), jnp.asarray(Fdef),
                                (5e3, 1.1e5, 1.0e5), bcs)
@@ -37,16 +37,15 @@ def test_window3d_plan_shapes():
     spec, S0 = _standard3d(("fixed", "extend", "periodic"))
     plan = window3d_plan(spec, S0.shape)
     assert plan is not None
-    assert plan.tile > plan.halo
-    assert plan.tile + 2 * plan.halo <= S0.shape[-2]
-    # ny not a sublane multiple -> no plan
-    spec2, S2 = _standard3d(("fixed", "fixed", "fixed"), shape3=(5, 42, 16))
+    assert plan.tile >= plan.halo == 2 * plan.k_sweeps
+    assert plan.tile + 2 * plan.halo <= plan.nzp
+    assert plan.nzp % plan.tile == 0 and plan.nzp >= S0.shape[-3]
+    # too-shallow z -> no plan
+    spec2, S2 = _standard3d(("fixed", "fixed", "fixed"), shape3=(5, 16, 20))
     assert window3d_plan(spec2, S2.shape) is None
     # the reference's 73-level omega shape has a feasible f32 plan
-    spec73, S73 = _standard3d(("fixed", "extend", "periodic"),
-                              shape3=(5, 72, 16))
-    import jax.tree_util as jtu
-    spec73 = jtu.tree_map(
+    spec73, _ = _standard3d(("fixed", "extend", "periodic"))
+    spec73 = jax.tree_util.tree_map(
         lambda a: a.astype(jnp.float32) if hasattr(a, "astype") else a,
         spec73)
     assert window3d_plan(spec73, (73, 72, 288)) is not None
@@ -65,15 +64,14 @@ def test_window3d_matches_xla_standard(bcs, batch):
     out = sor_sweeps_window3d(spec, S0, 1.2, 11, interpret=True)
     # CPU-interpret comparisons see ~1-ulp FMA-contraction noise between
     # the two program structures (same convention as test_pallas3d; the
-    # kernels are bit-exact vs the XLA path on TPU hardware —
-    # tools/tpu_window3d_check.py)
+    # on-hardware check is tools/tpu_window3d_check.py)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=1e-11, atol=1e-11)
+                               rtol=1e-10, atol=1e-10)
 
 
 def test_window3d_general():
     rng = np.random.default_rng(7)
-    shape = (5, 48, 16)
+    shape = (24, 16, 20)
     A = np.abs(rng.normal(1.0, 0.1, shape)) + 0.5
     B = np.abs(rng.normal(1.0, 0.1, shape)) + 0.5
     C = np.abs(rng.normal(1.0, 0.1, shape)) + 0.5
@@ -89,7 +87,19 @@ def test_window3d_general():
     ref = _solve_fixed_xla(spec, S0, 1.2, 9)
     out = sor_sweeps_window3d(spec, S0, 1.2, 9, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=1e-11, atol=1e-11)
+                               rtol=1e-10, atol=1e-10)
+
+
+def test_window3d_unpadded_z():
+    """nz already a tile multiple: no pad path (nzp == nz)."""
+    spec, S0 = _standard3d(("fixed", "extend", "periodic"), shape3=(32, 10, 12),
+                           seed=5)
+    plan = window3d_plan(spec, S0.shape)
+    assert plan is not None
+    ref = _solve_fixed_xla(spec, S0, 1.2, 8)
+    out = sor_sweeps_window3d(spec, S0, 1.2, 8, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-10, atol=1e-10)
 
 
 def test_window3d_dynamic_count():
@@ -99,7 +109,7 @@ def test_window3d_dynamic_count():
     n = jnp.asarray(7, jnp.int32)
     out = sor_sweeps_window3d(spec, S0, 1.3, n, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=1e-11, atol=1e-11)
+                               rtol=1e-10, atol=1e-10)
 
 
 def test_window3d_batch_groups(monkeypatch):
@@ -107,16 +117,17 @@ def test_window3d_batch_groups(monkeypatch):
     from xinvert_tpu.ops import pallas_sor3d_window as m
     # unique shape so the forced-plan trace cannot collide with cached jits
     spec, S0 = _standard3d(("fixed", "extend", "periodic"), batch=4,
-                           shape3=(4, 48, 24), seed=11)
-    slab = int(np.prod(S0.shape[-3:])) * 8      # f64 on CPU
-    monkeypatch.setattr(m, "_RESULT_CAP", 2 * slab)
-    monkeypatch.setattr(m, "_CHUNK_TARGET", 2 * slab)
+                           shape3=(24, 16, 24), seed=11)
+    plan0 = m.window3d_plan(spec, S0.shape)
+    slab3 = plan0.nzp * int(np.prod(S0.shape[-2:])) * 8      # f64 on CPU
+    monkeypatch.setattr(m, "_RESULT_CAP", 2 * slab3)
+    monkeypatch.setattr(m, "_CHUNK_TARGET", 2 * slab3)
     plan = m.window3d_plan(spec, S0.shape)
     assert plan is not None and plan.b_chunk == 2
     ref = _solve_fixed_xla(spec, S0, 1.2, 6)
     out = sor_sweeps_window3d(spec, S0, 1.2, 6, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=1e-11, atol=1e-11)
+                               rtol=1e-10, atol=1e-10)
 
 
 def test_dispatch_selects_window3d(monkeypatch):

@@ -84,8 +84,11 @@ def test_window_plan_chunked_shapes():
                                                    _CHUNK_TARGET)
 
     def f32spec(ny, nx):
+        # the plan reads only dtype/offsets/bcs/bih from the spec, so a
+        # small spec stands in for the huge grid (building real 8192^2
+        # coefficient planes took ~13 min of the CPU suite)
         import dataclasses
-        s = _spec(ny, nx, ("extend", "periodic"))
+        s = _spec(64, 64, ("extend", "periodic"))
         return dataclasses.replace(
             s, w=s.w.astype(jnp.float32), w0=s.w0.astype(jnp.float32),
             g=s.g.astype(jnp.float32), relax=s.relax.astype(jnp.float32))
