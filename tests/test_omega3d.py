@@ -82,3 +82,43 @@ def test_omega_scalar_vs_profile_n2(atmos3d):
         bad.values[5] = -1.0
         invert_omega(atmos3d.F, dims=["LEV", "lat", "lon"],
                      iParams=IPARAMS, mParams={"N2": bad})
+
+
+def test_omega_3d_deep_73_levels(atmos3d):
+    """The reference notebook's deep-atmosphere variant interpolates the
+    37-level case to 73 levels (11_Omega_equation.ipynb); run the inversion
+    end-to-end at that depth.  (The TPU f32 form of this problem exceeds
+    whole-volume VMEM residency and takes the z-windowed kernel —
+    tests/test_pallas3d_window.py::test_window3d_plan_shapes.)"""
+    from xinvert_tpu import Field
+    from xinvert_tpu.models import api
+
+    F37 = atmos3d.F.values
+    lev = np.asarray(atmos3d.F.coords["LEV"], float)
+    lat = atmos3d.F.coords["lat"]
+    lon = atmos3d.F.coords["lon"]
+    lev73 = np.linspace(lev[0], lev[-1], 73)
+    t = (lev73 - lev[0]) / (lev[-1] - lev[0]) * (len(lev) - 1)
+    i0 = np.clip(np.floor(t).astype(int), 0, len(lev) - 2)
+    fr = (t - i0)[:, None, None]
+    F73 = F37[i0] * (1 - fr) + F37[i0 + 1] * fr
+    n2 = np.asarray(atmos3d.N2prof.values, float)
+    N73 = n2[i0] * (1 - fr[:, 0, 0]) + n2[i0 + 1] * fr[:, 0, 0]
+
+    Ff = Field(F73, ("LEV", "lat", "lon"),
+               {"LEV": lev73, "lat": lat, "lon": lon})
+    Nf = Field(N73, ("LEV",), {"LEV": lev73})
+    W = invert_omega(Ff, dims=["LEV", "lat", "lon"],
+                     iParams={"BCs": ["fixed", "fixed", "periodic"],
+                              "tolerance": 1e-9, "mxLoop": 800,
+                              "printInfo": False},
+                     mParams={"N2": Nf})
+    r = api.LAST_SOLVE
+    assert int(r.iters) < 800 and float(r.rel_change) < 1e-9
+    v = W.values
+    assert v.shape == (73, 72, 144) and np.isfinite(v).all()
+    # the mid-latitude wave-train response structure survives the deep grid
+    latv = np.asarray(lat)
+    mid = (np.abs(latv) > 30) & (np.abs(latv) < 60)
+    trop = np.abs(latv) < 15
+    assert np.abs(v[:, mid]).mean() > 3 * np.abs(v[:, trop]).mean()
