@@ -150,3 +150,27 @@ def test_window3d_applicable_excludes_vmem3d():
     spec, S0 = _standard3d(("fixed", "extend", "periodic"))
     # fits VMEM-resident -> windowed path defers
     assert not window3d_applicable(spec, S0.shape)
+
+
+def test_window3d_batch_groups_multidim(monkeypatch):
+    """Multi-dim batch (e.g. time x member) with per-slice forcing through
+    the batch-group chunked path: spec arrays flatten with the state."""
+    from xinvert_tpu.ops import pallas_sor3d_window as m
+    rng = np.random.default_rng(13)
+    shape3 = (24, 16, 28)
+    A = np.abs(rng.normal(1.0, 0.1, shape3)) + 0.5
+    F = rng.normal(0.0, 1.0, (2, 2) + shape3)       # (time, member, z, y, x)
+    spec = stencil.standard_3d(jnp.asarray(A), jnp.asarray(A),
+                               jnp.asarray(A), jnp.asarray(F),
+                               jnp.ones(shape3, bool), (5e3, 1.1e5, 1.0e5),
+                               ("fixed", "extend", "periodic"))
+    S0 = jnp.zeros((2, 2) + shape3)
+    plan0 = m.window3d_plan(spec, S0.shape)
+    slab3 = plan0.nzp * int(np.prod(shape3[-2:])) * 8
+    monkeypatch.setattr(m, "_RESULT_CAP", 2 * slab3)
+    monkeypatch.setattr(m, "_CHUNK_TARGET", 2 * slab3)
+    assert m.window3d_plan(spec, S0.shape).b_chunk == 2
+    ref = _solve_fixed_xla(spec, S0, 1.2, 6)
+    out = sor_sweeps_window3d(spec, S0, 1.2, 6, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-10, atol=1e-10)

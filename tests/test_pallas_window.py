@@ -282,3 +282,24 @@ def test_window_extend_fold_close(monkeypatch):
     out = sor_sweeps_window(spec, S0, 1.5, 20, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-12, atol=1e-12)
+
+
+def test_window_batch_groups_multidim(monkeypatch):
+    """Multi-dim batch (e.g. time x member) with per-slice forcing through
+    the batch-group chunked path: spec arrays flatten with the state."""
+    from xinvert_tpu.ops.pallas_sor_window import window_plan
+    _force_chunking(monkeypatch, 128 * 1024, 128 * 1024)
+    ny, nx = 64, 160
+    rng = np.random.default_rng(23)
+    A = np.abs(rng.normal(1, 0.1, (ny, nx))) + 0.5
+    F = rng.normal(0, 1, (2, 2, ny, nx))            # (time, member, y, x)
+    spec = stencil.standard_2d(jnp.asarray(A), 0.0, jnp.asarray(A),
+                               jnp.asarray(F), jnp.ones((ny, nx), bool),
+                               (1.3, 1.0), ("extend", "periodic"))
+    plan = window_plan(spec, (4, ny, nx))
+    assert plan is not None and plan.b_chunk < 4, plan
+    S0 = jnp.zeros((2, 2, ny, nx))
+    ref = solver.solve_fixed(spec, S0, 1.5, 9, use_pallas=False)
+    out = sor_sweeps_window(spec, S0, 1.5, 9, interpret=True)
+    assert np.array_equal(np.asarray(out), np.asarray(ref)), (
+        np.abs(np.asarray(out) - np.asarray(ref)).max())

@@ -26,6 +26,7 @@ def main():
     ap.add_argument("--iters", type=int, default=500)
     ap.add_argument("--chain", type=int, default=6)
     args = ap.parse_args()
+    args.chain = max(2, args.chain)
 
     print("backend:", jax.default_backend(), flush=True)
     rng = np.random.default_rng(0)

@@ -11,9 +11,9 @@ radius-1, 6-offset stencils), windowing along **z** rather than y:
 
 - each program's INPUT window is an overlapping ``Element``-indexed block
   of ``tile + 2*halo`` z-levels across the FULL (y, x) plane extents, with
-  ``halo = 2*k_sweeps`` (one red-black iteration propagates one level);
-  z is an untiled dim, so window offsets need no sublane alignment and
-  ny/nx are unconstrained;
+  ``halo = 2*k_sweeps`` (one red-black iteration propagates at most TWO
+  levels — one per color half-sweep); z is an untiled dim, so window
+  offsets need no sublane alignment and ny/nx are unconstrained;
 - window starts are clamped into the (padded) domain; ``k_sweeps`` full
   iterations run in VMEM, then only the tile's own levels are written
   back (three static cases under ``pl.when``);
@@ -357,21 +357,18 @@ def _impl(spec, S, omega, n_sweeps, interpret: bool = False):
     # batch groups: per-slice planes (if any) slice with the state;
     # broadcast (size-1 or absent) batch dims are shared across groups
     import dataclasses
+    from .pallas_sor_window import _flatten_spec_batch, _bsl
 
-    def bsl(a, b0, nb, axis, base_ndim):
-        a = jnp.asarray(a)
-        if a.ndim > base_ndim and a.shape[axis] != 1:
-            return jax.lax.slice_in_dim(a, b0, b0 + nb, axis=axis)
-        return a
-
+    spec = _flatten_spec_batch(spec, 3)
     outs = []
     for b0 in range(0, B, b_chunk):
         nb = min(b_chunk, B - b0)
         gspec = dataclasses.replace(
             spec,
-            w=bsl(spec.w, b0, nb, 1, 4), w0=bsl(spec.w0, b0, nb, 0, 3),
-            g=bsl(spec.g, b0, nb, 0, 3), relax=bsl(spec.relax, b0, nb, 0, 3),
-            active=bsl(spec.active, b0, nb, 0, 3))
+            w=_bsl(spec.w, b0, nb, 1, 4), w0=_bsl(spec.w0, b0, nb, 0, 3),
+            g=_bsl(spec.g, b0, nb, 0, 3),
+            relax=_bsl(spec.relax, b0, nb, 0, 3),
+            active=_bsl(spec.active, b0, nb, 0, 3))
         outs.append(_run_group(
             gspec, jax.lax.slice_in_dim(S, b0, b0 + nb, axis=0), omega,
             n_sweeps, plan, interpret))

@@ -494,6 +494,37 @@ def _fold_extend(spec):
                                bcs=spec.bcs[:-2] + ("fixed", spec.bcs[-1]))
 
 
+def _flatten_spec_batch(spec, core_ndim):
+    """Collapse any multi-dim batch on the spec arrays to ONE leading axis
+    (callers flatten the state's batch dims the same way).  The batch-group
+    slicers index the flattened axis directly, so per-slice coefficients
+    batched as e.g. (time, member) must flatten with the state; broadcast
+    (size-1 or absent) batch dims are left alone and shared across groups.
+    Partially-broadcast multi-dim batches (e.g. coefficients batched over
+    time but not member) are not supported on any batched path."""
+    import dataclasses
+
+    def flat(a, lead):
+        a = jnp.asarray(a)
+        if a.ndim > lead + core_ndim + 1:
+            return a.reshape(a.shape[:lead] + (-1,)
+                             + a.shape[a.ndim - core_ndim:])
+        return a
+
+    return dataclasses.replace(
+        spec, w=flat(spec.w, 1), w0=flat(spec.w0, 0), g=flat(spec.g, 0),
+        relax=flat(spec.relax, 0), active=flat(spec.active, 0))
+
+
+def _bsl(a, b0, nb, axis, base_ndim):
+    """Slice one batch group from a (possibly unbatched / broadcast)
+    spec array whose batch, if present, is a single axis ``axis``."""
+    a = jnp.asarray(a)
+    if a.ndim > base_ndim and a.shape[axis] != 1:
+        return jax.lax.slice_in_dim(a, b0, b0 + nb, axis=axis)
+    return a
+
+
 def _stack_planes(spec, rel, ny, nx, dtype):
     """The (bW, K+3, ny, nx) stacked coefficient volume the kernel streams.
 
@@ -751,20 +782,16 @@ def _sor_sweeps_window_impl(spec, S, omega, n_sweeps, interpret: bool = False,
     # broadcast (size-1 or absent) batch dims are shared across groups
     import dataclasses
 
-    def bsl(a, b0, nb, axis, base_ndim):
-        a = jnp.asarray(a)
-        if a.ndim > base_ndim and a.shape[axis] != 1:
-            return jax.lax.slice_in_dim(a, b0, b0 + nb, axis=axis)
-        return a
-
+    spec = _flatten_spec_batch(spec, 2)
     outs = []
     for b0 in range(0, B, b_chunk):
         nb = min(b_chunk, B - b0)
         gspec = dataclasses.replace(
             spec,
-            w=bsl(spec.w, b0, nb, 1, 3), w0=bsl(spec.w0, b0, nb, 0, 2),
-            g=bsl(spec.g, b0, nb, 0, 2), relax=bsl(spec.relax, b0, nb, 0, 2),
-            active=bsl(spec.active, b0, nb, 0, 2))
+            w=_bsl(spec.w, b0, nb, 1, 3), w0=_bsl(spec.w0, b0, nb, 0, 2),
+            g=_bsl(spec.g, b0, nb, 0, 2),
+            relax=_bsl(spec.relax, b0, nb, 0, 2),
+            active=_bsl(spec.active, b0, nb, 0, 2))
         outs.append(_run_group(
             gspec, jax.lax.slice_in_dim(S, b0, b0 + nb, axis=0), omega,
             n_sweeps, plan, interpret, fold))
