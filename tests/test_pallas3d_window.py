@@ -146,10 +146,155 @@ def test_dispatch_selects_window3d(monkeypatch):
     assert solver._select_kernel(spec32, S32) == "window3d"
 
 
+def test_dispatch_selects_window3d_wideflat(monkeypatch):
+    """A SODA-class wide-flat f32 ocean volume (50x330x720) dispatches to
+    window3d through the permuted plan on a TPU backend."""
+    from xinvert_tpu import solver
+    from xinvert_tpu.ops import pallas_sor3d_window as m
+    shape = (50, 330, 720)
+    a = jnp.ones(shape, jnp.float32)
+    spec = stencil.standard_3d(a, a, a, a, jnp.ones(shape, bool),
+                               (5e3, 1.1e5, 1.0e5),
+                               ("fixed", "extend", "periodic"))
+    assert m.window3d_plan(spec, shape) is None
+    planned = m.window3d_plan_any(spec, shape)
+    assert planned is not None and planned[1] is True
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert solver._select_kernel(spec, jnp.zeros(shape, jnp.float32)) \
+        == "window3d"
+
+
 def test_window3d_applicable_excludes_vmem3d():
     spec, S0 = _standard3d(("fixed", "extend", "periodic"))
     # fits VMEM-resident -> windowed path defers
     assert not window3d_applicable(spec, S0.shape)
+
+
+def _force_permuted(monkeypatch, spec, shape):
+    """Shrink the scoped-VMEM budget until the direct z-window plan fails
+    but the z<->y permuted plan (wide-flat layout) still fits."""
+    from xinvert_tpu.ops import pallas_sor3d_window as m
+    monkeypatch.setattr(m, "_SCOPED_VMEM_KIB", 4096)
+    assert m.window3d_plan(spec, shape) is None, "direct plan should fail"
+    planned = m.window3d_plan_any(spec, shape)
+    assert planned is not None and planned[1] is True
+    return planned[0]
+
+
+def test_window3d_permuted_plan(monkeypatch):
+    """Wide-flat volumes (big ny, small nz) get a permuted plan; periodic y
+    excludes the permuted layout (windowed-axis wrap would be real)."""
+    spec, S0 = _standard3d(("fixed", "extend", "periodic"),
+                           shape3=(10, 128, 24), seed=21)
+    plan = _force_permuted(monkeypatch, spec, S0.shape)
+    assert plan.tile >= plan.halo == 2 * plan.k_sweeps
+    assert plan.nzp >= S0.shape[-2]          # padded PHYSICAL-y extent
+    specp, Sp = _standard3d(("fixed", "periodic", "periodic"),
+                            shape3=(10, 128, 24), seed=21)
+    from xinvert_tpu.ops import pallas_sor3d_window as m
+    assert m.window3d_plan_any(specp, Sp.shape) is None
+
+
+@pytest.mark.parametrize("bcs,batch,shape3", [
+    (("fixed", "fixed", "fixed"), 0, (10, 128, 24)),
+    (("fixed", "extend", "periodic"), 0, (10, 128, 28)),
+    (("fixed", "extend", "fixed"), 0, (12, 96, 20)),
+    (("fixed", "extend", "periodic"), 3, (10, 64, 36)),
+])
+def test_window3d_permuted_matches_xla(bcs, batch, shape3, monkeypatch):
+    """The permuted (y-windowed) kernel reproduces the XLA path on
+    wide-flat volumes, including masked cells, extend BCs with x-corner
+    clamping, and batches."""
+    spec, S0 = _standard3d(bcs, batch=batch, seed=23, shape3=shape3)
+    _force_permuted(monkeypatch, spec, S0.shape)
+    ref = np.asarray(_solve_fixed_xla(spec, S0, 1.2, 9))
+    out = sor_sweeps_window3d(spec, S0, 1.2, 9, interpret=True)
+    # the permuted layout compiles with different FMA contractions than the
+    # unpermuted XLA reference; tolerance is a few ulps of the field scale
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-12,
+                               atol=1e-14 * np.abs(ref).max())
+
+
+def test_window3d_permuted_padded_axis(monkeypatch):
+    """Physical ny not a tile multiple: the windowed axis pads with inert
+    levels that are sliced off after the sweeps."""
+    spec, S0 = _standard3d(("fixed", "extend", "periodic"),
+                           shape3=(10, 44, 64), seed=29)
+    plan = _force_permuted(monkeypatch, spec, S0.shape)
+    assert plan.nzp > S0.shape[-2]
+    ref = np.asarray(_solve_fixed_xla(spec, S0, 1.3, 8))
+    out = sor_sweeps_window3d(spec, S0, 1.3, 8, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-12,
+                               atol=1e-14 * np.abs(ref).max())
+
+
+def test_window3d_permuted_dynamic_count(monkeypatch):
+    spec, S0 = _standard3d(("fixed", "extend", "periodic"),
+                           shape3=(12, 80, 24), seed=31)
+    _force_permuted(monkeypatch, spec, S0.shape)
+    ref = _solve_fixed_xla(spec, S0, 1.2, 7)
+    out = sor_sweeps_window3d(spec, S0, 1.2, jnp.asarray(7, jnp.int32),
+                              interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-10, atol=1e-10)
+
+
+@pytest.mark.parametrize("bcs,n_sweeps,shape3", [
+    (("fixed", "extend", "periodic"), 9, (48, 18, 20)),
+    (("fixed", "extend", "fixed"), 8, (64, 14, 24)),
+])
+def test_window3d_level_chunks(bcs, n_sweeps, shape3, monkeypatch):
+    """Forcing a small per-call result target splits the windowed axis
+    into level-chunk calls (chunk + neighbor-halo assembly per step)."""
+    from xinvert_tpu.ops import pallas_sor3d_window as m
+    spec, S0 = _standard3d(bcs, shape3=shape3, seed=37)
+    slab = int(np.prod(shape3[-2:])) * 8                 # f64 on CPU
+    monkeypatch.setattr(m, "_RESULT_CAP", 4 * slab)
+    monkeypatch.setattr(m, "_CHUNK_TARGET", 16 * slab)   # 2 tiles of 8
+    plan = m.window3d_plan(spec, S0.shape)
+    assert plan is not None and plan.z_chunk < plan.nzp
+    assert -(-plan.nzp // plan.z_chunk) >= 2
+    ref = _solve_fixed_xla(spec, S0, 1.2, n_sweeps)
+    out = sor_sweeps_window3d(spec, S0, 1.2, n_sweeps, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-10, atol=1e-10)
+
+
+def test_window3d_level_chunks_padded_dynamic(monkeypatch):
+    """Level chunks + a padded windowed axis + a traced sweep count."""
+    from xinvert_tpu.ops import pallas_sor3d_window as m
+    spec, S0 = _standard3d(("fixed", "extend", "periodic"),
+                           shape3=(44, 18, 16), seed=41)
+    slab = int(np.prod(S0.shape[-2:])) * 8
+    monkeypatch.setattr(m, "_RESULT_CAP", 4 * slab)
+    monkeypatch.setattr(m, "_CHUNK_TARGET", 16 * slab)
+    plan = m.window3d_plan(spec, S0.shape)
+    assert plan is not None and plan.z_chunk < plan.nzp > S0.shape[-3]
+    ref = _solve_fixed_xla(spec, S0, 1.3, 7)
+    out = sor_sweeps_window3d(spec, S0, 1.3, jnp.asarray(7, jnp.int32),
+                              interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-10, atol=1e-10)
+
+
+def test_window3d_permuted_level_chunks(monkeypatch):
+    """The SODA-ocean class: wide-flat volume through the PERMUTED layout
+    with the windowed (physical-y) axis split into level chunks."""
+    from xinvert_tpu.ops import pallas_sor3d_window as m
+    spec, S0 = _standard3d(("fixed", "extend", "periodic"),
+                           shape3=(10, 144, 40), seed=43)
+    monkeypatch.setattr(m, "_SCOPED_VMEM_KIB", 4096)
+    slab = 10 * 40 * 8                                  # permuted z-plane
+    monkeypatch.setattr(m, "_RESULT_CAP", 24 * slab)
+    monkeypatch.setattr(m, "_CHUNK_TARGET", 48 * slab)
+    assert m.window3d_plan(spec, S0.shape) is None
+    planned = m.window3d_plan_any(spec, S0.shape)
+    assert planned is not None and planned[1] is True
+    assert planned[0].z_chunk < planned[0].nzp
+    ref = np.asarray(_solve_fixed_xla(spec, S0, 1.2, 9))
+    out = sor_sweeps_window3d(spec, S0, 1.2, 9, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-12,
+                               atol=1e-14 * np.abs(ref).max())
 
 
 def test_window3d_batch_groups_multidim(monkeypatch):

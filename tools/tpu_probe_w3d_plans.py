@@ -49,9 +49,9 @@ def main():
         if tile + 2 * halo > nzp or tile < halo:
             print(f"{name}: infeasible", flush=True)
             continue
-        plan = m.Window3dPlan(tile, k, halo, nzp, 1)
-        orig = m.window3d_plan
-        m.window3d_plan = lambda s, sh: plan
+        plan = m.Window3dPlan(tile, k, halo, nzp, 1, nzp)
+        orig = m.window3d_plan_any
+        m.window3d_plan_any = lambda s, sh: (plan, False)
         try:
             def run(n_chain):
                 S = S0
@@ -78,7 +78,7 @@ def main():
         except Exception as e:
             print(f"{name}: FAILED {str(e).splitlines()[:2]}", flush=True)
         finally:
-            m.window3d_plan = orig
+            m.window3d_plan_any = orig
 
 
 if __name__ == "__main__":

@@ -29,8 +29,18 @@ radius-1, 6-offset stencils), windowing along **z** rather than y:
 Batch slices map onto a leading grid dim (the coefficient-plane stack
 folds batch into its plane axis, keeping every BlockSpec rank-4); larger
 batches split into batch-group calls bounded by the scoped-VMEM result
-cap.  Volumes whose per-z-plane slab is too large for a feasible window
-(wide shallow oceans) still fall back to the XLA roll path.
+cap.
+
+Wide-flat volumes (large ny*nx per z plane but small nz — ocean-model
+grids like 50 x 330 x 720, where a z window cannot fit) run in the z<->y
+PERMUTED layout: the state and coefficients transpose to (y, z, x), the
+window rides physical y (still the untiled axis — no alignment
+constraints), z and x rolls cover full extents (wrap semantics identical
+to the XLA path since BCz is fixed and never updated), and the physical-y
+'extend' pre-pass moves onto the windowed axis, conditioned on global
+window indices (kernel stays position-independent).  Permuted mode
+requires non-periodic y; periodic applies to x only in every reference
+3-D problem.
 """
 from __future__ import annotations
 
@@ -49,7 +59,8 @@ from .pallas_sor_window import (WINDOW_COMPILER_OPTS, _SCOPED_VMEM_KIB,
                                 _radius)
 from .pallas_sor3d import _roll3, pallas3d_applicable
 
-__all__ = ["sor_sweeps_window3d", "window3d_applicable", "window3d_plan"]
+__all__ = ["sor_sweeps_window3d", "window3d_applicable", "window3d_plan",
+           "window3d_plan_any"]
 
 
 # auto-dispatch gate; mirrors pallas_sor_window.WINDOW_AUTODISPATCH
@@ -69,6 +80,7 @@ class Window3dPlan(NamedTuple):
     halo: int          # ghost levels per side (2 * k_sweeps)
     nzp: int           # padded z extent (tile multiple)
     b_chunk: int       # batch slices per call (== B when unchunked)
+    z_chunk: int       # windowed-axis levels per call (== nzp when unchunked)
 
 
 def window3d_plan(spec, S_shape):
@@ -81,6 +93,12 @@ def window3d_plan(spec, S_shape):
     the stack-allocated result shares the raised scoped-VMEM budget.
     Candidates are ranked by HBM traffic per true point-sweep,
     ``(P+1) * win / (tile * k) * (nzp / nz)``.
+
+    When the full result exceeds the scoped-VMEM result cap, the step
+    splits into multiple calls: batch groups first, then windowed-axis
+    level chunks (``z_chunk``) — each call's result at most
+    ``_CHUNK_TARGET`` bytes, assembled from a chunk plus ``halo``
+    boundary levels of its neighbors.
     """
     if spec.ndim != 3:
         return None
@@ -113,49 +131,79 @@ def window3d_plan(spec, S_shape):
             # window-sized sweep temporaries (acc, rolls, masks)
             need = (2 * (P + 1) * win + 2 * tile + 6 * win) * slab
             traffic = (P + 1) * win / (tile * k) * (nzp / nz)
-            b_chunk = B
+            b_chunk, z_chunk = B, nzp
             if result <= _RESULT_CAP and need <= budget - result:
                 pass
-            elif nzp * slab <= _CHUNK_TARGET and need <= budget - min(
-                    result, _CHUNK_TARGET):
+            elif need > budget - min(result, _CHUNK_TARGET):
+                continue
+            elif nzp * slab <= _CHUNK_TARGET:
+                # batch groups: whole volumes per call
                 b_chunk = max(1, min(B, _CHUNK_TARGET // (nzp * slab)))
                 if b_chunk >= B or -(-B // b_chunk) > _MAX_CHUNKS:
                     continue
             else:
-                continue
+                # windowed-axis level chunks (the batch rides every call)
+                b_chunk = B
+                if B * slab > _CHUNK_TARGET:
+                    continue
+                z_chunk = (_CHUNK_TARGET // (B * slab)) // tile * tile
+                if z_chunk < 2 * tile or z_chunk >= nzp:
+                    continue
+                n_chunks = -(-nzp // z_chunk)
+                if nzp // tile < 2 * n_chunks or n_chunks > _MAX_CHUNKS:
+                    continue          # keep every chunk >= 2 tiles
             if best is None or traffic < best[0]:
-                best = (traffic, Window3dPlan(tile, k, halo, nzp, b_chunk))
+                best = (traffic,
+                        Window3dPlan(tile, k, halo, nzp, b_chunk, z_chunk))
     return None if best is None else best[1]
 
 
 def window3d_applicable(spec, S_shape, for_dispatch: bool = False) -> bool:
     """True when the windowed 3-D path applies: a 3-D spec too large for
-    the VMEM-resident kernel but with a feasible window plan."""
+    the VMEM-resident kernel but with a feasible window plan (direct
+    z-windowed, or z<->y permuted for wide-flat volumes)."""
     if for_dispatch and not WINDOW3D_AUTODISPATCH:
         return False
     if pallas3d_applicable(spec, S_shape):
         return False
-    return window3d_plan(spec, S_shape) is not None
+    return window3d_plan_any(spec, S_shape) is not None
 
 
-def _kernel(n_ref, W_ref, s_ref, out_ref, *, K, offsets, tile, halo,
-            nzp, nz, ny, nx, extend_y, periodic_x, dtype, n_static=None,
-            unroll=False):
+def _kernel(n_ref, goff_ref, W_ref, s_ref, out_ref, *, K, offsets, tile,
+            halo, nzp, nz, ny, nx, extend_mode, periodic_x, dtype,
+            n_static=None, unroll=False, pad_lo=0, has_top=True,
+            has_bot=True):
     """One grid program: k sweeps on an overlapping (win, ny, nx) window.
 
-    ``nz`` is the TRUE z extent (the pad levels above it are inert); all
-    z conditions use global level indices, so the kernel body is
-    position-independent."""
+    ``nz`` is the TRUE extent of the windowed axis (the pad levels above it
+    are inert); all windowed-axis conditions use global level indices, so
+    the kernel body is position-independent.
+
+    For a call that owns one level-chunk of a larger domain, ``pad_lo``
+    levels of neighbor data precede the chunk's own levels (``nzp`` is then
+    the call-local extent), ``has_top`` / ``has_bot`` mark true domain ends,
+    and ``goff_ref`` holds the global index of the call's local level 0 —
+    a runtime SMEM scalar, so every interior chunk shares one compiled
+    kernel regardless of its level offset.
+
+    ``extend_mode`` selects the extend-BC pre-pass layout:
+      - "row": extend along axis -2 gated on windowed-axis interior — the
+        direct layout, where the windowed axis is z and rows are y
+        (numbas.py:87-115);
+      - "win": extend along the WINDOWED axis gated on axis -2 interior —
+        the z<->y permuted layout for wide-flat volumes, where the windowed
+        axis is y and rows are z;
+      - None: no extend pre-pass."""
     win = tile + 2 * halo
     t = pl.program_id(1)          # grid = (batch, tiles)
-    start = jnp.clip(t * tile - halo, 0, nzp - win)
+    start = jnp.clip(pad_lo + t * tile - halo, 0, nzp - win)
 
     shape = (win, ny, nx)
     lev_l = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     row = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     col = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
     col1 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nx), 2)
-    lev_g = lev_l + start
+    lev_g = lev_l + start + goff_ref[0]
     interior_z = jnp.logical_and(lev_g > 0, lev_g < nz - 1)
 
     def _fix_row(r):
@@ -168,7 +216,7 @@ def _kernel(n_ref, W_ref, s_ref, out_ref, *, K, offsets, tile, halo,
     def one_sweep(_, S):
         # weight refs are read transiently per use (hoisting value copies
         # of the K+3 plane-sets doubles live VMEM — the 2-D spill cliff)
-        if extend_y:
+        if extend_mode == "row":
             # y-boundary rows copy the nearest interior row on interior-z
             # levels (numbas.py:87-115); globally conditioned, so every
             # window applies it identically
@@ -176,6 +224,18 @@ def _kernel(n_ref, W_ref, s_ref, out_ref, *, K, offsets, tile, halo,
                           _fix_row(S[:, 1:2, :]), S)
             S = jnp.where(jnp.logical_and(row == ny - 1, interior_z),
                           _fix_row(S[:, ny - 2:ny - 1, :]), S)
+        elif extend_mode == "win":
+            # permuted layout: the windowed axis is y, rows are z.  The
+            # boundary PLANES (global windowed index 0 / nz-1) copy the
+            # neighboring plane on interior-z rows; neighbor values come
+            # from single-step rolls along the windowed axis (the clamped
+            # window start keeps those reads genuine wherever the
+            # condition can hold)
+            interior_row = jnp.logical_and(row > 0, row < ny - 1)
+            S = jnp.where(jnp.logical_and(lev_g == 0, interior_row),
+                          _fix_row(pltpu.roll(S, win - 1, 0)), S)
+            S = jnp.where(jnp.logical_and(lev_g == nz - 1, interior_row),
+                          _fix_row(pltpu.roll(S, 1, 0)), S)
         parity = lev_g + row + col
         for color in (0, 1):
             acc = W_ref[K + 1]                     # g
@@ -201,8 +261,8 @@ def _kernel(n_ref, W_ref, s_ref, out_ref, *, K, offsets, tile, halo,
         S = jax.lax.fori_loop(0, n_ref[0], one_sweep, s_ref[0])
 
     n_t = pl.num_programs(1)
-    first = t == 0
-    last = t == n_t - 1
+    first = jnp.logical_and(t == 0, has_top)
+    last = jnp.logical_and(t == n_t - 1, has_bot)
 
     @pl.when(jnp.logical_and(~first, ~last))
     def _():
@@ -247,14 +307,27 @@ def _stack_planes3(spec, rel, nz, ny, nx, dtype, nzp=None):
 
 @functools.partial(jax.jit,
                    static_argnames=("k_sweeps", "tile", "interpret",
-                                    "n_static", "unroll"))
+                                    "n_static", "unroll", "perm",
+                                    "out_levs", "pad_lo", "has_top",
+                                    "has_bot"))
 def _window3d_call(spec, W, S, n, k_sweeps: int, tile: int,
                    interpret: bool = False, n_static=None,
-                   unroll: bool = False):
+                   unroll: bool = False, perm: bool = False,
+                   g_off=0, out_levs=None, pad_lo: int = 0,
+                   has_top: bool = True, has_bot: bool = True):
     """One pallas launch running ``n`` (<= k_sweeps) full iterations on
-    (B, nzp, ny, nx) z-padded state; batch slices map onto the leading
-    grid dim, W carries bW*(K+3) stacked planes."""
+    (B, nzp, ny, nx) state padded along the windowed axis; batch slices
+    map onto the leading grid dim, W carries bW*(K+3) stacked planes.
+    ``perm``: spec and S are in the z<->y permuted layout (the windowed
+    axis is PHYSICAL y, rows are z — wide-flat volumes).
+
+    For a level-chunk call of a split larger domain, ``S`` and ``W`` hold
+    the chunk's levels plus one-sided neighbor pads (``pad_lo`` below),
+    ``out_levs`` are the levels this call owns and writes, ``g_off`` is
+    the runtime global index of local level 0, and ``has_top`` /
+    ``has_bot`` mark true domain ends."""
     B, nzp, ny, nx = S.shape
+    out_levs = nzp if out_levs is None else out_levs
     dtype = S.dtype
     halo = 2 * k_sweeps
     win = tile + 2 * halo
@@ -263,19 +336,27 @@ def _window3d_call(spec, W, S, n, k_sweeps: int, tile: int,
     bW = W.shape[0] // P
     nz = int(spec.w0.shape[-3])
 
+    if perm:
+        # permuted spec bcs are (y, z, x): the physical-y extend rides the
+        # windowed axis; physical z (axis -2) has the reference's
+        # BCz-as-fixed semantics (never extended)
+        extend_mode = "win" if spec.bcs[-3] == "extend" else None
+    else:
+        extend_mode = "row" if spec.bcs[-2] == "extend" else None
     kern = functools.partial(
         _kernel,
         K=K,
         offsets=tuple(tuple(int(x) for x in o) for o in spec.offsets),
         tile=tile, halo=halo, nzp=nzp, nz=nz, ny=ny, nx=nx,
-        extend_y=spec.bcs[-2] == "extend",
+        extend_mode=extend_mode,
         periodic_x=spec.bcs[-1] == "periodic",
         dtype=dtype, n_static=n_static, unroll=unroll,
+        pad_lo=pad_lo, has_top=has_top, has_bot=has_bot,
     )
 
     def _zstart(t):
         # z is an untiled dim: element offsets need no sublane alignment
-        return jnp.clip(t * tile - halo, 0, nzp - win)
+        return jnp.clip(pad_lo + t * tile - halo, 0, nzp - win)
 
     def wmap(b, t):
         return ((b if bW > 1 else 0) * P, _zstart(t), 0, 0)
@@ -284,11 +365,13 @@ def _window3d_call(spec, W, S, n, k_sweeps: int, tile: int,
         return (b, _zstart(t), 0, 0)
 
     nS = jnp.reshape(jnp.asarray(n, jnp.int32), (1,))
+    gS = jnp.reshape(jnp.asarray(g_off, jnp.int32), (1,))
     Element = pallas_core.Element
     return pl.pallas_call(
         kern,
-        grid=(B, nzp // tile),
+        grid=(B, out_levs // tile),
         in_specs=[
+            pl.BlockSpec((1,), lambda b, t: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec((1,), lambda b, t: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec((Element(P), Element(win), Element(ny),
                           Element(nx)), wmap, memory_space=pltpu.VMEM),
@@ -297,16 +380,87 @@ def _window3d_call(spec, W, S, n, k_sweeps: int, tile: int,
         ],
         out_specs=pl.BlockSpec((1, tile, ny, nx), lambda b, t: (b, t, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, nzp, ny, nx), dtype),
+        out_shape=jax.ShapeDtypeStruct((B, out_levs, ny, nx), dtype),
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(nS, W, S)
+    )(nS, gS, W, S)
 
 
-def _run_group(spec, S, omega, n_sweeps, plan, interpret):
+class _LevChunks3:
+    """Step executor for a level-split (windowed-axis) 3-D domain — the
+    3-D analog of pallas_sor_window._RowChunks.  The state lives as a
+    tuple of level-chunk arrays; each step assembles a per-chunk input
+    from the chunk plus ``halo`` boundary levels of its neighbors and
+    launches one kernel per chunk (the full result would exceed the
+    scoped-VMEM result cap).  The kernel takes the chunk's global level
+    offset from SMEM, so interior chunks share one compile regardless of
+    chunk count.  W slices are precomputed (loop-invariant)."""
+
+    def __init__(self, W, nzp, tile, k, halo, z_chunk, interpret, perm):
+        self.tile, self.k, self.halo = tile, k, halo
+        self.interpret, self.perm = interpret, perm
+        n_chunks = -(-nzp // z_chunk)
+        base, extra = divmod(nzp // tile, n_chunks)
+        self.levs = [(base + (1 if c < extra else 0)) * tile
+                     for c in range(n_chunks)]
+        self.bounds = list(np.cumsum([0] + self.levs[:-1]))
+        self.Wsub = []
+        for c, (z0, r) in enumerate(zip(self.bounds, self.levs)):
+            lo = z0 - (halo if c > 0 else 0)
+            hi = z0 + r + (halo if c < n_chunks - 1 else 0)
+            self.Wsub.append(W[:, lo:hi])
+
+    def split(self, S):
+        return tuple(S[:, z0:z0 + r]
+                     for z0, r in zip(self.bounds, self.levs))
+
+    def join(self, chunks):
+        return jnp.concatenate(chunks, axis=1)
+
+    def step(self, spec, chunks, n, n_static):
+        C = len(chunks)
+        h = self.halo
+        out = []
+        for c in range(C):
+            pieces = ([chunks[c - 1][:, -h:]] if c > 0 else [])
+            pieces.append(chunks[c])
+            if c < C - 1:
+                pieces.append(chunks[c + 1][:, :h])
+            sub = (pieces[0] if len(pieces) == 1
+                   else jnp.concatenate(pieces, axis=1))
+            pad_lo = h if c > 0 else 0
+            out.append(_window3d_call(
+                spec, self.Wsub[c], sub, n, self.k, self.tile,
+                interpret=self.interpret, n_static=n_static,
+                unroll=UNROLL3D, perm=self.perm,
+                g_off=self.bounds[c] - pad_lo, out_levs=self.levs[c],
+                pad_lo=pad_lo, has_top=(c == 0), has_bot=(c == C - 1)))
+        return tuple(out)
+
+
+class _OneCall3:
+    """Trivial executor: the whole volume in one pallas call per step."""
+
+    def __init__(self, W, tile, k, interpret, perm):
+        self.W, self.tile, self.k = W, tile, k
+        self.interpret, self.perm = interpret, perm
+
+    def split(self, S):
+        return S
+
+    def join(self, S):
+        return S
+
+    def step(self, spec, S, n, n_static):
+        return _window3d_call(spec, self.W, S, n, self.k, self.tile,
+                              interpret=self.interpret, n_static=n_static,
+                              unroll=UNROLL3D, perm=self.perm)
+
+
+def _run_group(spec, S, omega, n_sweeps, plan, interpret, perm=False):
     """Solve one batch group: n_sweeps iterations on (B, nz, ny, nx)."""
-    tile, k, halo, nzp, _ = plan
+    tile, k, halo, nzp, _, z_chunk = plan
     dtype = S.dtype
     nz, ny, nx = S.shape[-3:]
     rel = (jnp.asarray(omega, dtype) * spec.relax).astype(dtype)
@@ -314,30 +468,67 @@ def _run_group(spec, S, omega, n_sweeps, plan, interpret):
     if nzp > nz:
         S = jnp.pad(S, ((0, 0), (0, nzp - nz), (0, 0), (0, 0)))
 
+    if z_chunk < nzp:
+        ex = _LevChunks3(W, nzp, tile, k, halo, z_chunk, interpret, perm)
+    else:
+        ex = _OneCall3(W, tile, k, interpret, perm)
+
+    st = ex.split(S)
     if isinstance(n_sweeps, (int, np.integer)):
         # static count: full chunks run the static-trip kernel
         n = int(n_sweeps)
         full, rem = divmod(n, k)
-        S = jax.lax.fori_loop(
-            0, full,
-            lambda i, s: _window3d_call(spec, W, s, k, k, tile,
-                                        interpret=interpret, n_static=k,
-                                        unroll=UNROLL3D),
-            S)
+        st = jax.lax.fori_loop(
+            0, full, lambda i, s: ex.step(spec, s, k, k), st)
         if rem:
-            S = _window3d_call(spec, W, S, rem, k, tile,
-                               interpret=interpret, n_static=rem,
-                               unroll=UNROLL3D)
+            st = ex.step(spec, st, rem, rem)
     else:
         n = jnp.asarray(n_sweeps, jnp.int32)
         chunks = (n + k - 1) // k
-        S = jax.lax.fori_loop(
+        st = jax.lax.fori_loop(
             0, chunks,
-            lambda i, s: _window3d_call(spec, W, s,
-                                        jnp.minimum(k, n - i * k), k, tile,
-                                        interpret=interpret),
-            S)
+            lambda i, s: ex.step(spec, s, jnp.minimum(k, n - i * k), None),
+            st)
+    S = ex.join(st)
     return S[:, :nz] if nzp > nz else S
+
+
+def _permute_zy_spec(spec):
+    """Swap the z and y core axes of a 3-D spec (arrays, offsets, bcs) —
+    the wide-flat layout where the windowed axis is physical y."""
+    import dataclasses
+
+    def p(a):
+        a = jnp.asarray(a)
+        return jnp.swapaxes(a, -3, -2)
+
+    return dataclasses.replace(
+        spec,
+        w=p(spec.w), w0=p(spec.w0), g=p(spec.g), relax=p(spec.relax),
+        active=p(spec.active),
+        offsets=tuple((o[1], o[0], o[2]) for o in spec.offsets),
+        bcs=spec.bcs[:-3] + (spec.bcs[-2], spec.bcs[-3], spec.bcs[-1]))
+
+
+def window3d_plan_any(spec, S_shape):
+    """(plan, permuted) — the direct z-windowed plan when feasible, else a
+    z<->y permuted plan for wide-flat volumes (large ny*nx per z plane but
+    small nz*nx per y plane), else None.
+
+    The permuted layout windows physical y, so it requires non-periodic y
+    (windowed-axis wrap garbage must stay outside the dependence cone and
+    global y boundaries must be non-updated cells — true for 'fixed' and
+    'extend', the only y BCs the reference's 3-D problems use)."""
+    plan = window3d_plan(spec, S_shape)
+    if plan is not None:
+        return plan, False
+    if (spec.ndim == 3 and len(S_shape) >= 3
+            and spec.bcs[-2] != "periodic"):
+        ps = tuple(S_shape[:-3]) + (S_shape[-2], S_shape[-3], S_shape[-1])
+        plan = window3d_plan(spec, ps)
+        if plan is not None:
+            return plan, True
+    return None
 
 
 def _impl(spec, S, omega, n_sweeps, interpret: bool = False):
@@ -346,13 +537,24 @@ def _impl(spec, S, omega, n_sweeps, interpret: bool = False):
         out = _impl(spec, S.reshape((-1,) + S.shape[-3:]), omega, n_sweeps,
                     interpret=interpret)
         return out.reshape(S.shape)
-    plan = window3d_plan(spec, S.shape)
-    if plan is None:
+    planned = window3d_plan_any(spec, S.shape)
+    if planned is None:
         raise ValueError("no feasible 3-D window plan for this problem")
+    plan, perm = planned
+    if perm:
+        spec = _permute_zy_spec(spec)
+        S = jnp.swapaxes(S, -3, -2)
+        out = _impl_planned(spec, S, omega, n_sweeps, plan, interpret, perm)
+        return jnp.swapaxes(out, -3, -2)
+    return _impl_planned(spec, S, omega, n_sweeps, plan, interpret, perm)
+
+
+def _impl_planned(spec, S, omega, n_sweeps, plan, interpret, perm):
     B = S.shape[0]
     b_chunk = plan.b_chunk
     if b_chunk >= B:
-        return _run_group(spec, S, omega, n_sweeps, plan, interpret)
+        return _run_group(spec, S, omega, n_sweeps, plan, interpret,
+                          perm=perm)
 
     # batch groups: per-slice planes (if any) slice with the state;
     # broadcast (size-1 or absent) batch dims are shared across groups
@@ -371,7 +573,7 @@ def _impl(spec, S, omega, n_sweeps, interpret: bool = False):
             active=_bsl(spec.active, b0, nb, 0, 3))
         outs.append(_run_group(
             gspec, jax.lax.slice_in_dim(S, b0, b0 + nb, axis=0), omega,
-            n_sweeps, plan, interpret))
+            n_sweeps, plan, interpret, perm=perm))
     return jnp.concatenate(outs, axis=0)
 
 
