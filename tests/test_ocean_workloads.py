@@ -127,3 +127,35 @@ def test_poisson_ocean_roundtrip(helm_ocean):
     div0 = fd.divg((us, vs), ["X", "Y"])
     scale = np.nanmax(np.abs(vor.values))
     assert np.nanmax(np.abs(div0.values[1:-1])) < 1e-10 * scale
+
+
+def test_3docean_field_n2_profile():
+    """`invert_3DOcean` with N2 as a Field lev-profile (the reference's
+    N2-DataArray convention, apps.py:830-888): _resolve_mp aligns it to
+    core rank (nz,1,1), which build_ocean3d must accept — regression for
+    the np.gradient rank bug — and the result must be identical to
+    passing the same profile as a raw 1-D array."""
+    from xinvert_tpu import invert_3DOcean
+
+    rng = np.random.default_rng(3)
+    nz, ny, nx = 8, 20, 30
+    lev = np.linspace(0.0, 2100.0, nz)
+    lat = np.linspace(-60.0, 60.0, ny)
+    lon = np.linspace(0.0, 360.0 - 360.0 / nx, nx)
+    F = rng.normal(0.0, 1e-11, (nz, ny, nx))
+    mask = np.ones((nz, ny, nx), bool)
+    mask[:, 8:12, 10:16] = False
+    Ff = Field(np.where(mask, F, np.nan), ("LEV", "lat", "lon"),
+               {"LEV": lev, "lat": lat, "lon": lon})
+    N2 = 1e-5 * np.exp(-lev / 800.0) + 1e-7
+    iP = {"BCs": ["fixed", "extend", "periodic"], "undef": np.nan,
+          "tolerance": 1e-8, "mxLoop": 300, "printInfo": False}
+
+    Wf = invert_3DOcean(Ff, dims=["LEV", "lat", "lon"], iParams=iP,
+                        mParams={"epsilon": 7e-6, "k": 1e-5,
+                                 "N2": Field(N2, ("LEV",), {"LEV": lev})})
+    Wa = invert_3DOcean(Ff, dims=["LEV", "lat", "lon"], iParams=iP,
+                        mParams={"epsilon": 7e-6, "k": 1e-5, "N2": N2})
+    vf, va = np.asarray(Wf.values), np.asarray(Wa.values)
+    assert np.isfinite(vf[mask]).all() and np.isnan(vf[~mask]).all()
+    np.testing.assert_array_equal(vf, va)

@@ -215,6 +215,32 @@ def test_window3d_permuted_matches_xla(bcs, batch, shape3, monkeypatch):
                                atol=1e-14 * np.abs(ref).max())
 
 
+def test_window3d_permuted_general(monkeypatch):
+    """The general-3D family (invert_3DOcean's damped advective stencil)
+    through the permuted wide-flat layout: first-derivative terms fold
+    into asymmetric neighbor weights, which must survive the z<->y axis
+    swap."""
+    rng = np.random.default_rng(17)
+    shape = (10, 128, 24)
+    A = np.abs(rng.normal(1.0, 0.1, shape)) + 0.5
+    B = np.abs(rng.normal(1.0, 0.1, shape)) + 0.5
+    C = np.abs(rng.normal(1.0, 0.1, shape)) + 0.5
+    D = rng.normal(0, 1e-6, shape)
+    E = rng.normal(0, 1e-6, shape)
+    Fc = rng.normal(0, 1e-6, shape)
+    G = -np.abs(rng.normal(1e-10, 1e-11, shape))
+    H = rng.normal(0, 1.0, shape)
+    spec = stencil.general_3d(*map(jnp.asarray, (A, B, C, D, E, Fc, G, H)),
+                              jnp.ones(shape, bool), (5e3, 1.1e5, 1.0e5),
+                              ("fixed", "fixed", "periodic"))
+    S0 = jnp.zeros(shape)
+    _force_permuted(monkeypatch, spec, S0.shape)
+    ref = np.asarray(_solve_fixed_xla(spec, S0, 1.2, 9))
+    out = sor_sweeps_window3d(spec, S0, 1.2, 9, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-12,
+                               atol=1e-14 * np.abs(ref).max())
+
+
 def test_window3d_permuted_padded_axis(monkeypatch):
     """Physical ny not a tile multiple: the windowed axis pads with inert
     levels that are sliced off after the sweeps."""

@@ -489,12 +489,15 @@ def build_ocean3d(F, Fdef, grid: Grid, mp):
     nd, shape = grid.ndim, grid.shape
     eps, k, N2 = mp["epsilon"], mp["k"], np.asarray(mp["N2"], np.float64)
     lev = grid.coords[0]
-    c3 = np.broadcast_to(np.asarray(k / N2, np.float64), lev.shape) \
-        if np.ndim(k / N2) <= 1 else k / N2
-    c3 = np.asarray(c3, np.float64)
+    # N2 may be a scalar, a 1-D lev profile, or (via _resolve_mp) a
+    # Field profile already broadcast to core rank, e.g. (nz, 1, 1)
+    c3 = np.asarray(k / N2, np.float64)
     if c3.ndim == 0:
         c3 = np.full(lev.shape, c3)
-    dc3 = _grad_coord(c3, lev)
+    if c3.ndim <= 1:
+        dc3 = _grad_coord(c3, lev)
+    else:
+        dc3 = np.gradient(c3, np.asarray(lev, np.float64), axis=0)
     if grid.coord_type == "lat-lon":
         lat = grid.coords[1]
         latr = np.deg2rad(lat)
@@ -518,7 +521,12 @@ def build_ocean3d(F, Fdef, grid: Grid, mp):
         E = dc1
         Fc = -dc2
         C = c1
-    bz = lambda p: jnp.asarray(np.broadcast_to(_bcast(p, nd, 0), shape))
+    def bz(p):
+        p = np.asarray(p, np.float64)
+        if p.ndim <= 1:
+            p = _bcast(p, nd, 0)
+        return jnp.asarray(np.broadcast_to(p, shape))
+
     by = lambda p: jnp.asarray(np.broadcast_to(_bcast(p, nd, 1), shape))
     zero = jnp.zeros(shape)
     H = _fill(F, Fdef)
