@@ -34,8 +34,18 @@ __all__ = [
 # ------------------------------------------------------------------ helpers
 
 def _bcast(profile, core_ndim, axis):
-    """Broadcast a 1-D coordinate profile along core axis `axis`."""
+    """Lift a coordinate profile / parameter to core rank.
+
+    1-D profiles reshape onto core axis ``axis``; scalars become all-ones
+    rank; arrays already at core rank (Field-valued mParams aligned by
+    ``_resolve_mp``) pass through unchanged — so profile*param products
+    broadcast correctly whatever the parameter's rank (the reference gets
+    this for free from xarray named-dim broadcasting)."""
     p = np.asarray(profile, dtype=np.float64)
+    if p.ndim == core_ndim:
+        return p
+    if p.ndim == 0:
+        return p.reshape((1,) * core_ndim)
     shape = [1] * core_ndim
     shape[axis] = p.size
     return p.reshape(shape)
@@ -59,9 +69,14 @@ def _fill(F, Fdef, value=0.0):
     return jnp.where(Fdef, F, value)
 
 
-def _grad_coord(vals, coord):
-    """d(vals)/d(coord) via central differences (xarray.differentiate)."""
-    return np.gradient(np.asarray(vals, np.float64), np.asarray(coord, np.float64))
+def _grad_coord(vals, coord, axis=0):
+    """d(vals)/d(coord) via central differences (xarray.differentiate);
+    ``axis`` locates the coordinate axis when ``vals`` is core-rank."""
+    vals = np.asarray(vals, np.float64)
+    coord = np.asarray(coord, np.float64)
+    if vals.ndim <= 1:
+        return np.gradient(vals, coord)
+    return np.gradient(vals, coord, axis=axis)
 
 
 def _deg2m(rearth):
@@ -180,8 +195,8 @@ def build_refstate_swm(Q, Qdef, grid: Grid, mp):
 def build_pv2d(PV, PVdef, grid: Grid, mp):
     """QG PV inversion in (p, y) (apps.py:1556-1579)."""
     shape = grid.shape
-    A = np.broadcast_to(np.float64(mp["f0"]) ** 2 / np.asarray(mp["N2"], np.float64),
-                        shape)
+    A = np.broadcast_to(np.asarray(mp["f0"], np.float64) ** 2
+                        / np.asarray(mp["N2"], np.float64), shape)
     C = np.ones(shape)
     Fs = _fill(PV, PVdef)
     return stencil.standard_2d(jnp.asarray(A), 0.0, jnp.asarray(C), Fs, PVdef,
@@ -201,24 +216,28 @@ def build_eliassen(F, Fdef, grid: Grid, mp):
 
 
 def _gm_c1c2(grid: Grid, mp):
-    """The Gill-Matsuno c1/c2 profiles and metric pieces along y (axis 0)."""
-    eps = mp["epsilon"]
+    """The Gill-Matsuno c1/c2 profiles and metric pieces along y (axis 0),
+    all lifted to core rank so Field-valued parameters (e.g. a 2-D epsilon)
+    broadcast correctly against them."""
+    nd = grid.ndim
+    eps = _bcast(mp["epsilon"], nd, 0)
     if grid.coord_type == "lat-lon":
         lat = grid.coords[0]
-        latr = np.deg2rad(lat)
+        latr = _bcast(np.deg2rad(lat), nd, 0)
         f = 2.0 * mp["Omega"] * np.sin(latr)
         c1 = eps / (eps ** 2 + f ** 2)
         c2 = f / (eps ** 2 + f ** 2)
         deg2m = _deg2m(mp["Rearth"])
-        dc1 = _grad_coord(c1, lat) / deg2m
-        dc2 = _grad_coord(c2, lat) / deg2m
+        dc1 = _grad_coord(c1, lat, axis=0) / deg2m
+        dc2 = _grad_coord(c2, lat, axis=0) / deg2m
         return f, c1, c2, dc1, dc2, latr
     ydef = grid.coords[0]
-    f = mp["f0"] + mp["beta"] * ydef
+    f = _bcast(mp["f0"] + mp["beta"] * np.asarray(grid.coords[0], np.float64),
+               nd, 0)
     c1 = eps / (eps ** 2 + f ** 2)
     c2 = f / (eps ** 2 + f ** 2)
-    dc1 = _grad_coord(c1, ydef)
-    dc2 = _grad_coord(c2, ydef)
+    dc1 = _grad_coord(c1, ydef, axis=0)
+    dc2 = _grad_coord(c2, ydef, axis=0)
     return f, c1, c2, dc1, dc2, None
 
 
@@ -239,7 +258,9 @@ def build_gillmatsuno(Q, Qdef, grid: Grid, mp):
         D = Phi * dc1
         E = -Phi * dc2
     b = lambda p: jnp.asarray(np.broadcast_to(_bcast(p, nd, 0), shape))
-    Fc = jnp.full(shape, -mp["epsilon"], jnp.asarray(Q).dtype)
+    Fc = jnp.asarray(np.broadcast_to(
+        _bcast(-np.asarray(mp["epsilon"], np.float64), nd, 0), shape),
+        jnp.asarray(Q).dtype)
     G = _fill(Q, Qdef)
     return stencil.general_2d(b(A), jnp.zeros(shape), b(C), b(D), b(E), Fc, G,
                               Qdef, grid.deltas, grid.bcs)
@@ -248,18 +269,19 @@ def build_gillmatsuno(Q, Qdef, grid: Grid, mp):
 def build_gillmatsuno_test(Q, Qdef, grid: Grid, mp):
     """Gill-Matsuno in standardised (flux) form (apps.py:1660-1709)."""
     nd, shape = grid.ndim, grid.shape
-    Phi, eps = mp["Phi"], mp["epsilon"]
+    Phi, eps = mp["Phi"], _bcast(mp["epsilon"], nd, 0)
+    pr = lambda p: _bcast(p, nd, 0)      # profiles to core rank (Field mp)
     if grid.coord_type == "lat-lon":
         lat = grid.coords[0]
         latr = np.deg2rad(lat)
-        cosG, cosH = np.cos(latr), np.cos(_half(latr))
-        fG = 2.0 * mp["Omega"] * np.sin(latr)
-        fH = 2.0 * mp["Omega"] * np.sin(_half(latr))
+        cosG, cosH = pr(np.cos(latr)), pr(np.cos(_half(latr)))
+        fG = pr(2.0 * mp["Omega"] * np.sin(latr))
+        fH = pr(2.0 * mp["Omega"] * np.sin(_half(latr)))
         scaleF = cosG
     else:
-        y = grid.coords[0]
-        fG = mp["f0"] + mp["beta"] * y
-        fH = mp["f0"] + mp["beta"] * _half(y)
+        y = np.asarray(grid.coords[0], np.float64)
+        fG = pr(mp["f0"] + mp["beta"] * y)
+        fH = pr(mp["f0"] + mp["beta"] * _half(y))
         cosG = np.ones_like(fG)
         cosH = np.ones_like(fH)
         scaleF = None
@@ -281,19 +303,21 @@ def build_gillmatsuno_test(Q, Qdef, grid: Grid, mp):
 def build_stommel(curl, cdef, grid: Grid, mp):
     """Stommel wind-driven gyre, general 2D (apps.py:1712-1748)."""
     nd, shape = grid.ndim, grid.shape
-    R, depth, rho0 = mp["R"], mp["D"], mp["rho0"]
+    R = _bcast(mp["R"], nd, 0)
+    depth, rho0 = _bcast(mp["D"], nd, 0), _bcast(mp["rho0"], nd, 0)
     zero = jnp.zeros(shape)
+    b = lambda p: jnp.asarray(np.broadcast_to(_bcast(p, nd, 0), shape))
     if grid.coord_type == "lat-lon":
         latr = np.deg2rad(grid.coords[0])
         cosL = _bcast(np.cos(latr), nd, 0)
-        A = jnp.full(shape, -R / depth)
-        C = jnp.asarray(np.broadcast_to(-R / depth / cosL ** 2, shape))
+        A = b(-R / depth)
+        C = b(-R / depth / cosL ** 2)
         E = jnp.full(shape, -2.0 * mp["Omega"] / mp["Rearth"])
     else:
-        A = jnp.full(shape, -R / depth)
-        C = jnp.full(shape, -R / depth)
+        A = b(-R / depth)
+        C = b(-R / depth)
         E = jnp.full(shape, -mp["beta"])
-    G = -_fill(curl, cdef) / depth / rho0
+    G = -_fill(curl, cdef) / jnp.asarray(depth * rho0)
     return stencil.general_2d(A, zero, C, zero, E, zero, G, cdef,
                               grid.deltas, grid.bcs)
 
@@ -301,27 +325,29 @@ def build_stommel(curl, cdef, grid: Grid, mp):
 def build_stommel_test(curl, cdef, grid: Grid, mp):
     """Stommel in standardised form (apps.py:1751-1790)."""
     nd, shape = grid.ndim, grid.shape
-    R, depth, rho0 = mp["R"], mp["D"], mp["rho0"]
+    R = _bcast(mp["R"], nd, 0)
+    depth, rho0 = _bcast(mp["D"], nd, 0), _bcast(mp["rho0"], nd, 0)
     b = lambda p: jnp.asarray(np.broadcast_to(_bcast(p, nd, 0), shape))
+    pr = lambda p: _bcast(p, nd, 0)
     if grid.coord_type == "lat-lon":
         latr = np.deg2rad(grid.coords[0])
-        cosG, cosH = np.cos(latr), np.cos(_half(latr))
-        f = 2.0 * mp["Omega"] * np.sin(latr)
+        cosG, cosH = pr(np.cos(latr)), pr(np.cos(_half(latr)))
+        f = pr(2.0 * mp["Omega"] * np.sin(latr))
         A = b(-R / depth * cosH)
         B = b(-f)
         C = b(f)
         D = b(-R / depth / cosG)
         E = jnp.zeros(shape)
-        Fs = -_fill(curl, cdef) / depth / rho0 * b(cosG)
+        Fs = -_fill(curl, cdef) / jnp.asarray(depth * rho0) * b(cosG)
     else:
-        y = grid.coords[0]
-        f = mp["f0"] + mp["beta"] * y
-        A = jnp.full(shape, -R / depth)
+        y = np.asarray(grid.coords[0], np.float64)
+        f = pr(mp["f0"] + mp["beta"] * y)
+        A = b(-R / depth)
         B = b(-f)
         C = b(f)
-        D = jnp.full(shape, -R / depth)
+        D = b(-R / depth)
         E = jnp.zeros(shape)
-        Fs = -_fill(curl, cdef) / depth / rho0
+        Fs = -_fill(curl, cdef) / jnp.asarray(depth * rho0)
     return stencil.standard_2d_e(A, B, C, D, E, Fs, cdef, grid.deltas, grid.bcs)
 
 
@@ -329,23 +355,25 @@ def stommelmunk_coeffs(curl, cdef, grid: Grid, mp):
     """The Stommel-Munk A..I planes and forcing J (apps.py:1793-1836);
     shared by the SOR builder and the multigrid entry point."""
     nd, shape = grid.ndim, grid.shape
-    A4, R, depth, rho0 = mp["A4"], mp["R"], mp["D"], mp["rho0"]
+    A4, R = _bcast(mp["A4"], nd, 0), _bcast(mp["R"], nd, 0)
+    depth, rho0 = _bcast(mp["D"], nd, 0), _bcast(mp["rho0"], nd, 0)
     zero = jnp.zeros(shape)
+    b = lambda p: jnp.asarray(np.broadcast_to(_bcast(p, nd, 0), shape))
     if grid.coord_type == "lat-lon":
         latr = np.deg2rad(grid.coords[0])
-        icos2 = np.broadcast_to(_bcast(1.0 / np.cos(latr) ** 2, nd, 0), shape)
-        A = jnp.full(shape, A4)
-        C = jnp.asarray(A4 * icos2)
-        D = jnp.full(shape, -R / depth)
-        Fc = jnp.asarray(-R / depth * icos2)
+        icos2 = _bcast(1.0 / np.cos(latr) ** 2, nd, 0)
+        A = b(A4)
+        C = b(A4 * icos2)
+        D = b(-R / depth)
+        Fc = b(-R / depth * icos2)
         H = jnp.full(shape, -2.0 * mp["Omega"] / mp["Rearth"])
     else:
-        A = jnp.full(shape, A4)
-        C = jnp.full(shape, A4)
-        D = jnp.full(shape, -R / depth)
-        Fc = jnp.full(shape, -R / depth)
+        A = b(A4)
+        C = b(A4)
+        D = b(-R / depth)
+        Fc = b(-R / depth)
         H = jnp.full(shape, -mp["beta"])
-    J = -_fill(curl, cdef) / depth / rho0
+    J = -_fill(curl, cdef) / jnp.asarray(depth * rho0)
     return (A, zero, C, D, zero, Fc, zero, H, zero), J
 
 
@@ -404,24 +432,25 @@ def build_geostrophic(lapPhi, Fdef, grid: Grid, mp):
 def build_bretherton(h, hdef, grid: Grid, mp):
     """Bretherton-Haidvogel flow over topography (apps.py:1934-1972)."""
     nd, shape = grid.ndim, grid.shape
-    depth, lamb = mp["D"], mp["lambda"]
+    depth, lamb = _bcast(mp["D"], nd, 0), _bcast(mp["lambda"], nd, 0)
     b = lambda p: jnp.asarray(np.broadcast_to(_bcast(p, nd, 0), shape))
+    pr = lambda p: _bcast(p, nd, 0)
     zero = jnp.zeros(shape)
     if grid.coord_type == "lat-lon":
         latr = np.deg2rad(grid.coords[0])
-        cosG, cosH = np.cos(latr), np.cos(_half(latr))
-        f = 2.0 * mp["Omega"] * np.sin(latr)
+        cosG, cosH = pr(np.cos(latr)), pr(np.cos(_half(latr)))
+        f = pr(2.0 * mp["Omega"] * np.sin(latr))
         A = b(cosH)
         D = b(1.0 / cosG)
         E = b(-lamb * depth * cosG)
-        Fs = -_fill(h, hdef) * b(f) / depth * b(cosG)
+        Fs = -_fill(h, hdef) * jnp.asarray(f / depth * cosG)
     else:
-        y = grid.coords[0]
-        f = mp["f0"] + mp["beta"] * y
+        y = np.asarray(grid.coords[0], np.float64)
+        f = pr(mp["f0"] + mp["beta"] * y)
         A = jnp.ones(shape)
         D = jnp.ones(shape)
-        E = jnp.full(shape, -lamb * depth)
-        Fs = -_fill(h, hdef) * b(f) / depth
+        E = b(-lamb * depth)
+        Fs = -_fill(h, hdef) * jnp.asarray(f / depth)
     return stencil.standard_2d_e(A, zero, zero, D, E, Fs, hdef,
                                  grid.deltas, grid.bcs)
 
@@ -430,23 +459,24 @@ def build_fofonoff(F, Fdef, grid: Grid, mp):
     """Fofonoff inviscid free mode (apps.py:1975-2013); forcing synthesised
     from the Coriolis profile, the input F contributes only its mask."""
     nd, shape = grid.ndim, grid.shape
-    c0, c1 = mp["c0"], mp["c1"]
+    c0, c1 = _bcast(mp["c0"], nd, 0), _bcast(mp["c1"], nd, 0)
     b = lambda p: jnp.asarray(np.broadcast_to(_bcast(p, nd, 0), shape))
+    pr = lambda p: _bcast(p, nd, 0)
     zero = jnp.zeros(shape)
     if grid.coord_type == "lat-lon":
         latr = np.deg2rad(grid.coords[0])
-        cosG, cosH = np.cos(latr), np.cos(_half(latr))
-        f = 2.0 * mp["Omega"] * np.sin(latr)
+        cosG, cosH = pr(np.cos(latr)), pr(np.cos(_half(latr)))
+        f = pr(2.0 * mp["Omega"] * np.sin(latr))
         A = b(cosH)
         D = b(1.0 / cosG)
         E = b(-c0 * cosG)
         Fs = b((c1 - f) * cosG)
     else:
-        y = grid.coords[0]
-        f = mp["f0"] + mp["beta"] * y
+        y = np.asarray(grid.coords[0], np.float64)
+        f = pr(mp["f0"] + mp["beta"] * y)
         A = jnp.ones(shape)
         D = jnp.ones(shape)
-        E = jnp.full(shape, -c0)
+        E = b(-c0)
         Fs = b(c1 - f)
     Fs = jnp.broadcast_to(Fs, jnp.shape(F))
     return stencil.standard_2d_e(A, zero, zero, D, E, Fs, Fdef,
@@ -498,35 +528,31 @@ def build_ocean3d(F, Fdef, grid: Grid, mp):
         dc3 = _grad_coord(c3, lev)
     else:
         dc3 = np.gradient(c3, np.asarray(lev, np.float64), axis=0)
+    eps = _bcast(eps, nd, 1)
     if grid.coord_type == "lat-lon":
         lat = grid.coords[1]
-        latr = np.deg2rad(lat)
+        latr = _bcast(np.deg2rad(lat), nd, 1)
         cosL = np.cos(latr)
         f = 2.0 * mp["Omega"] * np.sin(latr)
         c1 = eps / (eps ** 2 + f ** 2)
         c2 = f / (eps ** 2 + f ** 2)
         deg2m = _deg2m(mp["Rearth"])
-        dc1 = _grad_coord(c1, lat) / deg2m
-        dc2 = _grad_coord(c2, lat) / deg2m
+        dc1 = _grad_coord(c1, lat, axis=1) / deg2m
+        dc2 = _grad_coord(c2, lat, axis=1) / deg2m
         E = dc1 - c1 * np.tan(latr) / mp["Rearth"]
         Fc = -dc2 / cosL
         C = c1 / cosL ** 2
     else:
         y = grid.coords[1]
-        f = mp["f0"] + mp["beta"] * y
+        f = _bcast(mp["f0"] + mp["beta"] * np.asarray(y, np.float64), nd, 1)
         c1 = eps / (eps ** 2 + f ** 2)
         c2 = f / (eps ** 2 + f ** 2)
-        dc1 = _grad_coord(c1, y)
-        dc2 = _grad_coord(c2, y)
+        dc1 = _grad_coord(c1, y, axis=1)
+        dc2 = _grad_coord(c2, y, axis=1)
         E = dc1
         Fc = -dc2
         C = c1
-    def bz(p):
-        p = np.asarray(p, np.float64)
-        if p.ndim <= 1:
-            p = _bcast(p, nd, 0)
-        return jnp.asarray(np.broadcast_to(p, shape))
-
+    bz = lambda p: jnp.asarray(np.broadcast_to(_bcast(p, nd, 0), shape))
     by = lambda p: jnp.asarray(np.broadcast_to(_bcast(p, nd, 1), shape))
     zero = jnp.zeros(shape)
     H = _fill(F, Fdef)
