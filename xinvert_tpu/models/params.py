@@ -29,6 +29,9 @@ default_iParams = {
     "warmStart": False,  # TPU-native extension: use icbc EVERYWHERE as the
                          # initial guess (the reference keeps icbc only on
                          # domain edges and undef cells, apps.py:2144-2156)
+    "scheme": "sor",     # TPU-native extension: 'cheby' runs the cyclic
+                         # Chebyshev semi-iterative factor sequence (same
+                         # fixed point, near-optimal transient decay)
 }
 
 default_mParams = {

@@ -32,7 +32,8 @@ import numpy as np
 
 from .stencil import StencilSpec
 
-__all__ = ["SolveResult", "solve", "solve_fixed", "solve_trajectory", "sweep"]
+__all__ = ["SolveResult", "solve", "solve_fixed", "solve_fixed_cheby",
+           "solve_trajectory", "sweep", "rho2_from_omega"]
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -153,6 +154,44 @@ def _sweep_with(spec: StencilSpec, S, rr, rb):
     return S
 
 
+def rho2_from_omega(omega):
+    """Jacobi spectral-radius estimate rho^2 from an SOR factor.
+
+    Inverts omega_opt = 2 / (1 + sqrt(1 - rho^2)) — the same relation the
+    reference's grid-optimal formula is built on (apps.py:2289-2290) — so
+    the grid-derived omega doubles as the Chebyshev parameter source.
+    """
+    s = 2.0 / omega - 1.0
+    return jnp.clip(1.0 - s * s, 0.0, 1.0 - 1e-12)
+
+
+def _cheby_next(m, w, rho2):
+    """The cyclic Chebyshev semi-iterative factor for half-sweep ``m``
+    (0-based), given the previous factor ``w`` (Golub & Varga 1961):
+    w(0)=1, w(1)=1/(1-rho2/2), w(m+1)=1/(1-rho2*w(m)/4)."""
+    return jnp.where(m == 0, 1.0,
+                     jnp.where(m == 1, 1.0 / (1.0 - rho2 / 2.0),
+                               1.0 / (1.0 - rho2 * w / 4.0)))
+
+
+def _sweep_cheby(spec: StencilSpec, S, m, w, rho2, base_r, base_b):
+    """One full iteration of cyclic-Chebyshev red-black SOR: each
+    half-sweep uses the next factor of the semi-iterative recurrence
+    (ramping 1 -> omega_opt).  Same fixed point and same asymptotic rate
+    as constant omega_opt SOR; measured parity-class iterate counts on the
+    gallery problems (the ramp removes the theoretical m*rho^m transient
+    factor, worth having when rho is known better than the omega
+    heuristic, but it is not a speedup over a well-tuned omega — use
+    multigrid for that)."""
+    S = _apply_extend(spec, S)
+    for base in (base_r, base_b):
+        w = _cheby_next(m, w, rho2).astype(S.dtype)
+        m = m + 1
+        acc = _neighbor_sum(spec, S)
+        S = S + (w * base) * (acc + spec.w0 * S)
+    return S, m, w
+
+
 def _norm(spec: StencilSpec, S):
     """Masked mean |S| over the core dims (absNorm*, numbas.py:1690-1747).
 
@@ -195,12 +234,32 @@ def _use_pallas(spec, S) -> bool:
 
 
 def _solve_impl(spec, S0, omega, tol, max_iters, check_every=1,
-                kernel=None):
+                kernel=None, scheme="sor"):
     dtype = S0.dtype
     rr, rb = _color_relax(spec, jnp.asarray(omega, dtype))
     batch_shape = jnp.shape(S0)[: S0.ndim - spec.ndim]
 
-    if kernel == "vmem":
+    if scheme == "cheby":
+        # Chebyshev semi-iteration needs per-half-sweep factors; it runs on
+        # the XLA path (the fused kernels bake a constant omega into their
+        # weight planes) with (m, w) recurrence state in the loop carry
+        base_r, base_b = _color_relax(spec, jnp.asarray(1.0, dtype))
+        rho2 = rho2_from_omega(jnp.asarray(omega, dtype))
+
+        def sweeps_aux(S, aux, k):
+            def it(_, c):
+                S, m, w = c
+                return _sweep_cheby(spec, S, m, w, rho2, base_r, base_b)
+            return jax.lax.fori_loop(0, k, it, (S, aux[0], aux[1]))
+
+        init_aux = (jnp.zeros((), jnp.int32), jnp.ones((), dtype))
+    else:
+        sweeps_aux = None
+        init_aux = ()
+
+    if scheme == "cheby":
+        pass
+    elif kernel == "vmem":
         from .ops.pallas_sor import sor_sweeps_pallas
 
         def sweeps(S, k):
@@ -250,6 +309,7 @@ def _solve_impl(spec, S0, omega, tol, max_iters, check_every=1,
         rel=jnp.ones(batch_shape, dtype),
         overflow=jnp.zeros(batch_shape, bool),
         done=jnp.zeros(batch_shape, bool),
+        aux=init_aux,                     # cheby (m, w) recurrence state
     )
 
     def cond(c):
@@ -261,7 +321,12 @@ def _solve_impl(spec, S0, omega, tol, max_iters, check_every=1,
         # carries the same loop count, so the scalar `it` tracks them all)
         k_eff = jnp.minimum(jnp.int32(check_every),
                             max_iters.astype(jnp.int32) - c["it"])
-        S_new = sweeps(c["S"], k_eff)
+        if sweeps_aux is not None:
+            S_new, m_new, w_new = sweeps_aux(c["S"], c["aux"], k_eff)
+            aux_new = (m_new, w_new)
+        else:
+            S_new = sweeps(c["S"], k_eff)
+            aux_new = c["aux"]
         norm = _norm(spec, S_new)
         # reference: isnan(norm) or norm > 1e100 (numbas.py:403); ~isfinite
         # additionally catches inf, which for float32 subsumes the 1e100 test.
@@ -288,6 +353,7 @@ def _solve_impl(spec, S0, omega, tol, max_iters, check_every=1,
             rel=jnp.where(c["done"], c["rel"], rel),
             overflow=jnp.where(c["done"], c["overflow"], overflow),
             done=c["done"] | stop,
+            aux=aux_new,
         )
 
     out = jax.lax.while_loop(cond, body, init)
@@ -295,7 +361,8 @@ def _solve_impl(spec, S0, omega, tol, max_iters, check_every=1,
                        overflow=out["overflow"])
 
 
-_solve_jit = partial(jax.jit, static_argnames=("check_every", "kernel"))(
+_solve_jit = partial(jax.jit,
+                     static_argnames=("check_every", "kernel", "scheme"))(
     _solve_impl)
 # the windowed >VMEM and VMEM-resident 3-D kernels need the raised
 # scoped-VMEM budget on the top-level compile
@@ -310,7 +377,7 @@ def _solve_jit_for(kernel):
     if _solve_jit_window is None:
         from .ops.pallas_sor_window import WINDOW_COMPILER_OPTS
         _solve_jit_window = partial(
-            jax.jit, static_argnames=("check_every", "kernel"),
+            jax.jit, static_argnames=("check_every", "kernel", "scheme"),
             compiler_options=WINDOW_COMPILER_OPTS)(_solve_impl)
     return _solve_jit_window
 
@@ -318,7 +385,8 @@ def _solve_jit_for(kernel):
 def solve(spec: StencilSpec, S0, omega: Optional[float] = None,
           tol: float = 1e-8, max_iters: int = 5000,
           check_every: int = 1,
-          use_pallas: Optional[bool] = None) -> SolveResult:
+          use_pallas: Optional[bool] = None,
+          scheme: str = "sor") -> SolveResult:
     """Iterate to convergence with the reference's stopping rule.
 
     Parameters mirror iParams: ``tol`` is the relative change of the mean-|S|
@@ -337,7 +405,11 @@ def solve(spec: StencilSpec, S0, omega: Optional[float] = None,
         from .grid import optimal_omega
         omega = optimal_omega(S0.shape[-spec.ndim:])
     S0 = jnp.asarray(S0)
-    if use_pallas is None:
+    if scheme not in ("sor", "cheby"):
+        raise ValueError(f"unknown scheme {scheme!r}; use 'sor' or 'cheby'")
+    if scheme == "cheby":
+        kernel = None          # per-half-sweep factors: XLA path
+    elif use_pallas is None:
         kernel = _select_kernel(spec, S0)
     elif use_pallas:
         kernel = "vmem"
@@ -347,7 +419,7 @@ def solve(spec: StencilSpec, S0, omega: Optional[float] = None,
                                   jnp.asarray(tol, S0.dtype),
                                   jnp.asarray(max_iters, jnp.int32),
                                   check_every=int(check_every),
-                                  kernel=kernel)
+                                  kernel=kernel, scheme=scheme)
 
 
 @partial(jax.jit, static_argnames=("n_iters",))
@@ -389,6 +461,29 @@ def solve_fixed(spec: StencilSpec, S0, omega, n_iters: int,
         return sor_sweeps_window3d(spec, S0, jnp.asarray(omega, S0.dtype),
                                    n_iters)
     return _solve_fixed_xla(spec, S0, omega, n_iters)
+
+
+@partial(jax.jit, static_argnames=("n_iters",))
+def solve_fixed_cheby(spec: StencilSpec, S0, omega, n_iters: int):
+    """Run exactly ``n_iters`` cyclic-Chebyshev red-black SOR iterations
+    (SURVEY 7.8's optional accelerator).  The half-sweep factor follows
+    the Golub-Varga semi-iterative recurrence seeded by the Jacobi
+    spectral radius implied by ``omega`` (``rho2_from_omega``).  Same
+    fixed point and asymptotic rate as constant-omega_opt SOR; measured
+    parity-class error decay on the gallery problems (see _sweep_cheby)."""
+    S0 = jnp.asarray(S0)
+    dtype = S0.dtype
+    base_r, base_b = _color_relax(spec, jnp.asarray(1.0, dtype))
+    rho2 = rho2_from_omega(jnp.asarray(omega, dtype))
+
+    def it(_, c):
+        S, m, w = c
+        return _sweep_cheby(spec, S, m, w, rho2, base_r, base_b)
+
+    S, _, _ = jax.lax.fori_loop(
+        0, n_iters, it, (S0, jnp.zeros((), jnp.int32),
+                         jnp.ones((), dtype)))
+    return S
 
 
 @partial(jax.jit, static_argnames=("loop_per_frame", "max_frames"))
