@@ -18,7 +18,8 @@ from .field import Field, as_field, concat                      # noqa: F401
 from .io import open_dataset, save_dataset, Dataset             # noqa: F401
 from .grid import Grid, optimal_omega                           # noqa: F401
 from .stencil import StencilSpec                                # noqa: F401
-from .solver import solve, solve_fixed, solve_trajectory, SolveResult  # noqa: F401
+from .solver import (solve, solve_fixed, solve_fixed_cheby,  # noqa: F401
+                     solve_trajectory, SolveResult)
 from .fd import FiniteDiff, padBCs, deriv, deriv2               # noqa: F401
 from .ops.tridiag import trace, traceCyclic, tridiag_solve      # noqa: F401
 from .mg import (                                               # noqa: F401
