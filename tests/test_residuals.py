@@ -149,3 +149,82 @@ def test_discrete_residual(key):
         scale = 1.0
     assert np.abs(r).max() < rtol * scale, (
         f"{key}: residual {np.abs(r).max():.3e} vs scale {scale:.3e}")
+
+
+# ---------------------------------------------------------------------------
+# alternate-coords sweep: every builder's OTHER coordinate branch (the table
+# above exercises one branch per problem; the reference supports lat-lon AND
+# cartesian for most, apps.py coefficient builders branch on coords)
+# ---------------------------------------------------------------------------
+
+CART2D_POS = Grid.make(("y", "x"),
+                       (np.linspace(1e5, 1e6, 24), np.linspace(2e5, 2e6, 28)),
+                       "cartesian", bcs=("fixed", "fixed"))
+CART2D_FINE = Grid.make(("y", "x"),
+                        (np.linspace(-3e6, 3e6, 61), np.linspace(0, 6e6, 80)),
+                        "cartesian", bcs=("fixed", "fixed"))
+CART3D = Grid.make(("lev", "y", "x"),
+                   (np.linspace(100000, 10000, 8),
+                    np.linspace(-2e6, 2e6, 12),
+                    np.linspace(0, 4e6, 16)),
+                   "cartesian", bcs=("fixed", "fixed", "fixed"))
+
+ALT_CASES = {
+    "poisson": (CART2D, {}, 1e-10),
+    "poisson@zlat": (ZLAT, {}, 1e-10),
+    "refstate": (CART2D_POS, {"Gamma": 1e-6, "Ang0": 2e5}, 1e-10),
+    "pv2d": (CART2D, {"f0": 1e-4, "beta": 0.0, "N2": 2e-4}, 1e-10),
+    "gillmatsuno": (CART2D_FINE, {"f0": 0.0, "beta": 2e-11,
+                                  "epsilon": 1e-5, "Phi": 5000}, 1e-10),
+    "gillmatsuno_test": (CART2D_FINE, {"f0": 0.0, "beta": 2e-11,
+                                       "epsilon": 1e-5, "Phi": 5000}, 1e-10),
+    "stommelarons": (CART2D_FINE, {"f0": 1e-5, "beta": 2e-11,
+                                   "epsilon": 1e-5}, 1e-10),
+    # lat-lon branch needs the fine grid + strong enough Rayleigh friction
+    # for cell-Peclet < 1 on the beta term (2.5-degree cells; the 15-degree
+    # LAT2D cells lose diagonal dominance and diverge, like the reference),
+    # and a damped omega like the reference's own advective tests
+    "stommel": (LAT2D_FINE, {"R": 5e-3, "D": 200}, 1e-10),
+    "stommel_test": (LAT2D_FINE, {"f0": 1e-4, "R": 5e-3, "D": 200}, 1e-10),
+    "stommelmunk": (LAT2D_FINE, {"A4": 5e3, "R": 2e-3, "D": 100}, 1e-8),
+    "geostrophic": (CART2D, {"f0": 1e-4, "beta": 1e-11}, 1e-10),
+    "brethertonhaidvogel": (LAT2D, {"D": 1000, "lambda": 1e-15}, 1e-10),
+    "fofonoff": (LAT2D, {"c0": 8e-9, "c1": 1e-4}, 1e-10),
+    "omega": (CART3D, {"f0": 1e-4, "beta": 0.0, "N2": 2e-4}, 1e-10),
+    "3docean": (CART3D, {"f0": 1e-5, "beta": 2e-11, "epsilon": 1e-5,
+                         "N2": 2e-4, "k": 1e-5}, 1e-10),
+}
+
+
+ALT_OMEGA = {"stommel": 1.4, "stommel_test": 1.4}
+
+
+@pytest.mark.parametrize("key", sorted(ALT_CASES))
+def test_discrete_residual_alt_coords(key):
+    problem = key.split("@")[0]
+    grid, extra, rtol = ALT_CASES[key]
+    mp = _mp(extra)
+
+    F = _gauss(grid.shape, centers=(0.35, 0.6)) * 1e-10
+    if problem == "refstate":
+        F = np.abs(F) + 1e-9
+
+    Fdef = np.ones(grid.shape, bool)
+    spec = problems.BUILDERS[problem](jnp.asarray(F), jnp.asarray(Fdef),
+                                      grid, mp)
+
+    S0 = jnp.zeros(grid.shape)
+    res = solve(spec, S0, omega=ALT_OMEGA.get(key, OMEGA.get(problem)),
+                tol=1e-15, max_iters=60000)
+    assert not bool(np.asarray(res.overflow).any()), f"{key} overflowed"
+    S = np.asarray(res.S)
+    assert np.isfinite(S).all(), f"{key} produced non-finite output"
+
+    r = _residual(spec, S)
+    active = np.asarray(spec.active)
+    scale = max(np.abs(np.asarray(spec.g))[active].max(),
+                np.abs(np.asarray(spec.w0 * res.S))[active].max())
+    if scale == 0:
+        scale = 1.0
+    assert np.abs(r).max() < rtol * scale, (
+        f"{key}: residual {np.abs(r).max():.3e} vs scale {scale:.3e}")
