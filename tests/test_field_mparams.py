@@ -85,6 +85,79 @@ def test_constant_field_mparam_matches_scalar(key, kind):
             err_msg=f"{key}: Field-valued {k} ({kind}) != scalar")
 
 
+NYC, NXC = 18, 26
+YC = np.linspace(-2e6, 2e6, NYC)
+XC = np.linspace(0.0, 4e6, NXC)
+FORC_C = RNG.normal(0.0, 1e-6, (NYC, NXC))
+IPC = {"BCs": ["fixed", "fixed"], "undef": np.nan, "mxLoop": 60,
+       "tolerance": 1e-12, "printInfo": False}
+
+# cartesian-branch cases: f0/beta multiply the raw y coordinate there, the
+# exact pattern the first Field-mParams pass missed (rectangular grid so a
+# trailing-dim mis-broadcast CRASHES rather than silently transposing)
+CART_CASES = {
+    "gillmatsuno": (xv.invert_GillMatsuno,
+                    {"f0": 1e-5, "beta": 2e-11, "epsilon": 1e-5,
+                     "Phi": 5000.0}, ["f0", "beta"], {"optArg": 1.4}),
+    "gillmatsuno_test": (xv.invert_GillMatsuno_test,
+                         {"f0": 1e-5, "beta": 2e-11, "epsilon": 1e-5,
+                          "Phi": 5000.0}, ["f0", "beta"], {"optArg": 1.4}),
+    "stommel_test": (xv.invert_Stommel_test,
+                     {"f0": 1e-4, "beta": 1.8e-11, "R": 8e-4, "D": 200.0},
+                     ["f0", "beta"], {}),
+    "geostrophic": (xv.invert_geostrophic,
+                    {"f0": 1e-4, "beta": 1e-11}, ["f0", "beta"], {}),
+    "brethertonhaidvogel": (xv.invert_BrethertonHaidvogel,
+                            {"f0": 1e-4, "beta": 2e-11, "D": 1000.0,
+                             "lambda": 1e-15}, ["f0", "beta"], {}),
+    "fofonoff": (xv.invert_Fofonoff,
+                 {"f0": 1e-4, "beta": 2e-11, "c0": 8e-9, "c1": 1e-4},
+                 ["f0", "beta"], {}),
+}
+
+
+@pytest.mark.parametrize("key", sorted(CART_CASES))
+@pytest.mark.parametrize("kind", ["profile", "full"])
+def test_cartesian_field_f0_beta_matches_scalar(key, kind):
+    fn, mp, vary, extra = CART_CASES[key]
+    iP = dict(IPC, **extra)
+    Ff = Field(FORC_C, ("y", "x"), {"y": YC, "x": XC})
+    ref = fn(Ff, dims=["y", "x"], coords="cartesian", iParams=iP,
+             mParams=dict(mp))
+    refv = np.asarray(ref.values)
+    assert np.isfinite(refv).all()
+    for k in vary:
+        mpk = dict(mp)
+        if kind == "profile":
+            mpk[k] = Field(np.full(NYC, mp[k]), ("y",), {"y": YC})
+        else:
+            mpk[k] = Field(np.full((NYC, NXC), mp[k]), ("y", "x"),
+                           {"y": YC, "x": XC})
+        out = fn(Ff, dims=["y", "x"], coords="cartesian", iParams=iP,
+                 mParams=mpk)
+        np.testing.assert_array_equal(
+            np.asarray(out.values), refv,
+            err_msg=f"{key}: Field-valued {k} ({kind}) != scalar")
+
+
+def test_latlon_field_omega_matches_scalar():
+    """Field-valued Omega through the lat-lon Coriolis products (the
+    sin-profile lift must happen before the Omega multiply)."""
+    fn, mp, _, extra = CASES["gillmatsuno_test"]
+    iP = dict(IP, **extra)
+    Ff = Field(FORC, ("lat", "lon"), {"lat": LAT, "lon": LON})
+    om_val = 7.292e-5
+    ref = fn(Ff, dims=["lat", "lon"], iParams=iP,
+             mParams=dict(mp, Omega=om_val))
+    for om in (Field(np.full(NY, om_val), ("lat",), {"lat": LAT}),
+               Field(np.full((NY, NX), om_val), ("lat", "lon"),
+                     {"lat": LAT, "lon": LON})):
+        out = fn(Ff, dims=["lat", "lon"], iParams=iP,
+                 mParams=dict(mp, Omega=om))
+        np.testing.assert_array_equal(np.asarray(out.values),
+                                      np.asarray(ref.values))
+
+
 def test_varying_field_phi_changes_solution():
     """A genuinely varying Field parameter must flow into the stencil,
     not be silently collapsed."""

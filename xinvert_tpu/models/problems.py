@@ -232,8 +232,9 @@ def _gm_c1c2(grid: Grid, mp):
         dc2 = _grad_coord(c2, lat, axis=0) / deg2m
         return f, c1, c2, dc1, dc2, latr
     ydef = grid.coords[0]
-    f = _bcast(mp["f0"] + mp["beta"] * np.asarray(grid.coords[0], np.float64),
-               nd, 0)
+    # lift the coordinate BEFORE the param product (a core-rank Field
+    # beta against a raw 1-D y would trailing-dim mis-broadcast)
+    f = mp["f0"] + mp["beta"] * _bcast(ydef, nd, 0)
     c1 = eps / (eps ** 2 + f ** 2)
     c2 = f / (eps ** 2 + f ** 2)
     dc1 = _grad_coord(c1, ydef, axis=0)
@@ -275,15 +276,16 @@ def build_gillmatsuno_test(Q, Qdef, grid: Grid, mp):
         lat = grid.coords[0]
         latr = np.deg2rad(lat)
         cosG, cosH = pr(np.cos(latr)), pr(np.cos(_half(latr)))
-        fG = pr(2.0 * mp["Omega"] * np.sin(latr))
-        fH = pr(2.0 * mp["Omega"] * np.sin(_half(latr)))
+        # lift the sin profiles BEFORE the Omega product (Field Omega)
+        fG = 2.0 * mp["Omega"] * pr(np.sin(latr))
+        fH = 2.0 * mp["Omega"] * pr(np.sin(_half(latr)))
         scaleF = cosG
     else:
         y = np.asarray(grid.coords[0], np.float64)
-        fG = pr(mp["f0"] + mp["beta"] * y)
-        fH = pr(mp["f0"] + mp["beta"] * _half(y))
-        cosG = np.ones_like(fG)
-        cosH = np.ones_like(fH)
+        fG = mp["f0"] + mp["beta"] * pr(y)
+        fH = mp["f0"] + mp["beta"] * pr(_half(y))
+        cosG = np.ones(pr(y).shape)
+        cosH = np.ones(pr(y).shape)
         scaleF = None
     c1G = eps / (eps ** 2 + fG ** 2)
     c1H = eps / (eps ** 2 + fH ** 2)
@@ -312,11 +314,12 @@ def build_stommel(curl, cdef, grid: Grid, mp):
         cosL = _bcast(np.cos(latr), nd, 0)
         A = b(-R / depth)
         C = b(-R / depth / cosL ** 2)
-        E = jnp.full(shape, -2.0 * mp["Omega"] / mp["Rearth"])
+        E = b(-2.0 * np.asarray(mp["Omega"], np.float64)
+              / np.asarray(mp["Rearth"], np.float64))
     else:
         A = b(-R / depth)
         C = b(-R / depth)
-        E = jnp.full(shape, -mp["beta"])
+        E = b(-np.asarray(mp["beta"], np.float64))
     G = -_fill(curl, cdef) / jnp.asarray(depth * rho0)
     return stencil.general_2d(A, zero, C, zero, E, zero, G, cdef,
                               grid.deltas, grid.bcs)
@@ -332,7 +335,7 @@ def build_stommel_test(curl, cdef, grid: Grid, mp):
     if grid.coord_type == "lat-lon":
         latr = np.deg2rad(grid.coords[0])
         cosG, cosH = pr(np.cos(latr)), pr(np.cos(_half(latr)))
-        f = pr(2.0 * mp["Omega"] * np.sin(latr))
+        f = 2.0 * mp["Omega"] * pr(np.sin(latr))
         A = b(-R / depth * cosH)
         B = b(-f)
         C = b(f)
@@ -341,7 +344,7 @@ def build_stommel_test(curl, cdef, grid: Grid, mp):
         Fs = -_fill(curl, cdef) / jnp.asarray(depth * rho0) * b(cosG)
     else:
         y = np.asarray(grid.coords[0], np.float64)
-        f = pr(mp["f0"] + mp["beta"] * y)
+        f = mp["f0"] + mp["beta"] * pr(y)
         A = b(-R / depth)
         B = b(-f)
         C = b(f)
@@ -366,13 +369,14 @@ def stommelmunk_coeffs(curl, cdef, grid: Grid, mp):
         C = b(A4 * icos2)
         D = b(-R / depth)
         Fc = b(-R / depth * icos2)
-        H = jnp.full(shape, -2.0 * mp["Omega"] / mp["Rearth"])
+        H = b(-2.0 * np.asarray(mp["Omega"], np.float64)
+              / np.asarray(mp["Rearth"], np.float64))
     else:
         A = b(A4)
         C = b(A4)
         D = b(-R / depth)
         Fc = b(-R / depth)
-        H = jnp.full(shape, -mp["beta"])
+        H = b(-np.asarray(mp["beta"], np.float64))
     J = -_fill(curl, cdef) / jnp.asarray(depth * rho0)
     return (A, zero, C, D, zero, Fc, zero, H, zero), J
 
@@ -407,10 +411,11 @@ def build_geostrophic(lapPhi, Fdef, grid: Grid, mp):
     (apps.py:1889-1931), with the near-equator f regularisation."""
     nd, shape = grid.ndim, grid.shape
     b = lambda p: jnp.asarray(np.broadcast_to(_bcast(p, nd, 0), shape))
+    pr = lambda p: _bcast(p, nd, 0)
     if grid.coord_type == "lat-lon":
         latr = np.deg2rad(grid.coords[0])
-        sinG, sinH = np.sin(latr), np.sin(_half(latr))
-        cosG, cosH = np.cos(latr), np.cos(_half(latr))
+        sinG, sinH = pr(np.sin(latr)), pr(np.sin(_half(latr)))
+        cosG, cosH = pr(np.cos(latr)), pr(np.cos(_half(latr)))
         fH = 2.0 * mp["Omega"] * sinH
         fG = 2.0 * mp["Omega"] * sinG
         fH = np.where(np.abs(fH) < 2e-5, fH * 1.5, fH)   # apps.py:1909-1910
@@ -419,9 +424,9 @@ def build_geostrophic(lapPhi, Fdef, grid: Grid, mp):
         C = b(fG / cosG)
         Fs = _fill(lapPhi, Fdef) * b(cosG)
     else:
-        y = grid.coords[0]
-        fG = mp["f0"] + mp["beta"] * y
-        fH = mp["f0"] + mp["beta"] * _half(y)
+        y = np.asarray(grid.coords[0], np.float64)
+        fG = mp["f0"] + mp["beta"] * pr(y)
+        fH = mp["f0"] + mp["beta"] * pr(_half(y))
         A = b(fH)
         C = b(fG)
         Fs = _fill(lapPhi, Fdef)
@@ -439,14 +444,14 @@ def build_bretherton(h, hdef, grid: Grid, mp):
     if grid.coord_type == "lat-lon":
         latr = np.deg2rad(grid.coords[0])
         cosG, cosH = pr(np.cos(latr)), pr(np.cos(_half(latr)))
-        f = pr(2.0 * mp["Omega"] * np.sin(latr))
+        f = 2.0 * mp["Omega"] * pr(np.sin(latr))
         A = b(cosH)
         D = b(1.0 / cosG)
         E = b(-lamb * depth * cosG)
         Fs = -_fill(h, hdef) * jnp.asarray(f / depth * cosG)
     else:
         y = np.asarray(grid.coords[0], np.float64)
-        f = pr(mp["f0"] + mp["beta"] * y)
+        f = mp["f0"] + mp["beta"] * pr(y)
         A = jnp.ones(shape)
         D = jnp.ones(shape)
         E = b(-lamb * depth)
@@ -466,14 +471,14 @@ def build_fofonoff(F, Fdef, grid: Grid, mp):
     if grid.coord_type == "lat-lon":
         latr = np.deg2rad(grid.coords[0])
         cosG, cosH = pr(np.cos(latr)), pr(np.cos(_half(latr)))
-        f = pr(2.0 * mp["Omega"] * np.sin(latr))
+        f = 2.0 * mp["Omega"] * pr(np.sin(latr))
         A = b(cosH)
         D = b(1.0 / cosG)
         E = b(-c0 * cosG)
         Fs = b((c1 - f) * cosG)
     else:
         y = np.asarray(grid.coords[0], np.float64)
-        f = pr(mp["f0"] + mp["beta"] * y)
+        f = mp["f0"] + mp["beta"] * pr(y)
         A = jnp.ones(shape)
         D = jnp.ones(shape)
         E = b(-c0)
@@ -492,14 +497,14 @@ def omega_coeffs(F, Fdef, grid: Grid, mp):
         latr = np.deg2rad(grid.coords[1])
         cosG = _bcast(np.cos(latr), nd, 1)
         cosH = _bcast(np.cos(_half(latr)), nd, 1)
-        f = _bcast(2.0 * mp["Omega"] * np.sin(latr), nd, 1)
+        f = 2.0 * mp["Omega"] * _bcast(np.sin(latr), nd, 1)
         A = np.broadcast_to(f ** 2 * cosG, shape)
         B = np.broadcast_to(N2 * cosH, shape)
         C = np.broadcast_to(N2 / cosG, shape)
         Fs = _fill(F, Fdef) * jnp.asarray(cosG)
     else:
         y = grid.coords[1]
-        f = _bcast(mp["f0"] + mp["beta"] * y, nd, 1)
+        f = mp["f0"] + mp["beta"] * _bcast(y, nd, 1)
         A = np.broadcast_to(f ** 2, shape)
         B = np.broadcast_to(N2 * np.ones(shape), shape)
         C = np.broadcast_to(N2 * np.ones(shape), shape)
@@ -544,7 +549,7 @@ def build_ocean3d(F, Fdef, grid: Grid, mp):
         C = c1 / cosL ** 2
     else:
         y = grid.coords[1]
-        f = _bcast(mp["f0"] + mp["beta"] * np.asarray(y, np.float64), nd, 1)
+        f = mp["f0"] + mp["beta"] * _bcast(np.asarray(y, np.float64), nd, 1)
         c1 = eps / (eps ** 2 + f ** 2)
         c2 = f / (eps ** 2 + f ** 2)
         dc1 = _grad_coord(c1, y, axis=1)

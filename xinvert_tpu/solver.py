@@ -236,9 +236,9 @@ def _use_pallas(spec, S) -> bool:
 def _solve_impl(spec, S0, omega, tol, max_iters, check_every=1,
                 kernel=None, scheme="sor"):
     dtype = S0.dtype
-    rr, rb = _color_relax(spec, jnp.asarray(omega, dtype))
     batch_shape = jnp.shape(S0)[: S0.ndim - spec.ndim]
 
+    sweeps_aux, init_aux = None, ()
     if scheme == "cheby":
         # Chebyshev semi-iteration needs per-half-sweep factors; it runs on
         # the XLA path (the fused kernels bake a constant omega into their
@@ -253,12 +253,6 @@ def _solve_impl(spec, S0, omega, tol, max_iters, check_every=1,
             return jax.lax.fori_loop(0, k, it, (S, aux[0], aux[1]))
 
         init_aux = (jnp.zeros((), jnp.int32), jnp.ones((), dtype))
-    else:
-        sweeps_aux = None
-        init_aux = ()
-
-    if scheme == "cheby":
-        pass
     elif kernel == "vmem":
         from .ops.pallas_sor import sor_sweeps_pallas
 
@@ -290,9 +284,13 @@ def _solve_impl(spec, S0, omega, tol, max_iters, check_every=1,
                 lambda s: sor_sweeps_window3d(spec, s, omega, k),
                 S)
     elif check_every == 1:
+        rr, rb = _color_relax(spec, jnp.asarray(omega, dtype))
+
         def sweeps(S, k):
             return _sweep_with(spec, S, rr, rb)
     else:
+        rr, rb = _color_relax(spec, jnp.asarray(omega, dtype))
+
         def sweeps(S, k):
             return jax.lax.fori_loop(
                 0, k, lambda i, s: _sweep_with(spec, s, rr, rb), S)
