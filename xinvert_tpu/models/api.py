@@ -231,7 +231,8 @@ def _invert(problem_key, F, dims, coords, icbc, valid_mp, mParams, iParams,
     res = solve(spec, jnp.asarray(S0), omega=omega,
                 tol=iP["tolerance"], max_iters=iP["mxLoop"],
                 check_every=_auto_check_every(iParams, iP),
-                scheme=iP.get("scheme", "sor"))
+                scheme=iP.get("scheme", "sor"),
+                tol_type=iP.get("tolType", "change"))
     global LAST_SOLVE
     LAST_SOLVE = res
     S = np.asarray(res.S)

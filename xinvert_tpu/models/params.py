@@ -32,6 +32,9 @@ default_iParams = {
     "scheme": "sor",     # TPU-native extension: 'cheby' runs the cyclic
                          # Chebyshev semi-iterative factor sequence (same
                          # fixed point, near-optimal transient decay)
+    "tolType": "change", # TPU-native extension: 'residual' stops on the
+                         # true relative discrete residual mean|r|/mean|g|
+                         # instead of the reference's solution-change rule
 }
 
 default_mParams = {
