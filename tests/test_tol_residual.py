@@ -112,3 +112,14 @@ def test_residual_rule_through_public_api():
     r = api.LAST_SOLVE
     assert float(r.rel_change) <= 1e-8
     assert np.isfinite(np.asarray(out.values)).all()
+
+
+def test_residual_rule_with_cheby_scheme():
+    """Both TPU-native extensions compose: Chebyshev factors with the
+    residual stopping rule."""
+    spec, S0 = _poisson(seed=11)
+    om = optimal_omega(S0.shape)
+    res = solve(spec, S0, omega=om, tol=1e-7, max_iters=60000,
+                tol_type="residual", scheme="cheby")
+    assert not bool(np.asarray(res.overflow).any())
+    assert _true_rel_residual(spec, res.S) <= 1e-7
