@@ -14,13 +14,57 @@ import json
 import time
 
 import numpy as np
-import jax
-import jax.numpy as jnp
 
 BASELINE_PTS_PER_S = 37 * 72 * 288 * 2000 / 2920.08
 
 
+def _health_probe(q):
+    # child body must be module-level for the spawn-context pickler
+    try:
+        import jax
+        import jax.numpy as _jnp
+        ok = jax.default_backend() == "tpu"
+        float(_jnp.sum(_jnp.ones((8, 8))))
+        q.put(ok)
+    except Exception:
+        q.put(False)
+
+
+def _tpu_healthy(wait_s: float = 240.0) -> bool:
+    """Fail-fast backend probe in a child process (see tools/tpu_health.py):
+    when the remote tile behind the relay is down, backend init retries
+    internally for ~25 min before raising — probing in a child keeps the
+    bench from hanging, and terminating an INIT (unlike a mid-compile
+    kill) does not wedge the relay."""
+    import multiprocessing as mp
+
+    probe = _health_probe
+    ctx = mp.get_context("spawn")
+    q = ctx.Queue()
+    p = ctx.Process(target=probe, args=(q,))
+    p.start()
+    p.join(wait_s)
+    if p.is_alive():
+        p.terminate()
+        p.join()
+        return False
+    try:
+        return bool(q.get(timeout=5))
+    except Exception:
+        return False
+
+
 def main():
+    import os
+    expected_tpu = "axon" in os.environ.get("JAX_PLATFORMS", "")
+    tpu_down = expected_tpu and not _tpu_healthy()
+    import jax
+    if tpu_down:
+        # honest CPU fallback, clearly labelled: never report a number the
+        # hardware didn't produce, never hang the driver on a dead relay
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
     from __graft_entry__ import _poisson_problem
     from xinvert_tpu.solver import solve_fixed
 
@@ -59,10 +103,14 @@ def main():
         per_call = max((t_long - t_short) / (chain - 1), 1e-9)
         rates.append(batch * ny * nx * iters / per_call)
     pts_per_s = float(np.median(rates))
+    unit = "grid-point-sweeps/s"
+    if tpu_down:
+        unit += " (CPU fallback - TPU relay unavailable at bench time;" \
+            " last validated TPU figure 4.96e10, docs/BENCH.md)"
     print(json.dumps({
         "metric": "masked_poisson_sor_point_sweeps_per_s",
         "value": pts_per_s,
-        "unit": "grid-point-sweeps/s",
+        "unit": unit,
         "vs_baseline": pts_per_s / BASELINE_PTS_PER_S,
     }))
 
