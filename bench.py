@@ -38,10 +38,9 @@ def _tpu_healthy(wait_s: float = 240.0) -> bool:
     kill) does not wedge the relay."""
     import multiprocessing as mp
 
-    probe = _health_probe
     ctx = mp.get_context("spawn")
     q = ctx.Queue()
-    p = ctx.Process(target=probe, args=(q,))
+    p = ctx.Process(target=_health_probe, args=(q,))
     p.start()
     p.join(wait_s)
     if p.is_alive():

@@ -46,16 +46,17 @@ def _save(fig, name):
     print("wrote", path)
 
 
-def _pcolor(ax, lon, lat, val, title, units):
+def _pcolor(ax, x, y, val, title, units,
+            xlabel="longitude", ylabel="latitude"):
     v = np.ma.masked_invalid(val)
     vmax = float(np.abs(v).max())
     cmap = plt.get_cmap("RdBu_r").copy()
     cmap.set_bad(LAND)
-    im = ax.pcolormesh(lon, lat, v, cmap=cmap, vmin=-vmax, vmax=vmax,
+    im = ax.pcolormesh(x, y, v, cmap=cmap, vmin=-vmax, vmax=vmax,
                        shading="auto", rasterized=True)
     ax.set_title(title, fontsize=10)
-    ax.set_xlabel("longitude")
-    ax.set_ylabel("latitude")
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel(ylabel)
     _style(ax)
     cb = plt.colorbar(im, ax=ax, shrink=0.85, pad=0.02)
     cb.set_label(units, fontsize=8, color="#333333")
@@ -110,20 +111,10 @@ def fig_omega():
     _pcolor(axes[0], lon, lat, v[k],
             f"QG omega at {lev[k]:.0f} hPa", "Pa s$^{-1}$")
     ax = axes[1]
-    vm = np.ma.masked_invalid(v[:, :, len(lon) // 2])
-    vmax = float(np.abs(vm).max())
-    cmap = plt.get_cmap("RdBu_r").copy(); cmap.set_bad(LAND)
-    im = ax.pcolormesh(lat, lev, vm, cmap=cmap, vmin=-vmax, vmax=vmax,
-                       shading="auto", rasterized=True)
+    _pcolor(ax, lat, lev, v[:, :, len(lon) // 2],
+            f"meridional section at {lon[len(lon)//2]:.0f}°E", "Pa s$^{-1}$",
+            xlabel="latitude", ylabel="pressure (hPa)")
     ax.invert_yaxis()
-    ax.set_title(f"meridional section at {lon[len(lon)//2]:.0f}°E",
-                 fontsize=10)
-    ax.set_xlabel("latitude"); ax.set_ylabel("pressure (hPa)")
-    _style(ax)
-    cb = plt.colorbar(im, ax=ax, shrink=0.85, pad=0.02)
-    cb.set_label("Pa s$^{-1}$", fontsize=8, color="#333333")
-    cb.ax.tick_params(labelsize=7, colors="#555555")
-    cb.outline.set_visible(False)
     _save(fig, "04_omega.png")
 
 

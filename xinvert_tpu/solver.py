@@ -350,26 +350,20 @@ def _solve_impl(spec, S0, omega, tol, max_iters, check_every=1,
             # TPU-native extension: stop on the TRUE relative discrete
             # residual mean|r|/mean|g| (what multigrid monitors) instead of
             # the reference's solution-change rule
-            norm = _residual_norm(spec, S_new)
-            overflow = ~jnp.isfinite(norm)
-            if dtype == jnp.float64:
-                overflow = overflow | (norm > 1e100)
-            rel = jnp.broadcast_to(norm / r_scale, batch_shape)
-            norm = jnp.broadcast_to(norm, batch_shape)
-            overflow = jnp.broadcast_to(overflow, batch_shape)
+            norm = jnp.broadcast_to(_residual_norm(spec, S_new), batch_shape)
+            rel = norm / r_scale
         else:
             norm = _norm(spec, S_new)
-            # reference: isnan(norm) or norm > 1e100 (numbas.py:403);
-            # ~isfinite additionally catches inf, which for float32
-            # subsumes the 1e100 test.
-            overflow = ~jnp.isfinite(norm)
-            if dtype == jnp.float64:
-                overflow = overflow | (norm > 1e100)
             prev = c["norm_prev"]
             rel = jnp.where(prev >= 0,
                             jnp.abs(norm - prev)
                             / jnp.where(prev > 0, prev, 1.0),
                             jnp.ones_like(norm))
+        # reference: isnan(norm) or norm > 1e100 (numbas.py:403); ~isfinite
+        # additionally catches inf, which for float32 subsumes the 1e100 test.
+        overflow = ~jnp.isfinite(norm)
+        if dtype == jnp.float64:
+            overflow = overflow | (norm > 1e100)
         # reference loop semantics (numbas.py:401-414): sweep, increment,
         # then test — so exactly mxLoop sweeps run at the cap and `iters`
         # counts sweeps performed
