@@ -146,6 +146,28 @@ def fig_ocean3d():
     _save(fig, "12_ocean3d.png")
 
 
+def fig_eliassen():
+    ds = xv.open_dataset("/root/reference/Data/TC2D.nc")
+    UNDEF = 9.99e20
+    m = lambda f: f.where(abs(f) < UNDEF * 0.99)
+    iP = {"BCs": ["fixed", "fixed"], "mxLoop": 2000, "tolerance": 1e-13,
+          "optArg": 1.4, "undef": np.nan, "printInfo": False}
+    sf = xv.invert_Eliassen(m(ds.faf), dims=["lev", "lat"], coords="z-lat",
+                            iParams=iP,
+                            mParams={"A": m(ds.Aa), "B": m(ds.Bb),
+                                     "C": m(ds.Cc)})
+    lev = np.asarray(sf.coords["lev"]) / 100.0
+    lat = np.asarray(sf.coords["lat"])
+    radius = lat - lat.min()     # fixture stores radius as offset latitudes
+    fig, ax = plt.subplots(figsize=(6.4, 3.6))
+    _pcolor(ax, radius, lev, np.asarray(sf.values),
+            "Sawyer-Eliassen overturning streamfunction (typhoon TC2D)",
+            "kg m$^{-1}$ s$^{-1}$", xlabel="radius (degrees)",
+            ylabel="pressure (hPa)")
+    ax.invert_yaxis()
+    _save(fig, "05_eliassen.png")
+
+
 def main():
     if not os.path.exists("Data/soda_curl_like.nc") \
             or not os.path.exists("Data/atmos3d_like.nc"):
@@ -153,6 +175,7 @@ def main():
     fig_poisson()
     fig_munk()
     fig_omega()
+    fig_eliassen()
     fig_ocean3d()
 
 
