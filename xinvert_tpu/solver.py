@@ -443,8 +443,23 @@ def solve(spec: StencilSpec, S0, omega: Optional[float] = None,
         from .grid import optimal_omega
         omega = optimal_omega(S0.shape[-spec.ndim:])
     S0 = jnp.asarray(S0)
-    if scheme not in ("sor", "cheby"):
-        raise ValueError(f"unknown scheme {scheme!r}; use 'sor' or 'cheby'")
+    if scheme not in ("sor", "cheby", "direct"):
+        raise ValueError(f"unknown scheme {scheme!r}; "
+                         "use 'sor', 'cheby' or 'direct'")
+    if scheme == "direct":
+        # one-shot spectral solve (ops/direct.py): exact, no iteration.
+        # iters reports 1 "sweep"; rel_change certifies the true relative
+        # discrete residual of the returned solution.
+        from .ops.direct import solve_direct
+        S = solve_direct(spec, S0)
+        batch_shape = jnp.shape(S)[: S.ndim - spec.ndim]
+        rel = jnp.broadcast_to(
+            _residual_norm(spec, S) / _residual_scale(spec), batch_shape)
+        return SolveResult(
+            S=S, iters=jnp.ones(batch_shape, jnp.int32),
+            rel_change=rel.astype(S.dtype),
+            overflow=~jnp.isfinite(_norm(spec, S))
+            & jnp.ones(batch_shape, bool))
     if tol_type not in ("change", "residual"):
         raise ValueError(f"unknown tol_type {tol_type!r}; "
                          "use 'change' or 'residual'")
