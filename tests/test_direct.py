@@ -148,6 +148,48 @@ class TestSolveIntegration:
         from xinvert_tpu.models.api import LAST_SOLVE
         assert float(np.max(LAST_SOLVE.rel_change)) < 1e-11
 
+    def test_geoadjustment_1d_direct_vs_sor(self):
+        """1-D family (pure tridiagonal): direct matches converged SOR."""
+        yc = 501
+        lat = np.linspace(-75, -25, yc)
+        h0v = np.full(yc, 1500.0)
+        h0v[yc // 2:] = 1520.0
+        h0 = Field(h0v, ("lat",), {"lat": lat})
+        base = {"BCs": ["extend"], "undef": -9999, "printInfo": False}
+        h_sor = xi.invert_GeoAdjustment(
+            h0, dims=["lat"], coords="lat",
+            iParams={**base, "mxLoop": 40000, "tolerance": 1e-15,
+                     "optArg": 1.8})
+        h_dir = xi.invert_GeoAdjustment(
+            h0, dims=["lat"], coords="lat",
+            iParams={**base, "scheme": "direct"})
+        a, b = np.asarray(h_sor.values), np.asarray(h_dir.values)
+        assert np.abs(a - b).max() < 1e-8 * np.abs(a).max()
+        from xinvert_tpu.models.api import LAST_SOLVE
+        assert float(np.max(LAST_SOLVE.rel_change)) < 1e-11
+
+    def test_manufactured_1d(self):
+        from xinvert_tpu.stencil import standard_1d
+        n = 64
+        A = jnp.asarray(1.0 + 0.3 * np.cos(np.linspace(0, 3, n)))
+        B = jnp.asarray(-0.5 * np.ones(n))
+        St = np.sin(np.linspace(0, 2 * np.pi, n))
+        St[0], St[-1] = St[1], St[-2]
+        spec = standard_1d(A, B, jnp.zeros(n), jnp.ones(n, bool), (0.1,),
+                           ("extend",))
+        spec = _manufactured(spec, St)
+        assert direct_applicable(spec, (n,))
+        Sd = np.asarray(solve_direct(spec, jnp.zeros(n)))
+        assert np.abs(Sd - St).max() < 1e-12
+        # fixed BC with nonzero boundary data
+        spec_f = standard_1d(A, B, jnp.zeros(n), jnp.ones(n, bool), (0.1,),
+                             ("fixed",))
+        spec_f = _manufactured(spec_f, St)
+        S0 = np.zeros(n)
+        S0[0], S0[-1] = St[0], St[-1]
+        Sd = np.asarray(solve_direct(spec_f, jnp.asarray(S0)))
+        assert np.abs(Sd - St).max() < 1e-12
+
     def test_float32(self):
         spec, S0, grid = _poisson_problem(batch=0, ny=48, nx=96,
                                           masked=False, dtype=np.float32)

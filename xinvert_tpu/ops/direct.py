@@ -60,8 +60,26 @@ def direct_applicable(spec, S_shape) -> bool:
     Requirements (checked on the concrete spec arrays — call before jit):
     2-D non-biharmonic spec, neighbor reach |dy| <= 1 and |dx| <= 1,
     periodic x, fixed/extend y, unbatched x-invariant weights, and a fully
-    active interior (no land/sea mask holes).
+    active interior (no land/sea mask holes).  1-D specs (the
+    GeoAdjustment / RefStateSWM family) are pure tridiagonal systems and
+    qualify with fixed or extend BCs and a fully active interior — no
+    x-invariance needed.
     """
+    if spec.ndim == 1:
+        if spec.bcs[0] not in ("fixed", "extend"):
+            return False
+        if any(abs(o[0]) > 1 for o in spec.offsets):
+            return False
+        w = np.asarray(spec.w)
+        active = np.asarray(spec.active)
+        if w.ndim != 2 or active.ndim != 1:
+            return False
+        n = S_shape[-1]
+        if n < 3 or active.shape != (n,):
+            return False
+        interior = np.zeros(n, bool)
+        interior[1:-1] = True
+        return np.array_equal(active, interior)
     if spec.ndim != 2 or spec.bih:
         return False
     if spec.bcs[-1] != "periodic" or spec.bcs[-2] not in ("fixed", "extend"):
@@ -195,6 +213,71 @@ def _solve_direct_jit(w_rows, w0_rows, g, S0, offsets, extend, gauge,
     return S
 
 
+@partial(jax.jit, static_argnames=("extend", "gauge", "project"))
+def _solve_direct_1d_jit(sub, dia, sup, g, S0, extend, gauge, project):
+    # sub/dia/sup: (ni,) interior bands; g, S0: (..., n)
+    n = S0.shape[-1]
+    rdtype = S0.dtype
+    rhs = -g[..., 1:-1].astype(rdtype)
+    rhs = jnp.broadcast_to(rhs,
+                           jnp.broadcast_shapes(rhs.shape[:-1],
+                                                S0.shape[:-1]) + (n - 2,))
+    if extend:
+        dia = dia.at[0].add(sub[0])
+        dia = dia.at[-1].add(sup[-1])
+        sub = sub.at[0].set(0.0)
+        sup = sup.at[-1].set(0.0)
+        if gauge:
+            if project:
+                rhs = rhs - jnp.mean(rhs, axis=-1, keepdims=True)
+            scale = jnp.max(jnp.abs(dia))
+            dia = dia.at[0].set(scale)
+            sup = sup.at[0].set(0.0)
+            rhs = rhs.at[..., 0].set(0.0)
+    else:
+        rhs = rhs.at[..., 0].add(-sub[0] * S0[..., 0])
+        rhs = rhs.at[..., -1].add(-sup[-1] * S0[..., -1])
+    x = _thomas_modes(sub[:, None], dia[:, None], sup[:, None],
+                      rhs[..., None])[..., 0]
+    if extend:
+        S = jnp.concatenate([x[..., :1], x, x[..., -1:]], axis=-1)
+        if gauge:
+            S = S + (jnp.mean(S0[..., 1:-1], axis=-1, keepdims=True)
+                     - jnp.mean(x, axis=-1, keepdims=True))
+    else:
+        top = jnp.broadcast_to(S0[..., :1], rhs.shape[:-1] + (1,))
+        bot = jnp.broadcast_to(S0[..., -1:], rhs.shape[:-1] + (1,))
+        S = jnp.concatenate([top, x, bot], axis=-1)
+    return S.astype(rdtype)
+
+
+def _solve_direct_1d(spec, S0):
+    n = S0.shape[-1]
+    w = np.asarray(spec.w)[:, 1:n - 1]
+    w0 = np.asarray(spec.w0)[1:n - 1]
+    by = {off[0]: k for k, off in enumerate(spec.offsets)}
+    sub = w[by[-1]] if -1 in by else np.zeros_like(w0)
+    sup = w[by[1]] if 1 in by else np.zeros_like(w0)
+    extend = spec.bcs[0] == "extend"
+    gauge = project = False
+    if extend:
+        tol = 1e-10 * np.max(np.abs(w0))
+        gauge = bool(np.max(np.abs(sub + sup + w0)) <= tol)
+        if gauge:
+            dia0 = w0.copy()
+            dia0[0] += sub[0]
+            dia0[-1] += sup[-1]
+            colsum = dia0.copy()
+            colsum[:-1] += sub[1:]
+            colsum[1:] += sup[:-1]
+            project = bool(np.max(np.abs(colsum)) <= tol)
+    dt = S0.dtype
+    return _solve_direct_1d_jit(jnp.asarray(sub, dt), jnp.asarray(w0, dt),
+                                jnp.asarray(sup, dt),
+                                jnp.asarray(spec.g, dt), S0,
+                                extend, gauge, project)
+
+
 def solve_direct(spec, S0):
     """Solve the spec's folded system exactly (see module docstring).
 
@@ -207,9 +290,12 @@ def solve_direct(spec, S0):
         raise ValueError(
             "solve_direct needs a 2-D non-biharmonic spec with |dy|,|dx| <= 1 "
             "offsets, periodic x, fixed/extend y, x-invariant unbatched "
-            "weights and a fully active interior (no mask holes); this "
-            "problem does not qualify — use the iterative solver")
+            "weights and a fully active interior (no mask holes), or a 1-D "
+            "spec with fixed/extend BCs; this problem does not qualify — "
+            "use the iterative solver")
     S0 = jnp.asarray(S0)
+    if spec.ndim == 1:
+        return _solve_direct_1d(spec, S0)
     ny = S0.shape[-2]
     w_rows = jnp.asarray(spec.w)[:, 1:ny - 1, 0]
     w0_rows = jnp.asarray(spec.w0)[1:ny - 1, 0]
