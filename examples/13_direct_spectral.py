@@ -12,6 +12,12 @@ residual).  The reference explored and abandoned FFT solvers in comments
 (tests/test_LLC4320Poisson.py:108-217); masked/x-varying problems stay on
 the SOR/multigrid paths by design (the solver raises a descriptive error).
 """
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
 import numpy as np
 import xinvert_tpu as xv
 
@@ -47,6 +53,18 @@ h = xv.invert_GillMatsuno(
     iParams={"BCs": ["fixed", "periodic"], "scheme": "direct"})
 print("Gill-Matsuno direct: mass-field extrema",
       float(np.nanmin(h.values)), float(np.nanmax(h.values)))
+
+# non-periodic x (the symmetric eigenbasis branch): the reference
+# notebook-02 vertical-plane overturning Poisson, BCs ['fixed','fixed'] —
+# 5,000 sweeps in the reference, one exact call here
+zm = xv.open_dataset("/root/reference/Data/ZonalMean.nc")
+vor2 = xv.deriv(zm.vm, dim="LEV") - xv.deriv(zm.wm, dim="lat")
+sf_ov = xv.invert_Poisson(vor2, dims=["LEV", "lat"], coords="z-lat",
+                          iParams={"BCs": ["fixed", "fixed"],
+                                   "scheme": "direct"})
+print("overturning direct: certified residual",
+      float(np.max(np.asarray(xv.models.api.LAST_SOLVE.rel_change))),
+      "range", float(sf_ov.values.min()), float(sf_ov.values.max()))
 
 # 1-D geostrophic adjustment: pure tridiagonal, any coefficients
 yc = 501

@@ -33,6 +33,17 @@ def _smooth(ny, nx):
     return np.cos(2 * y) * np.sin(3 * x) + 0.5 * np.cos(y) * np.cos(5 * x)
 
 
+def _cartesian_poisson(ny, nx, bcs, dtype=np.float64):
+    from xinvert_tpu.grid import Grid
+    from xinvert_tpu.models.problems import build_poisson
+    from xinvert_tpu.models.params import default_mParams
+    y = np.arange(ny) * 1e4
+    x = np.arange(nx) * 1e4
+    grid = Grid.make(("y", "x"), (y, x), "cartesian", bcs=bcs)
+    return build_poisson(jnp.zeros((ny, nx), dtype),
+                         jnp.ones((ny, nx), bool), grid, default_mParams)
+
+
 class TestExactness:
     def test_manufactured_extend_periodic(self):
         """Singular (pure-Neumann) Poisson: exact up to the gauge const."""
@@ -203,6 +214,111 @@ class TestSolveIntegration:
         assert np.abs(err).max() < 1e-4 * np.abs(St).max()
 
 
+class TestSymmetricNonPeriodic:
+    """Non-periodic-x branch: one host-side eigendecomposition of the
+    folded tridiagonal x-operator block-diagonalises the system into real
+    tridiagonal solves in y (ops/direct.py `_solve_direct_sym`).  Covers
+    the reference's vertical-plane workloads (notebook 02, BCs
+    ['fixed','fixed'], 5,000 sweeps -> one shot)."""
+
+    def test_fixed_fixed_exact(self):
+        ny, nx = 40, 56
+        spec = _cartesian_poisson(ny, nx, ("fixed", "fixed"))
+        St = _smooth(ny, nx)
+        spec = _manufactured(spec, St)
+        assert direct_applicable(spec, (ny, nx))
+        S0 = np.zeros((ny, nx))
+        S0[0], S0[-1] = St[0], St[-1]            # Dirichlet rows (icbc)
+        S0[:, 0], S0[:, -1] = St[:, 0], St[:, -1]  # Dirichlet columns
+        Sd = np.asarray(solve_direct(spec, jnp.asarray(S0)))
+        assert np.abs(Sd - St).max() < 1e-11     # incl. boundary ring
+
+    def test_fixed_y_extend_x_exact(self):
+        """'extend' on the trailing dim is Dirichlet in the reference
+        semantics (row-only pre-pass): boundary columns keep S0's data."""
+        ny, nx = 40, 56
+        spec = _cartesian_poisson(ny, nx, ("fixed", "extend"))
+        St = _smooth(ny, nx)
+        spec = _manufactured(spec, St)
+        assert direct_applicable(spec, (ny, nx))
+        S0 = np.zeros((ny, nx))
+        S0[0], S0[-1] = St[0], St[-1]
+        S0[:, 0], S0[:, -1] = St[:, 0], St[:, -1]
+        Sd = np.asarray(solve_direct(spec, jnp.asarray(S0)))
+        assert np.abs(Sd - St).max() < 1e-11
+
+    def test_extend_y_exact(self):
+        """extend y (row pre-pass incl. diagonal corner copies) with
+        Dirichlet columns: exact on the full array."""
+        ny, nx = 40, 56
+        spec = _cartesian_poisson(ny, nx, ("extend", "fixed"))
+        St = _smooth(ny, nx)
+        St[0, 1:-1] = St[1, 1:-1]
+        St[-1, 1:-1] = St[-2, 1:-1]
+        St[0, 0], St[0, -1] = St[1, 1], St[1, -2]      # corner copies
+        St[-1, 0], St[-1, -1] = St[-2, 1], St[-2, -2]
+        spec = _manufactured(spec, St)
+        assert direct_applicable(spec, (ny, nx))
+        S0 = np.zeros((ny, nx))
+        S0[:, 0], S0[:, -1] = St[:, 0], St[:, -1]
+        Sd = np.asarray(solve_direct(spec, jnp.asarray(S0)))
+        assert np.abs(Sd - St).max() < 1e-11
+
+    def test_extend_extend_matches_sor(self):
+        """Both labels 'extend': y extends, x is Dirichlet (reference
+        row-only pre-pass semantics) — the direct solve must land on the
+        iterative engine's exact fixed point, no gauge freedom."""
+        ny, nx = 40, 56
+        spec = _cartesian_poisson(ny, nx, ("extend", "extend"))
+        St = _smooth(ny, nx)
+        spec = _manufactured(spec, St)
+        Sd = np.asarray(solve_direct(spec, jnp.zeros((ny, nx))))
+        res = solve(spec, jnp.zeros((ny, nx)), omega=1.8, tol=1e-15,
+                    max_iters=60000)
+        assert np.abs(Sd - np.asarray(res.S)).max() < 1e-9
+
+    def test_batched_fixed_fixed(self):
+        ny, nx = 32, 44
+        spec = _cartesian_poisson(ny, nx, ("fixed", "fixed"))
+        St = np.stack([(i + 1) * _smooth(ny, nx) for i in range(3)])
+        St[:, 0] = St[:, -1] = 0.0
+        St[:, :, 0] = St[:, :, -1] = 0.0         # homogeneous Dirichlet
+        spec = _manufactured(spec, St)
+        Sd = np.asarray(solve_direct(spec, jnp.zeros((3, ny, nx))))
+        assert np.abs(Sd - St).max() < 1e-11
+
+    def test_vertical_overturning_api(self, data_dir):
+        """The reference notebook-02 workload (z-lat vertical-plane
+        Poisson, BCs ['fixed','fixed'], 5,000 sweeps): one-shot direct
+        solve lands at the converged SOR fixed point."""
+        import xinvert_tpu as xv
+        zm = xv.open_dataset(f"{data_dir}/ZonalMean.nc")
+        vor = xv.deriv(zm.vm, dim="LEV") - xv.deriv(zm.wm, dim="lat")
+        base = {"BCs": ["fixed", "fixed"], "printInfo": False}
+        sf_sor = xv.invert_Poisson(
+            vor, dims=["LEV", "lat"], coords="z-lat",
+            iParams={**base, "mxLoop": 40000, "tolerance": 1e-15})
+        sf_dir = xv.invert_Poisson(
+            vor, dims=["LEV", "lat"], coords="z-lat",
+            iParams={**base, "scheme": "direct"})
+        a, b = np.asarray(sf_sor.values), np.asarray(sf_dir.values)
+        scale = np.nanmax(np.abs(a))
+        assert np.nanmax(np.abs(a - b)) < 1e-8 * scale
+        from xinvert_tpu.models.api import LAST_SOLVE
+        assert float(np.max(LAST_SOLVE.rel_change)) < 1e-10
+
+    def test_float32(self):
+        ny, nx = 40, 56
+        spec = _cartesian_poisson(ny, nx, ("fixed", "fixed"),
+                                  dtype=np.float32)
+        St = _smooth(ny, nx).astype(np.float32)
+        St[0] = St[-1] = 0.0
+        St[:, 0] = St[:, -1] = 0.0
+        spec = _manufactured(spec, St)
+        Sd = np.asarray(solve_direct(spec, jnp.zeros((ny, nx), np.float32)))
+        assert np.abs(Sd - St).max() < 1e-4 * np.abs(St).max()
+
+
 class TestApplicability:
     def test_masked_problem_rejected(self):
         spec, S0, _ = _poisson_problem(batch=0, ny=48, nx=96, masked=True,
@@ -211,17 +327,28 @@ class TestApplicability:
         with pytest.raises(ValueError, match="does not qualify"):
             solve_direct(spec, S0)
 
-    def test_nonperiodic_x_rejected(self):
+    def test_asymmetric_x_coupling_rejected(self):
+        """Non-periodic x with broken left-right symmetry: the eigenbasis
+        branch must refuse (shift operators alone are not diagonalised by
+        the symmetric T0 eigenvectors)."""
+        spec = _cartesian_poisson(32, 48, ("fixed", "fixed"))
+        e = spec.offsets.index((0, 1))
+        w = np.asarray(spec.w).copy()
+        w[e, 1:-1, 1:-1] *= 1.5           # still x-invariant, now asymmetric
+        spec2 = dataclasses.replace(spec, w=jnp.asarray(w))
+        assert not direct_applicable(spec2, (32, 48))
+
+    def test_cross_terms_rejected_nonperiodic(self):
+        """Diagonal (cross-derivative) offsets do not separate in the
+        eigenbasis branch."""
         from xinvert_tpu.grid import Grid
-        from xinvert_tpu.models.problems import build_poisson
-        from xinvert_tpu.models.params import default_mParams
+        from xinvert_tpu.stencil import standard_2d
         ny, nx = 32, 48
-        y = np.arange(ny) * 1e4
-        x = np.arange(nx) * 1e4
-        grid = Grid.make(("y", "x"), (y, x), "cartesian",
-                         bcs=("fixed", "fixed"))
-        spec = build_poisson(jnp.ones((ny, nx)), jnp.ones((ny, nx), bool),
-                             grid, default_mParams)
+        A = jnp.ones((ny, nx))
+        B = jnp.full((ny, nx), 0.3)
+        spec = standard_2d(A, B, A, jnp.zeros((ny, nx)),
+                           jnp.ones((ny, nx), bool), (1e4, 1e4),
+                           ("fixed", "fixed"), include_cross=True)
         assert not direct_applicable(spec, (ny, nx))
 
     def test_x_varying_weights_rejected(self):

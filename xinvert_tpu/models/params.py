@@ -32,9 +32,12 @@ default_iParams = {
     "scheme": "sor",     # TPU-native extension: 'cheby' runs the cyclic
                          # Chebyshev semi-iterative factor sequence (same
                          # fixed point, near-optimal transient decay);
-                         # 'direct' solves x-invariant periodic-x 2-D
-                         # problems exactly in one FFT + tridiagonal pass
-                         # (ops/direct.py; raises if not applicable)
+                         # 'direct' solves x-invariant 2-D problems exactly
+                         # in one pass: FFT + tridiagonal for periodic x,
+                         # eigenbasis matmul + tridiagonal for fixed/extend
+                         # x with symmetric coupling (the standard-2D
+                         # family, e.g. the vertical-plane overturning
+                         # Poisson) (ops/direct.py; raises if inapplicable)
     "tolType": "change", # TPU-native extension: 'residual' stops on the
                          # true relative discrete residual mean|r|/mean|g|
                          # instead of the reference's solution-change rule

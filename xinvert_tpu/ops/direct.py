@@ -17,6 +17,20 @@ Gill-Matsuno (±test form), geostrophic balance — at machine precision in
 one shot instead of hundreds-to-thousands of SOR sweeps, and it maps
 perfectly onto TPU: one batched FFT + one vectorised scan, no iteration.
 
+NON-periodic x (fixed or extend) is covered too when the x-coupling is
+left-right symmetric per row and there are no cross/advective x terms
+(true of the whole standard-2D family): the x-operator is then
+``c(y)·T0`` with ``T0`` the unit Dirichlet tridiagonal, so one host-side
+eigendecomposition of ``T0`` (computed once per spec at trace time)
+block-diagonalises the system into ``nxi`` REAL tridiagonal solves in y,
+and the transform pair is a plain matmul — MXU-native.  Note the
+reference's 'extend' is a ROW pre-pass only (numbas.py:284-310): a
+non-periodic trailing dim keeps its initial boundary columns whatever
+its BC label, i.e. it is Dirichlet — replicated here, so the system is
+never singular in this branch.  This makes the reference's
+vertical-plane overturning Poisson (notebook 02: 5,000 sweeps, BCs
+['fixed','fixed']) a one-shot exact solve.
+
 Boundary conditions (y):
 - ``fixed``: boundary rows are Dirichlet data taken from ``S0`` (zeros or
   the user's icbc), moved to the right-hand side;
@@ -54,13 +68,75 @@ def _offset_groups(offsets):
     return groups
 
 
+def _sym_x_bands(spec, S_shape):
+    """Per-row bands for the non-periodic symmetric-x branch, or None.
+
+    Qualifies a 2-D spec with fixed/extend BCs on BOTH dims whose trailing
+    (x) coupling is x-invariant and left-right symmetric per row and whose
+    cross/advective terms vanish (offsets only (±1,0)/(0,±1)).  The folded
+    x-operator is then c(y)·T0 with T0 a fixed symmetric tridiagonal, so one
+    host-side eigendecomposition of T0 block-diagonalises the whole system
+    into nxi real tridiagonal solves in y (see :func:`solve_direct`).
+    """
+    ny, nx = S_shape[-2:]
+    if ny < 3 or nx < 4:
+        return None
+    w = np.asarray(spec.w)
+    w0 = np.asarray(spec.w0)
+    active = np.asarray(spec.active)
+    if w.ndim != 3 or w0.ndim != 2 or active.ndim != 2:
+        return None                       # batched weights: not supported
+    if active.shape != (ny, nx):
+        return None
+    interior = np.zeros((ny, nx), bool)
+    interior[1:-1, 1:-1] = True           # boundary rows AND columns fixed
+    if not np.array_equal(active, interior):
+        return None
+    rows, cols = slice(1, ny - 1), slice(1, nx - 1)
+    # bitwise x-invariance over the interior (builders apply identical
+    # per-row ops to x-invariant coefficient planes)
+    if not (w[:, rows, cols] == w[:, rows, 1:2]).all():
+        return None
+    if not (w0[rows, cols] == w0[rows, 1:2]).all():
+        return None
+    nyi = ny - 2
+    sub = np.zeros(nyi)
+    sup = np.zeros(nyi)
+    ce = np.zeros(nyi)
+    cw = np.zeros(nyi)
+    for k, (dy, dx) in enumerate(spec.offsets):
+        if abs(dy) > 1 or abs(dx) > 1:
+            return None
+        if dy != 0 and dx != 0:
+            return None                   # diagonal terms do not separate
+        wk = w[k, rows, 1]
+        if dy == -1:
+            sub = sub + wk
+        elif dy == 1:
+            sup = sup + wk
+        elif dx == 1:
+            ce = ce + wk
+        elif dx == -1:
+            cw = cw + wk
+        else:
+            return None
+    # left-right symmetry (staggered builders give this bitwise whenever the
+    # plane is x-invariant: east = shift(C)[i] = C[i+1] = C[i] = west)
+    if not (ce == cw).all():
+        return None
+    return {"sub": sub, "sup": sup, "c": ce, "w0": w0[rows, 1]}
+
+
 def direct_applicable(spec, S_shape) -> bool:
     """True when :func:`solve_direct` handles this problem exactly.
 
     Requirements (checked on the concrete spec arrays — call before jit):
     2-D non-biharmonic spec, neighbor reach |dy| <= 1 and |dx| <= 1,
-    periodic x, fixed/extend y, unbatched x-invariant weights, and a fully
-    active interior (no land/sea mask holes).  1-D specs (the
+    fixed/extend y, unbatched x-invariant weights, and a fully active
+    interior (no land/sea mask holes); x either periodic (any offsets,
+    complex Fourier symbols) or fixed/extend with left-right symmetric
+    coupling and no cross terms (real eigenbasis of the folded tridiagonal
+    x-operator — the standard-2D family qualifies).  1-D specs (the
     GeoAdjustment / RefStateSWM family) are pure tridiagonal systems and
     qualify with fixed or extend BCs and a fully active interior — no
     x-invariance needed.
@@ -82,7 +158,12 @@ def direct_applicable(spec, S_shape) -> bool:
         return np.array_equal(active, interior)
     if spec.ndim != 2 or spec.bih:
         return False
-    if spec.bcs[-1] != "periodic" or spec.bcs[-2] not in ("fixed", "extend"):
+    if spec.bcs[-2] not in ("fixed", "extend"):
+        return False
+    if spec.bcs[-1] in ("fixed", "extend"):
+        # non-periodic x: symmetric-coupling eigenbasis branch
+        return _sym_x_bands(spec, S_shape) is not None
+    if spec.bcs[-1] != "periodic":
         return False
     if _offset_groups(spec.offsets) is None:
         return False
@@ -213,6 +294,86 @@ def _solve_direct_jit(w_rows, w0_rows, g, S0, offsets, extend, gauge,
     return S
 
 
+@partial(jax.jit, static_argnames=("extend_y",))
+def _solve_direct_sym_jit(sub_rows, sup_rows, c_rows, w0_rows, Q, lam, g,
+                          S0, extend_y):
+    # sub/sup/c/w0_rows: (nyi,) per-row bands; Q/lam: eigenbasis of the
+    # unit Dirichlet x-operator T0 (nxi, nxi)/(nxi,); g, S0: (..., ny, nx).
+    # The transform pair is a pure matmul — exactly what the MXU wants.
+    ny, nx = S0.shape[-2:]
+    nyi, nxi = ny - 2, nx - 2
+    rdtype = S0.dtype
+
+    rhs = -g[..., 1:-1, 1:-1].astype(rdtype)
+    bshape = jnp.broadcast_shapes(rhs.shape[:-2], S0.shape[:-2])
+    rhs = jnp.broadcast_to(rhs, bshape + (nyi, nxi))
+    # Dirichlet columns (S0 data; the reference never extends the trailing
+    # dim) move to the right-hand side; the coupling weight into the first
+    # interior column is c(y)
+    rhs = rhs.at[..., :, 0].add(-c_rows * S0[..., 1:-1, 0])
+    rhs = rhs.at[..., :, -1].add(-c_rows * S0[..., 1:-1, -1])
+    rhsm = rhs @ Q                                 # x -> eigenmode space
+
+    sub = jnp.broadcast_to(sub_rows[:, None], (nyi, nxi))
+    sup = jnp.broadcast_to(sup_rows[:, None], (nyi, nxi))
+    dia = w0_rows[:, None] + c_rows[:, None] * lam[None, :]
+    if extend_y:
+        # fixed point of the extend pre-pass: S[0, 1:-1] == S[1, 1:-1]
+        dia = dia.at[0].add(sub[0])
+        dia = dia.at[-1].add(sup[-1])
+        sub = sub.at[0].set(0.0)
+        sup = sup.at[-1].set(0.0)
+    else:
+        X0 = S0[..., 0, 1:-1] @ Q                  # Dirichlet rows (icbc)
+        X1 = S0[..., -1, 1:-1] @ Q
+        rhsm = rhsm.at[..., 0, :].add(-sub[0] * X0)
+        rhsm = rhsm.at[..., -1, :].add(-sup[-1] * X1)
+
+    X = _thomas_modes(sub, dia, sup, rhsm)
+    Sin = (X @ Q.T).astype(rdtype)                 # eigenmode space -> x
+
+    left = jnp.broadcast_to(S0[..., 1:-1, :1], bshape + (nyi, 1))
+    right = jnp.broadcast_to(S0[..., 1:-1, -1:], bshape + (nyi, 1))
+    Sin = jnp.concatenate([left, Sin, right], axis=-1)
+    if extend_y:
+        # replicate the pre-pass row copy incl. its diagonal corner copies
+        # (solver._apply_extend non-periodic stanza)
+        def _edge_row(row):
+            return jnp.concatenate([row[..., 1:2], row[..., 1:-1],
+                                    row[..., -2:-1]], axis=-1)
+        top = _edge_row(Sin[..., :1, :])
+        bot = _edge_row(Sin[..., -1:, :])
+        S = jnp.concatenate([top, Sin, bot], axis=-2)
+    else:
+        top = jnp.broadcast_to(S0[..., :1, :], bshape + (1, nx))
+        bot = jnp.broadcast_to(S0[..., -1:, :], bshape + (1, nx))
+        S = jnp.concatenate([top, Sin, bot], axis=-2)
+    return S
+
+
+def _solve_direct_sym(spec, S0):
+    bands = _sym_x_bands(spec, jnp.shape(S0))
+    nx = S0.shape[-1]
+    nxi = nx - 2
+    # The trailing dim is Dirichlet regardless of its BC label: the
+    # reference's extend pre-pass touches rows only (numbas.py:284-310),
+    # so non-periodic boundary COLUMNS keep their initial values —
+    # replicated by solver._apply_extend and by this direct solve.  The
+    # system is therefore never singular here (no gauge handling needed).
+    T0 = np.zeros((nxi, nxi))
+    idx = np.arange(nxi - 1)
+    T0[idx, idx + 1] = 1.0
+    T0[idx + 1, idx] = 1.0
+    lam, Q = np.linalg.eigh(T0)
+    extend_y = spec.bcs[-2] == "extend"
+    dt = S0.dtype
+    return _solve_direct_sym_jit(
+        jnp.asarray(bands["sub"], dt), jnp.asarray(bands["sup"], dt),
+        jnp.asarray(bands["c"], dt), jnp.asarray(bands["w0"], dt),
+        jnp.asarray(Q, dt), jnp.asarray(lam, dt),
+        jnp.asarray(spec.g, dt), S0, extend_y)
+
+
 @partial(jax.jit, static_argnames=("extend", "gauge", "project"))
 def _solve_direct_1d_jit(sub, dia, sup, g, S0, extend, gauge, project):
     # sub/dia/sup: (ni,) interior bands; g, S0: (..., n)
@@ -288,14 +449,17 @@ def solve_direct(spec, S0):
     """
     if not direct_applicable(spec, jnp.shape(S0)):
         raise ValueError(
-            "solve_direct needs a 2-D non-biharmonic spec with |dy|,|dx| <= 1 "
-            "offsets, periodic x, fixed/extend y, x-invariant unbatched "
-            "weights and a fully active interior (no mask holes), or a 1-D "
-            "spec with fixed/extend BCs; this problem does not qualify — "
-            "use the iterative solver")
+            "solve_direct needs a 2-D non-biharmonic spec with x-invariant "
+            "unbatched weights, a fully active interior (no mask holes), "
+            "fixed/extend y, and either periodic x (|dy|,|dx| <= 1 offsets) "
+            "or fixed/extend x with symmetric coupling and no cross terms; "
+            "or a 1-D spec with fixed/extend BCs; this problem does not "
+            "qualify — use the iterative solver")
     S0 = jnp.asarray(S0)
     if spec.ndim == 1:
         return _solve_direct_1d(spec, S0)
+    if spec.bcs[-1] != "periodic":
+        return _solve_direct_sym(spec, S0)
     ny = S0.shape[-2]
     w_rows = jnp.asarray(spec.w)[:, 1:ny - 1, 0]
     w0_rows = jnp.asarray(spec.w0)[1:ny - 1, 0]
