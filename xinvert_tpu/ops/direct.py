@@ -108,7 +108,12 @@ def _sym_x_bands(spec, S_shape):
         if abs(dy) > 1 or abs(dx) > 1:
             return None
         if dy != 0 and dx != 0:
-            return None                   # diagonal terms do not separate
+            # diagonal terms do not separate — but the standard-2D(+E)
+            # compilers emit the cross offsets even when B == 0 (zero
+            # weight planes); those are inert and qualify
+            if (w[k] == 0).all():
+                continue
+            return None
         wk = w[k, rows, 1]
         if dy == -1:
             sub = sub + wk
