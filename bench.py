@@ -96,7 +96,7 @@ def main():
     # the remote-compile relay's host timing jitters by up to ~3x between
     # trials: repeat the chained measurement and take the median rate
     rates = []
-    for _ in range(3):
+    for _ in range(5):
         t_long = run(chain)
         t_short = run(1)
         per_call = max((t_long - t_short) / (chain - 1), 1e-9)

@@ -1,0 +1,102 @@
+# -*- coding: utf-8 -*-
+"""The sharded windowed-Pallas executor (parallel/halo_window.py): the
+windowed ghost-zone kernel composed with shard_map ppermute halo exchange.
+
+Validation is bit-exactness against the single-device XLA sweep on the
+8-virtual-CPU mesh (interpret-mode kernel — pure JAX semantics, same code
+path Mosaic compiles on TPU), per VERDICT r2 item 1.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from __graft_entry__ import _poisson_problem
+from xinvert_tpu.solver import _solve_fixed_xla
+from xinvert_tpu.parallel.halo_window import (
+    solve_fixed_halo_window, halo_window_applicable)
+from xinvert_tpu.parallel.halo import last_traffic_bytes_per_iter
+
+
+def _mesh_y(n):
+    return Mesh(np.array(jax.devices()[:n]).reshape(n), ("y",))
+
+
+@pytest.mark.parametrize("n_iters", [1, 8, 9])
+def test_bit_exact_8dev(n_iters):
+    """Masked extend+periodic Poisson, 8-way row decomposition: the sharded
+    windowed kernel matches single-device solve_fixed bit for bit, for
+    counts hitting the remainder path (9) and the single-chunk path (1)."""
+    spec, S0, grid = _poisson_problem(batch=0, ny=512, nx=128,
+                                      dtype=np.float64)
+    om = np.float64(grid.omega_opt)
+    ref = _solve_fixed_xla(spec, S0, om, n_iters)
+    out = solve_fixed_halo_window(spec, S0, om, n_iters, mesh=_mesh_y(8))
+    assert float(jnp.max(jnp.abs(out - ref))) == 0.0
+
+
+@pytest.mark.parametrize("ndev", [1, 2, 4])
+def test_bit_exact_device_counts(ndev):
+    """my_=1 (no exchange), my_=2 (top/bottom only) and my_=4 (interior
+    devices) all reproduce the single-device iterate exactly."""
+    spec, S0, grid = _poisson_problem(batch=0, ny=256, nx=128,
+                                      dtype=np.float64)
+    om = np.float64(grid.omega_opt)
+    ref = _solve_fixed_xla(spec, S0, om, 6)
+    out = solve_fixed_halo_window(spec, S0, om, 6, mesh=_mesh_y(ndev))
+    assert float(jnp.max(jnp.abs(out - ref))) == 0.0
+
+
+def test_bit_exact_batched_mesh():
+    """('batch', 'y') mesh: batch slices shard over 'batch', rows over 'y';
+    per-slice forcing keeps the coefficient stack batched."""
+    spec, S0, grid = _poisson_problem(batch=4, ny=256, nx=128,
+                                      dtype=np.float64)
+    om = np.float64(grid.omega_opt)
+    mesh = Mesh(np.array(jax.devices()).reshape(2, 4), ("batch", "y"))
+    ref = _solve_fixed_xla(spec, S0, om, 6)
+    out = solve_fixed_halo_window(spec, S0, om, 6, mesh=mesh)
+    assert float(jnp.max(jnp.abs(out - ref))) == 0.0
+
+
+def test_fixed_x_bcs():
+    """Non-periodic x (fixed BCs) rides inside the kernel unchanged."""
+    spec, S0, grid = _poisson_problem(batch=0, ny=256, nx=128,
+                                      dtype=np.float64)
+    import dataclasses
+    spec = dataclasses.replace(spec, bcs=("extend", "fixed"))
+    om = np.float64(grid.omega_opt)
+    ref = _solve_fixed_xla(spec, S0, om, 5)
+    out = solve_fixed_halo_window(spec, S0, om, 5, mesh=_mesh_y(4))
+    assert float(jnp.max(jnp.abs(out - ref))) == 0.0
+
+
+def test_traffic_one_ring_per_k():
+    """The wire carries one ghost-ring pair per k_sweeps iterations: with
+    h = round8(2 * radius * k) rows per direction, per-iteration bytes are
+    2 * h * nx * 4 / k."""
+    spec, S0, grid = _poisson_problem(batch=0, ny=512, nx=128,
+                                      dtype=np.float64)
+    om = np.float64(grid.omega_opt)
+    from xinvert_tpu.ops.pallas_sor_window import window_plan
+    plan = window_plan(spec, (1, 512 // 8, 128))
+    solve_fixed_halo_window(spec, S0, om, 2 * plan.k_sweeps, mesh=_mesh_y(8))
+    h = 8 * ((2 * plan.k_sweeps + 7) // 8)
+    expect = 2 * h * 128 * 8 // plan.k_sweeps
+    assert last_traffic_bytes_per_iter() == expect
+
+
+def test_applicability_gates():
+    spec, S0, _ = _poisson_problem(batch=0, ny=512, nx=128, dtype=np.float64)
+    assert halo_window_applicable(spec, S0.shape, _mesh_y(8))
+    # rows not divisible by the mesh
+    spec2, S2, _ = _poisson_problem(batch=0, ny=296, nx=128,
+                                    dtype=np.float64)
+    assert not halo_window_applicable(spec2, S2.shape, _mesh_y(8))
+    # x must stay unsplit
+    mesh_xy = Mesh(np.array(jax.devices()).reshape(4, 2), ("y", "x"))
+    assert not halo_window_applicable(spec, S0.shape, mesh_xy)
+    with pytest.raises(ValueError):
+        solve_fixed_halo_window(spec, S0, 1.5, 4, mesh=mesh_xy)

@@ -653,13 +653,16 @@ class _RowChunks:
     full-domain result would exceed the scoped-VMEM result cap).  W slices
     are precomputed (loop-invariant)."""
 
-    def __init__(self, W, ny, tile, k, halo, y_chunk, interpret):
+    def __init__(self, W, ny, tile, k, halo, y_chunk, interpret, rows=None):
         self.tile, self.k, self.halo = tile, k, halo
         self.interpret = interpret
-        n_chunks = -(-ny // y_chunk)
-        base, extra = divmod(ny // tile, n_chunks)
-        self.rows = [(base + (1 if c < extra else 0)) * tile
-                     for c in range(n_chunks)]
+        if rows is None:
+            n_chunks = -(-ny // y_chunk)
+            base, extra = divmod(ny // tile, n_chunks)
+            rows = [(base + (1 if c < extra else 0)) * tile
+                    for c in range(n_chunks)]
+        n_chunks = len(rows)
+        self.rows = rows
         self.bounds = list(np.cumsum([0] + self.rows[:-1]))
         self.Wsub = []
         for c, (y0, r) in enumerate(zip(self.bounds, self.rows)):
@@ -710,6 +713,32 @@ class _OneCall:
                              interpret=self.interpret, n_static=n_static)
 
 
+# Edge-split: when the extend pre-pass applies, split the one-call domain
+# into [top, interior, bottom] chunks so the interior call (the bulk of the
+# rows) compiles WITHOUT the per-sweep extend conditionals — bit-exact.
+# Measured on the v5e 2048^2 flagship (tools/tpu_edge_split_probe.py): the
+# split and the one-call path both median ~5.8e10 pt-sweeps/s within the
+# relay's timing jitter (the extend-fold variant, FOLD_EXTEND, measured
+# 5.7e10 the same day; round 2's 4.8e10 one-call figure was a jittery
+# session).  Kept on: never slower, and it removes the per-sweep extend
+# conditionals from the interior programs.
+EDGE_SPLIT = True
+
+
+def _edge_rows(spec, ny, tile, halo):
+    """Rows of the [top, mid, bot] edge-split, or None when not profitable.
+
+    Edge chunks need >= tile + halo rows (a full window beside the
+    one-sided pad) rounded up to whole tiles; only split when the
+    cond-free interior still covers most rows."""
+    if spec.bcs[-2] != "extend":
+        return None
+    e = -(-(tile + halo) // tile) * tile
+    if ny < 4 * e:
+        return None
+    return [e, ny - 2 * e, e]
+
+
 def _run_group(spec, S, omega, n_sweeps, plan, interpret, fold):
     """Solve one batch group: n_sweeps iterations on (B, ny, nx)."""
     tile, k, halo, y_chunk, _ = plan
@@ -717,10 +746,16 @@ def _run_group(spec, S, omega, n_sweeps, plan, interpret, fold):
     ny, nx = S.shape[-2:]
     rel = (jnp.asarray(omega, dtype) * spec.relax).astype(dtype)
     W = _stack_planes(spec, rel, ny, nx, dtype)
+    static_n = isinstance(n_sweeps, (int, np.integer))
 
     def make_ex(Wx):
         if y_chunk < ny:
             return _RowChunks(Wx, ny, tile, k, halo, y_chunk, interpret)
+        if EDGE_SPLIT and static_n and not _no_cross_r1(spec):
+            rows = _edge_rows(spec, ny, tile, halo)
+            if rows is not None:
+                return _RowChunks(Wx, ny, tile, k, halo, ny, interpret,
+                                  rows=rows)
         return _OneCall(Wx, tile, k, interpret)
 
     if isinstance(n_sweeps, (int, np.integer)):

@@ -16,6 +16,9 @@ from .mesh import (                                              # noqa: F401
     problem_pspecs, shard_mg_levels, solve_mg_sharded,
 )
 from .halo import solve_fixed_halo                               # noqa: F401
+from .halo_window import (                                       # noqa: F401
+    solve_fixed_halo_window, halo_window_applicable,
+)
 from .scaling import (                                           # noqa: F401
     initialize_distributed, make_hybrid_mesh, scaling_bench,
     format_scaling_table,
