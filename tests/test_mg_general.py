@@ -1,0 +1,233 @@
+# -*- coding: utf-8 -*-
+"""Multigrid for the damped advective general families (VERDICT r2 item 4):
+Gill-Matsuno / Stommel / Stommel-Arons (general-2D) and 3DOcean
+(general-3D), with upwind-stabilised coarse operators.
+
+Oracles: V-cycle residual reaching tol in tens of cycles where the
+reference needs hundreds-to-thousands of sweeps (apps.py:1609, notebook
+07), and agreement with the SOR fixed point of the same (centered, fine)
+discretisation.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from xinvert_tpu.grid import Grid
+from xinvert_tpu.models import problems
+from xinvert_tpu.models.params import default_mParams
+from xinvert_tpu.mg import (build_pyramid_general2d, build_pyramid_general3d,
+                            solve_mg)
+from xinvert_tpu.solver import solve, _residual_norm, _residual_scale
+from xinvert_tpu.field import Field
+
+
+def _gm_problem(ny=73, nx=144):
+    lat = np.linspace(-88.75, 88.75, ny)
+    lon = np.linspace(0.0, 360.0 - 360.0 / nx, nx)
+    grid = Grid.make(("lat", "lon"), (lat, lon), "lat-lon",
+                     bcs=("fixed", "periodic"))
+    llat = np.deg2rad(lat)[:, None]
+    llon = np.deg2rad(lon)[None, :]
+    Q = -0.1 * np.exp(-((llat) / 0.3) ** 2) * np.cos(3 * llon)
+    Qdef = np.ones((ny, nx), bool)
+    mp = dict(default_mParams)
+    mp["epsilon"] = 1e-5
+    mp["Phi"] = 5000.0
+    return grid, jnp.asarray(Q), jnp.asarray(Qdef), mp
+
+
+def test_gillmatsuno_mg_converges_fast():
+    """73x144 Gill-Matsuno (the notebook-07 size, where the reference runs
+    355-600 sweeps to only ~1e-5): V-cycles reach a 1e-6 residual in tens
+    of cycles and land on the SOR fixed point."""
+    grid, Q, Qdef, mp = _gm_problem()
+    A, B, C, D, E, Fc, G = problems.gillmatsuno_coeffs(Q, Qdef, grid, mp)
+    pyr = build_pyramid_general2d(A, B, C, D, E, Fc, G, Qdef,
+                                  grid.deltas, grid.bcs)
+    assert pyr[0].smoother == "xline"     # polar 1/cos^2 anisotropy
+    S, cycles, res, conv = solve_mg(pyr, tol=1e-6, max_cycles=40)
+    assert conv and cycles <= 30
+
+    spec = problems.build_gillmatsuno(Q, Qdef, grid, mp)
+    r = solve(spec, jnp.zeros(grid.shape), omega=1.4, tol=1e-12,
+              max_iters=5000, check_every=8)
+    scale = float(jnp.max(jnp.abs(r.S)))
+    assert float(jnp.max(jnp.abs(S - r.S))) < 1e-5 * scale
+
+
+def test_gillmatsuno_mg_masked():
+    """Interior mask (island): damped correction keeps the cycle stable
+    and the masked cells stay at their initial value."""
+    grid, Q, Qdef, mp = _gm_problem(37, 72)
+    Qdef = np.asarray(Qdef).copy()
+    Qdef[14:20, 20:30] = False
+    Qdef = jnp.asarray(Qdef)
+    A, B, C, D, E, Fc, G = problems.gillmatsuno_coeffs(Q, Qdef, grid, mp)
+    pyr = build_pyramid_general2d(A, B, C, D, E, Fc, G, Qdef,
+                                  grid.deltas, grid.bcs)
+    S, cycles, res, conv = solve_mg(pyr, tol=1e-6, max_cycles=40)
+    assert conv
+    assert float(jnp.max(jnp.abs(S[14:20, 20:30]))) == 0.0
+
+
+def test_stommel_mg_beta_upwind():
+    """Cartesian Stommel gyre: the beta term dominates at coarse spacings
+    (western boundary layer); upwinded coarse operators keep the V-cycle
+    convergent and the answer is still the fine centered discretisation's
+    SOR fixed point."""
+    ny, nx = 64, 64
+    y = np.linspace(0.0, 6e6, ny)
+    x = np.linspace(0.0, 1e7, nx)
+    grid = Grid.make(("y", "x"), (y, x), "cartesian", bcs=("fixed", "fixed"))
+    curl = -1e-7 * np.sin(np.pi * y / 6e6)[:, None] * np.ones((1, nx))
+    cdef = jnp.ones((ny, nx), bool)
+    mp = dict(default_mParams)
+    mp["R"] = 2e-4
+    mp["D"] = 100.0
+    mp["beta"] = 2e-11
+    A, B, C, D, E, Fc, G = problems.stommel_coeffs(
+        jnp.asarray(curl), cdef, grid, mp)
+    pyr = build_pyramid_general2d(A, B, C, D, E, Fc, G, cdef,
+                                  grid.deltas, grid.bcs)
+    assert len(pyr) >= 3
+    S, cycles, res, conv = solve_mg(pyr, tol=1e-8, max_cycles=60)
+    assert conv
+
+    spec = problems.build_stommel(jnp.asarray(curl), cdef, grid, mp)
+    r = solve(spec, jnp.zeros((ny, nx)), omega=1.4, tol=1e-14,
+              max_iters=30000, check_every=8)
+    scale = float(jnp.max(jnp.abs(r.S)))
+    assert float(jnp.max(jnp.abs(S - r.S))) < 1e-5 * scale
+
+
+def test_stommelarons_mg():
+    ny, nx = 36, 72
+    lat = np.linspace(-60.0, 60.0, ny)     # no exact-equator point
+    lon = np.linspace(0.0, 360.0 - 360.0 / nx, nx)
+    grid = Grid.make(("lat", "lon"), (lat, lon), "lat-lon",
+                     bcs=("fixed", "periodic"))
+    rng = np.random.default_rng(2)
+    Q = rng.normal(0.0, 1e-6, (ny, nx))
+    Qdef = jnp.ones((ny, nx), bool)
+    mp = dict(default_mParams)
+    mp["epsilon"] = 7e-6
+    A, B, C, D, E, Fc, G = problems.stommelarons_coeffs(
+        jnp.asarray(Q), Qdef, grid, mp)
+    pyr = build_pyramid_general2d(A, B, C, D, E, Fc, G, Qdef,
+                                  grid.deltas, grid.bcs)
+    S, cycles, res, conv = solve_mg(pyr, tol=1e-6, max_cycles=40)
+    assert conv
+
+    spec = problems.build_stommelarons(jnp.asarray(Q), Qdef, grid, mp)
+    r = solve(spec, jnp.zeros((ny, nx)), omega=1.4, tol=1e-13,
+              max_iters=30000, check_every=8)
+    scale = float(jnp.max(jnp.abs(r.S)))
+    assert float(jnp.max(jnp.abs(S - r.S))) < 1e-5 * scale
+
+
+def test_ocean3d_mg_semicoarsened():
+    """3DOcean volume (VERDICT target): semicoarsened V-cycles with z-line
+    smoothing reach 1e-6 in a few cycles and match the SOR fixed point."""
+    nz, ny, nx = 8, 36, 64
+    lev = np.linspace(0.0, 2100.0, nz)
+    lat = np.linspace(-60.0, 60.0, ny)
+    lon = np.linspace(0.0, 360.0 - 360.0 / nx, nx)
+    grid = Grid.make(("lev", "lat", "lon"), (lev, lat, lon), "lat-lon",
+                     bcs=("fixed", "extend", "periodic"))
+    rng = np.random.default_rng(1)
+    F = rng.normal(0.0, 1e-11, (nz, ny, nx))
+    Fdef = np.ones((nz, ny, nx), bool)
+    Fdef[:, 14:20, 20:30] = False
+    mp = dict(default_mParams)
+    mp["epsilon"] = 7e-6
+    mp["k"] = 1e-5
+    mp["N2"] = 1e-5
+    A, B, C, D, E, Fc, G, H = problems.ocean3d_coeffs(
+        jnp.asarray(F), jnp.asarray(Fdef), grid, mp)
+    pyr = build_pyramid_general3d(A, B, C, D, E, Fc, G, H, Fdef,
+                                  grid.deltas, grid.bcs)
+    assert pyr[0].smoother in ("zline", "zxline")
+    S, cycles, res, conv = solve_mg(pyr, tol=1e-6, max_cycles=30)
+    assert conv and cycles <= 15
+
+    spec = problems.build_ocean3d(jnp.asarray(F), jnp.asarray(Fdef),
+                                  grid, mp)
+    r = solve(spec, jnp.zeros((nz, ny, nx)), omega=1.4, tol=1e-13,
+              max_iters=10000, check_every=8)
+    scale = float(jnp.max(jnp.abs(r.S)))
+    assert float(jnp.max(jnp.abs(S - r.S))) < 1e-5 * scale
+
+
+def test_api_gillmatsuno_mg_matches_sor():
+    """The public invert_GillMatsuno_mg lands on invert_GillMatsuno's
+    converged answer (same coefficients end-to-end)."""
+    from xinvert_tpu import invert_GillMatsuno, invert_GillMatsuno_mg
+
+    ny, nx = 37, 72
+    lat = np.linspace(-88.75, 88.75, ny)
+    lon = np.linspace(0.0, 360.0 - 360.0 / nx, nx)
+    llat = np.deg2rad(lat)[:, None]
+    llon = np.deg2rad(lon)[None, :]
+    Q = -0.1 * np.exp(-((llat) / 0.3) ** 2) * np.cos(3 * llon)
+    Qf = Field(Q, ("lat", "lon"), {"lat": lat, "lon": lon})
+    mp = {"epsilon": 1e-5, "Phi": 5000.0}
+    iP = {"BCs": ["fixed", "periodic"], "tolerance": 1e-12,
+          "mxLoop": 5000, "optArg": 1.4, "printInfo": False}
+    ref = invert_GillMatsuno(Qf, dims=["lat", "lon"], iParams=iP,
+                             mParams=mp)
+    out = invert_GillMatsuno_mg(Qf, dims=["lat", "lon"], iParams=iP,
+                                mParams=mp, tol=1e-7)
+    scale = np.nanmax(np.abs(ref.values))
+    assert np.nanmax(np.abs(out.values - ref.values)) < 1e-4 * scale
+
+
+def test_api_3docean_mg_matches_sor():
+    from xinvert_tpu import invert_3DOcean, invert_3DOcean_mg
+
+    nz, ny, nx = 8, 20, 30
+    lev = np.linspace(0.0, 2100.0, nz)
+    lat = np.linspace(-60.0, 60.0, ny)
+    lon = np.linspace(0.0, 360.0 - 360.0 / nx, nx)
+    rng = np.random.default_rng(3)
+    F = rng.normal(0.0, 1e-11, (nz, ny, nx))
+    Ff = Field(F, ("LEV", "lat", "lon"),
+               {"LEV": lev, "lat": lat, "lon": lon})
+    mp = {"epsilon": 7e-6, "k": 1e-5, "N2": 1e-5}
+    iP = {"BCs": ["fixed", "extend", "periodic"], "tolerance": 1e-12,
+          "mxLoop": 4000, "optArg": 1.4, "printInfo": False}
+    ref = invert_3DOcean(Ff, dims=["LEV", "lat", "lon"], iParams=iP,
+                         mParams=mp)
+    out = invert_3DOcean_mg(Ff, dims=["LEV", "lat", "lon"], iParams=iP,
+                            mParams=mp, tol=1e-7)
+    scale = np.nanmax(np.abs(ref.values))
+    assert np.nanmax(np.abs(out.values - ref.values)) < 1e-4 * scale
+
+
+def test_upwind_row_sum_consistency():
+    """Upwinded weights keep the advective row sum at zero (a constant
+    field has zero first derivative) and strengthen the diagonal."""
+    from xinvert_tpu import stencil
+
+    rng = np.random.default_rng(4)
+    ny, nx = 12, 16
+    A = jnp.asarray(np.abs(rng.normal(1, 0.1, (ny, nx))) + 0.5)
+    C = jnp.asarray(np.abs(rng.normal(1, 0.1, (ny, nx))) + 0.5)
+    D = jnp.asarray(rng.normal(0, 1.0, (ny, nx)))
+    E = jnp.asarray(rng.normal(0, 1.0, (ny, nx)))
+    G = jnp.asarray(rng.normal(0, 1, (ny, nx)))
+    Fdef = jnp.ones((ny, nx), bool)
+    z = jnp.zeros((ny, nx))
+    cen = stencil.general_2d(A, z, C, D, E, z, G, Fdef, (1.3, 1.0),
+                             ("fixed", "fixed"))
+    up = stencil.general_2d(A, z, C, D, E, z, G, Fdef, (1.3, 1.0),
+                            ("fixed", "fixed"), upwind=1.0)
+    rs_c = cen.w.sum(0) + cen.w0
+    rs_u = up.w.sum(0) + up.w0
+    np.testing.assert_allclose(np.asarray(rs_u), np.asarray(rs_c),
+                               rtol=1e-12, atol=1e-12)
+    # diagonal never weakens
+    act = np.asarray(up.active)
+    assert np.all((-np.asarray(up.w0))[act] >= (-np.asarray(cen.w0))[act]
+                  - 1e-12)

@@ -25,6 +25,7 @@ from .ops.tridiag import trace, traceCyclic, tridiag_solve      # noqa: F401
 from .ops.direct import solve_direct, direct_applicable         # noqa: F401
 from .mg import (                                               # noqa: F401
     build_pyramid_standard2d, build_pyramid_standard3d, build_pyramid_bih2d,
+    build_pyramid_general2d, build_pyramid_general3d,
     solve_mg,
 )
 from .lexico import solve_fixed_lexicographic                   # noqa: F401
@@ -35,7 +36,8 @@ from .core import (                                             # noqa: F401
 from .models.params import default_iParams, default_mParams     # noqa: F401
 from .models.api import (                                       # noqa: F401
     invert_Poisson, invert_Poisson_mg, invert_omega_mg, invert_StommelMunk_mg,
-    invert_RefState, invert_GeoAdjustment,
+    invert_GillMatsuno_mg, invert_Stommel_mg, invert_StommelArons_mg,
+    invert_3DOcean_mg, invert_RefState, invert_GeoAdjustment,
     invert_RefStateSWM, invert_PV2D, invert_Eliassen,
     invert_GillMatsuno, invert_GillMatsuno_test, invert_Stommel,
     invert_Stommel_test, invert_StommelMunk, invert_StommelArons,

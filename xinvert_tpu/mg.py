@@ -47,6 +47,7 @@ from .solver import _sweep_with, _color_relax, _neighbor_sum
 from .grid import optimal_omega
 
 __all__ = ["build_pyramid_standard2d", "build_pyramid_standard3d",
+           "build_pyramid_general2d", "build_pyramid_general3d",
            "build_pyramid_bih2d", "solve_mg", "MGLevel"]
 
 
@@ -334,6 +335,116 @@ def build_pyramid_standard3d(A, B, C, F, Fdef, deltas, bcs,
     return _stamp_smoother(levels)
 
 
+def _upwind_sign(A, C) -> float:
+    """Sign normalisation for coarse-level upwinding: +-1 such that
+    s * (A, C) is the non-negative-diffusion convention (several reference
+    families, e.g. Stommel, carry globally NEGATIVE diffusion planes)."""
+    m = float(np.mean(np.asarray(A)) + np.mean(np.asarray(C)))
+    return 1.0 if m >= 0 else -1.0
+
+
+def build_pyramid_general2d(A, B, C, D, E, F, G, Fdef, deltas, bcs,
+                            min_size: int = 15,
+                            max_levels: int = 10) -> List[MGLevel]:
+    """Coefficient pyramid for the damped advective general-2D family
+    A Syy + B Syx + C Sxx + D Sy + E Sx + F S = G (stencil.general_2d /
+    numbas.py:988-1201 — Gill-Matsuno, Stommel, Stommel-Arons).
+
+    Level 0 keeps the reference's centered first derivatives (parity);
+    coarser levels re-discretise the plane-coarsened coefficients on
+    doubled spacings with first-order UPWIND advection — the doubled
+    spacings raise the cell Peclet number until the centered coarse
+    operator loses diagonal dominance and smoothing diverges; upwind
+    coarse operators only correct error, so the converged answer is still
+    the fine (centered) discretisation.
+    """
+    planes = [jnp.asarray(p) if not np.isscalar(p)
+              else jnp.zeros(jnp.shape(G)[-2:], jnp.asarray(G).dtype) + p
+              for p in (A, B, C, D, E, F)]
+    G = jnp.asarray(G)
+    mask = jnp.asarray(Fdef).astype(bool)
+    is_masked = not bool(np.all(np.asarray(Fdef)))
+    s = _upwind_sign(planes[0], planes[2])
+
+    levels = []
+    dy, dx = deltas
+    cur_bcs = tuple(bcs)
+    lvl_shape = G.shape[-2:]
+    Gl = G
+    while True:
+        spec = stencil.general_2d(*planes, Gl, mask, (dy, dx), cur_bcs,
+                                  upwind=(0.0 if not levels else s))
+        odd = tuple(n % 2 == 1 for n in lvl_shape)
+        # omega ~ 1 on every level: plain Gauss-Seidel smoothing, and on
+        # the (upwinded, M-matrix) coarsest level GS iterates robustly
+        # where the near-2 Laplacian-optimal factor can diverge for
+        # advection-dominated operators
+        levels.append(MGLevel(spec=spec, omega=jnp.asarray(1.0), odd=odd,
+                              masked=is_masked))
+
+        nxt = tuple((n + 1) // 2 if n % 2 else n // 2 for n in lvl_shape)
+        if (len(levels) >= max_levels or min(nxt) < min_size
+                or any(cur_bcs[i] == "periodic" and lvl_shape[i] % 2
+                       for i in range(2))):
+            break
+        planes = [_coarsen_plane(p, odd) for p in planes]
+        mask = _coarsen_mask(mask, odd)
+        Gl = jnp.zeros(nxt, G.dtype)
+        dy, dx = dy * 2, dx * 2
+        lvl_shape = nxt
+
+    return _stamp_smoother(levels)
+
+
+def build_pyramid_general3d(A, B, C, D, E, F, G, H, Fdef, deltas, bcs,
+                            min_size: int = 9,
+                            max_levels: int = 10) -> List[MGLevel]:
+    """Coefficient pyramid for the general-3D family A Szz + B Syy + C Sxx
+    + D Sz + E Sy + F Sx + G S = H (stencil.general_3d / numbas.py:746-984
+    — the damped 3DOcean flow).
+
+    SEMICOARSENING over (y, x) with the z column at full resolution, like
+    :func:`build_pyramid_standard3d`; coarse levels upwind the advective
+    D/E/F terms (see :func:`build_pyramid_general2d`).
+    """
+    H = jnp.asarray(H)
+    planes = [jnp.asarray(p) if not np.isscalar(p)
+              else jnp.zeros(H.shape[-3:], H.dtype) + p
+              for p in (A, B, C, D, E, F, G)]
+    mask = jnp.asarray(Fdef).astype(bool)
+    if mask.ndim == 2:
+        mask = jnp.broadcast_to(mask[None], H.shape[-3:])
+    is_masked = not bool(np.all(np.asarray(Fdef)))
+    s = _upwind_sign(planes[0], planes[2])
+
+    levels = []
+    delz, dely, delx = deltas
+    cur_bcs = tuple(bcs)
+    lvl_shape = H.shape[-2:]
+    nz = H.shape[-3]
+    Hl = H
+    while True:
+        spec = stencil.general_3d(*planes, Hl, mask,
+                                  (delz, dely, delx), cur_bcs,
+                                  upwind=(0.0 if not levels else s))
+        odd = tuple(n % 2 == 1 for n in lvl_shape)
+        levels.append(MGLevel(spec=spec, omega=jnp.asarray(1.0), odd=odd,
+                              masked=is_masked))
+
+        nxt = tuple((n + 1) // 2 if n % 2 else n // 2 for n in lvl_shape)
+        if (len(levels) >= max_levels or min(nxt) < min_size
+                or any(cur_bcs[1 + i] == "periodic" and lvl_shape[i] % 2
+                       for i in range(2))):
+            break
+        planes = [_coarsen_plane(p, odd) for p in planes]
+        mask = _coarsen_mask(mask, odd)
+        Hl = jnp.zeros((nz,) + nxt, H.dtype)
+        dely, delx = dely * 2, delx * 2
+        lvl_shape = nxt
+
+    return _stamp_smoother(levels)
+
+
 def build_pyramid_bih2d(coeffs, J, Fdef, deltas, bcs,
                         min_size: int = 15,
                         max_levels: int = 10) -> List[MGLevel]:
@@ -524,6 +635,79 @@ def _vcycle(levels: List[MGLevel], lvl: int, S, g_override,
 
 @partial(jax.jit, static_argnames=("max_cycles", "nu1", "nu2",
                                    "coarse_iters", "alpha", "smoother"))
+def _solve_mg_krylov_jit(levels, S0, g0, tol, max_cycles, nu1, nu2,
+                         coarse_iters, alpha, smoother):
+    """V-cycle-preconditioned BiCGStab on the folded system.
+
+    Plain coarse-grid correction fails on advection-dominated operators
+    (the Stommel/Stommel-Arons beta terms): the coarse operator's phase
+    error on characteristics is O(1), so the cycle stalls near ~0.95 per
+    cycle.  Wrapping the SAME V-cycle as a Krylov preconditioner restores
+    fast convergence (measured: Stommel-Arons 36x72 stalls at 3e-1 plain,
+    reaches 3e-8 Krylov-wrapped).  Solves for the CORRECTION e with
+    A e = r(S0), inactive cells pinned at zero, so icbc Dirichlet data in
+    S0 rides through untouched."""
+    from jax.scipy.sparse.linalg import bicgstab
+
+    spec = levels[0].spec
+    if g0 is not None:
+        spec = dataclasses.replace(spec, g=jnp.where(spec.active, g0, 0.0))
+        levels = (dataclasses.replace(levels[0], spec=spec),) + \
+            tuple(levels[1:])
+    act = spec.active
+    spec_l = dataclasses.replace(spec, g=jnp.zeros_like(spec.g))
+    g_scale = jnp.maximum(jnp.max(jnp.abs(spec.g)),
+                          jnp.asarray(jnp.finfo(spec.g.dtype).tiny,
+                                      spec.g.dtype))
+
+    def matvec(x):
+        return jnp.where(act, _neighbor_sum(spec_l, x) + spec.w0 * x, x)
+
+    def precond(r):
+        return _vcycle(levels, 0, jnp.zeros_like(r),
+                       jnp.where(act, -r, 0.0), nu1, nu2, coarse_iters,
+                       alpha, smoother)
+
+    b = jnp.where(act, -(_neighbor_sum(spec_l, S0) + spec.w0 * S0
+                         + spec.g), 0.0)
+    # `max_cycles` bounds the Krylov ITERATION budget here (each iteration
+    # costs ~2 V-cycles); checked in chunks of `inner` iterations.  Krylov
+    # L-inf residuals bounce around a decreasing trend, so the stall rule
+    # watches the BEST iterate seen, keeps it, and only gives up after 4
+    # consecutive chunks without a 5% new best.
+    inner = 8
+    n_chunks = max(1, -(-int(max_cycles) // inner))
+
+    def cond(c):
+        e, e_best, best, k, stall = c
+        return jnp.logical_and(k < n_chunks * inner,
+                               jnp.logical_and(best >= tol, stall < 4))
+
+    def body(c):
+        e, e_best, best, k, stall = c
+        e_new, _ = bicgstab(matvec, b, x0=e, M=precond, tol=0.0,
+                            maxiter=inner)
+        # guard against Krylov breakdown producing nan: fall back to the
+        # previous iterate and let the stall counter end the solve
+        bad = ~jnp.isfinite(jnp.max(jnp.abs(e_new)))
+        e_new = jnp.where(bad, e, e_new)
+        new_res = jnp.max(jnp.abs(matvec(e_new) - b)) / g_scale
+        improved = new_res <= 0.95 * best
+        stall = jnp.where(improved, 0, stall + 1)
+        e_best = jnp.where(new_res < best, e_new, e_best)
+        best = jnp.minimum(best, new_res)
+        return (e_new, e_best, best, k + inner, stall)
+
+    big = jnp.asarray(jnp.inf, S0.dtype)
+    e0 = jnp.zeros_like(S0)
+    _, e, res, k, _ = jax.lax.while_loop(
+        cond, body, (e0, e0, big, jnp.asarray(0), jnp.asarray(0)))
+    # report V-cycle-equivalents (2 per iteration: the preconditioner pair)
+    return S0 + jnp.where(act, e, 0.0), 2 * k, res
+
+
+@partial(jax.jit, static_argnames=("max_cycles", "nu1", "nu2",
+                                   "coarse_iters", "alpha", "smoother"))
 def _solve_mg_jit(levels, S0, g0, tol, max_cycles, nu1, nu2, coarse_iters,
                   alpha, smoother):
     spec = levels[0].spec
@@ -560,7 +744,8 @@ def _solve_mg_jit(levels, S0, g0, tol, max_cycles, nu1, nu2, coarse_iters,
 def solve_mg(levels: List[MGLevel], S0=None, tol: float = 1e-6,
              max_cycles: int = 50, nu1: int = 2, nu2: int = 2,
              coarse_iters: int = 60, alpha: Optional[float] = None,
-             smoother: Optional[str] = None, g0=None):
+             smoother: Optional[str] = None, g0=None,
+             accel: Optional[str] = "auto"):
     """V-cycle to a RESIDUAL tolerance (relative to max |g|).
 
     Note the convergence criterion differs from the SOR driver's
@@ -573,6 +758,13 @@ def solve_mg(levels: List[MGLevel], S0=None, tol: float = 1e-6,
     over it (each batch member converges by its own residual test).  ``S0``
     doubles as the icbc warm start — inactive (masked/boundary) cells keep
     their initial values, so Dirichlet data rides in unchanged.
+
+    ``accel``: ``None`` runs plain V-cycles; ``'bicgstab'`` runs the
+    V-cycle-preconditioned Krylov solver (the robust choice for the
+    advection-dominated general families, whose plain coarse-grid
+    correction stalls); ``'auto'`` (default) runs plain V-cycles and, only
+    if they end above ``tol``, continues Krylov-wrapped from the partial
+    result.
 
     Returns ``(solution, cycles, res, converged)``; ``converged`` is False
     when the cycle budget or the stagnation guard ended the solve with
@@ -590,26 +782,42 @@ def solve_mg(levels: List[MGLevel], S0=None, tol: float = 1e-6,
         # undamped correction gives the textbook ~6-cycle rate on fully
         # active domains; irregular masks need damping for stability
         alpha = 0.8 if levels[0].masked else 1.0
+    if accel not in (None, "auto", "bicgstab"):
+        raise ValueError(f"unknown accel {accel!r}")
     if S0 is None:
         S0 = jnp.zeros(spec.w0.shape[-nd:], spec.w0.dtype)
     S0 = jnp.asarray(S0)
+
+    def run(fn, S0_, g0_):
+        return fn(tuple(levels), S0_, g0_, jnp.asarray(tol, S0.dtype),
+                  max_cycles, nu1, nu2, coarse_iters, float(alpha),
+                  str(smoother))
+
     batched = S0.ndim > nd
     if batched:
         S0 = S0.reshape((-1,) + S0.shape[-nd:])
         if g0 is None:
             raise ValueError("batched solve_mg needs a batched g0")
         g0 = jnp.asarray(g0).reshape((-1,) + S0.shape[1:])
-        fn = jax.vmap(lambda s, g: _solve_mg_jit(
-            tuple(levels), s, g, jnp.asarray(tol, S0.dtype), max_cycles,
-            nu1, nu2, coarse_iters, float(alpha), str(smoother)))
-        S, k, res = fn(S0, g0)
-        res_f = float(jnp.max(res))
-        return S, int(jnp.max(k)), res_f, res_f < tol
+        stages = (
+            [(_solve_mg_jit, 0)] if accel is None else
+            [(_solve_mg_krylov_jit, 0)] if accel == "bicgstab" else
+            [(_solve_mg_jit, 0), (_solve_mg_krylov_jit, 1)])
+        S, k_tot, res_f = S0, 0, float("inf")
+        for fn, rescue in stages:
+            if rescue and res_f < tol:
+                break
+            S, k, res = jax.vmap(lambda s, g, fn=fn: run(fn, s, g))(S, g0)
+            k_tot += int(jnp.max(k))
+            res_f = float(jnp.max(res))
+        return S, k_tot, res_f, res_f < tol
     if g0 is not None:
         g0 = jnp.asarray(g0)
-    S, k, res = _solve_mg_jit(tuple(levels), S0, g0,
-                              jnp.asarray(tol, S0.dtype), max_cycles,
-                              nu1, nu2, coarse_iters, float(alpha),
-                              str(smoother))
-    res = float(res)
-    return S, int(k), res, res < tol
+    S, k, res = run(_solve_mg_krylov_jit if accel == "bicgstab"
+                    else _solve_mg_jit, S0, g0)
+    k_tot, res_f = int(k), float(res)
+    if accel == "auto" and res_f >= tol:
+        S, k, res = run(_solve_mg_krylov_jit, S, g0)
+        k_tot += int(k)
+        res_f = float(res)
+    return S, k_tot, res_f, res_f < tol

@@ -25,7 +25,8 @@ from .params import default_iParams, default_mParams, merge_params
 
 __all__ = [
     "invert_Poisson", "invert_Poisson_mg", "invert_omega_mg",
-    "invert_StommelMunk_mg", "invert_RefState",
+    "invert_StommelMunk_mg", "invert_GillMatsuno_mg", "invert_Stommel_mg",
+    "invert_StommelArons_mg", "invert_3DOcean_mg", "invert_RefState",
     "invert_GeoAdjustment",
     "invert_RefStateSWM", "invert_PV2D", "invert_Eliassen",
     "invert_GillMatsuno", "invert_GillMatsuno_test", "invert_Stommel",
@@ -409,6 +410,121 @@ def invert_StommelMunk_mg(curl, dims, coords="lat-lon", icbc=None,
                        "Rearth"],
                       mParams, iParams, 2, build, tol, max_cycles,
                       nu1=3, nu2=3)
+
+
+def invert_GillMatsuno_mg(Q, dims, coords="lat-lon", icbc=None,
+                          mParams=None, iParams=None, tol: float = 1e-6,
+                          max_cycles: int = 40):
+    """Gill-Matsuno response via multigrid (TPU-native extension).
+
+    Same coefficients as :func:`invert_GillMatsuno` (the damped advective
+    general-2D family the reference iterates 355-600 sweeps to only ~1e-5,
+    apps.py:1609 / notebook 07); V-cycles with upwind-stabilised coarse
+    operators reach a 1e-6 RESIDUAL in ~15 cycles."""
+    from ..mg import build_pyramid_general2d
+
+    def build(vals, Fdef_c, grid, mPr):
+        A, B, C, D, E, Fc, G = problems.gillmatsuno_coeffs(
+            jnp.asarray(vals), jnp.asarray(Fdef_c), grid, mPr)
+        pyr = build_pyramid_general2d(
+            A, B, C, D, E, Fc, jnp.zeros(grid.shape), Fdef_c,
+            grid.deltas, grid.bcs)
+        g0 = jnp.where(pyr[0].spec.active,
+                       -G * grid.deltas[-1] ** 2, 0.0)
+        if jnp.ndim(g0) == 2:
+            pyr[0] = _mg_with_g(pyr[0], g0)
+            g0 = None
+        return pyr, g0
+
+    return _invert_mg(Q, dims, coords, icbc,
+                      ["f0", "beta", "epsilon", "Phi", "g", "Omega",
+                       "Rearth"],
+                      mParams, iParams, 2, build, tol, max_cycles)
+
+
+def invert_Stommel_mg(curl, dims, coords="lat-lon", icbc=None,
+                      mParams=None, iParams=None, tol: float = 1e-6,
+                      max_cycles: int = 40):
+    """Stommel gyre via multigrid (TPU-native extension).
+
+    The Stommel operator is advection-dominated (western boundary layer);
+    coarse levels upwind the beta term so smoothing stays stable while the
+    converged answer remains the fine centered discretisation
+    (apps.py:1712)."""
+    from ..mg import build_pyramid_general2d
+
+    def build(vals, Fdef_c, grid, mPr):
+        A, B, C, D, E, Fc, G = problems.stommel_coeffs(
+            jnp.asarray(vals), jnp.asarray(Fdef_c), grid, mPr)
+        pyr = build_pyramid_general2d(
+            A, B, C, D, E, Fc, jnp.zeros(grid.shape), Fdef_c,
+            grid.deltas, grid.bcs)
+        g0 = jnp.where(pyr[0].spec.active,
+                       -G * grid.deltas[-1] ** 2, 0.0)
+        if jnp.ndim(g0) == 2:
+            pyr[0] = _mg_with_g(pyr[0], g0)
+            g0 = None
+        return pyr, g0
+
+    return _invert_mg(curl, dims, coords, icbc,
+                      ["beta", "R", "D", "rho0", "g", "Omega", "Rearth"],
+                      mParams, iParams, 2, build, tol, max_cycles)
+
+
+def invert_StommelArons_mg(Q, dims, coords="lat-lon", icbc=None,
+                           mParams=None, iParams=None, tol: float = 1e-6,
+                           max_cycles: int = 40):
+    """Stommel-Arons abyssal circulation via multigrid (TPU-native
+    extension; same coefficients as :func:`invert_StommelArons`,
+    apps.py:1839)."""
+    from ..mg import build_pyramid_general2d
+
+    def build(vals, Fdef_c, grid, mPr):
+        A, B, C, D, E, Fc, G = problems.stommelarons_coeffs(
+            jnp.asarray(vals), jnp.asarray(Fdef_c), grid, mPr)
+        pyr = build_pyramid_general2d(
+            A, B, C, D, E, Fc, jnp.zeros(grid.shape), Fdef_c,
+            grid.deltas, grid.bcs)
+        g0 = jnp.where(pyr[0].spec.active,
+                       -G * grid.deltas[-1] ** 2, 0.0)
+        if jnp.ndim(g0) == 2:
+            pyr[0] = _mg_with_g(pyr[0], g0)
+            g0 = None
+        return pyr, g0
+
+    return _invert_mg(Q, dims, coords, icbc,
+                      ["f0", "beta", "epsilon", "g", "Omega", "Rearth"],
+                      mParams, iParams, 2, build, tol, max_cycles)
+
+
+def invert_3DOcean_mg(F, dims, coords="lat-lon", icbc=None,
+                      mParams=None, iParams=None, tol: float = 1e-6,
+                      max_cycles: int = 30):
+    """3-D damped ocean flow via semicoarsened multigrid (TPU-native
+    extension; same coefficients as :func:`invert_3DOcean`, apps.py:2055).
+    z-line smoothing handles the k/N^2 vertical stiffness; coarse levels
+    upwind the advective terms."""
+    from ..mg import build_pyramid_general3d
+
+    _check_N2(mParams)
+
+    def build(vals, Fdef_c, grid, mPr):
+        A, B, C, D, E, Fc, G, H = problems.ocean3d_coeffs(
+            jnp.asarray(vals), jnp.asarray(Fdef_c), grid, mPr)
+        pyr = build_pyramid_general3d(
+            A, B, C, D, E, Fc, G, jnp.zeros(grid.shape), Fdef_c,
+            grid.deltas, grid.bcs)
+        g0 = jnp.where(pyr[0].spec.active,
+                       -H * grid.deltas[-1] ** 2, 0.0)
+        if jnp.ndim(g0) == 3:
+            pyr[0] = _mg_with_g(pyr[0], g0)
+            g0 = None
+        return pyr, g0
+
+    return _invert_mg(F, dims, coords, icbc,
+                      ["f0", "beta", "epsilon", "N2", "k", "g", "Omega",
+                       "Rearth"],
+                      mParams, iParams, 3, build, tol, max_cycles)
 
 
 def invert_RefState(PV, dims, coords="z-lat", icbc=None,

@@ -242,8 +242,10 @@ def _gm_c1c2(grid: Grid, mp):
     return f, c1, c2, dc1, dc2, None
 
 
-def build_gillmatsuno(Q, Qdef, grid: Grid, mp):
-    """Gill-Matsuno heat-induced circulation, general 2D (apps.py:1609-1657)."""
+def gillmatsuno_coeffs(Q, Qdef, grid: Grid, mp):
+    """Gill-Matsuno general-2D coefficient planes (A..F) and filled forcing
+    G (apps.py:1609-1657); shared by the SOR builder and the multigrid
+    entry point."""
     nd, shape = grid.ndim, grid.shape
     Phi = mp["Phi"]
     f, c1, c2, dc1, dc2, latr = _gm_c1c2(grid, mp)
@@ -263,7 +265,13 @@ def build_gillmatsuno(Q, Qdef, grid: Grid, mp):
         _bcast(-np.asarray(mp["epsilon"], np.float64), nd, 0), shape),
         jnp.asarray(Q).dtype)
     G = _fill(Q, Qdef)
-    return stencil.general_2d(b(A), jnp.zeros(shape), b(C), b(D), b(E), Fc, G,
+    return b(A), jnp.zeros(shape), b(C), b(D), b(E), Fc, G
+
+
+def build_gillmatsuno(Q, Qdef, grid: Grid, mp):
+    """Gill-Matsuno heat-induced circulation, general 2D (apps.py:1609-1657)."""
+    A, B, C, D, E, Fc, G = gillmatsuno_coeffs(Q, Qdef, grid, mp)
+    return stencil.general_2d(A, B, C, D, E, Fc, G,
                               Qdef, grid.deltas, grid.bcs)
 
 
@@ -302,8 +310,9 @@ def build_gillmatsuno_test(Q, Qdef, grid: Grid, mp):
     return stencil.standard_2d_e(A, B, C, D, E, Fs, Qdef, grid.deltas, grid.bcs)
 
 
-def build_stommel(curl, cdef, grid: Grid, mp):
-    """Stommel wind-driven gyre, general 2D (apps.py:1712-1748)."""
+def stommel_coeffs(curl, cdef, grid: Grid, mp):
+    """Stommel general-2D coefficient planes (apps.py:1712-1748); shared by
+    the SOR builder and the multigrid entry point."""
     nd, shape = grid.ndim, grid.shape
     R = _bcast(mp["R"], nd, 0)
     depth, rho0 = _bcast(mp["D"], nd, 0), _bcast(mp["rho0"], nd, 0)
@@ -321,7 +330,13 @@ def build_stommel(curl, cdef, grid: Grid, mp):
         C = b(-R / depth)
         E = b(-np.asarray(mp["beta"], np.float64))
     G = -_fill(curl, cdef) / jnp.asarray(depth * rho0)
-    return stencil.general_2d(A, zero, C, zero, E, zero, G, cdef,
+    return A, zero, C, zero, E, zero, G
+
+
+def build_stommel(curl, cdef, grid: Grid, mp):
+    """Stommel wind-driven gyre, general 2D (apps.py:1712-1748)."""
+    A, B, C, D, E, Fc, G = stommel_coeffs(curl, cdef, grid, mp)
+    return stencil.general_2d(A, B, C, D, E, Fc, G, cdef,
                               grid.deltas, grid.bcs)
 
 
@@ -387,8 +402,9 @@ def build_stommelmunk(curl, cdef, grid: Grid, mp):
     return stencil.general_2d_bih(*coeffs, J, cdef, grid.deltas, grid.bcs)
 
 
-def build_stommelarons(Q, Qdef, grid: Grid, mp):
-    """Stommel-Arons abyssal circulation, general 2D (apps.py:1839-1886)."""
+def stommelarons_coeffs(Q, Qdef, grid: Grid, mp):
+    """Stommel-Arons general-2D coefficient planes (apps.py:1839-1886);
+    shared by the SOR builder and the multigrid entry point."""
     nd, shape = grid.ndim, grid.shape
     f, c1, c2, dc1, dc2, latr = _gm_c1c2(grid, mp)
     if grid.coord_type == "lat-lon":
@@ -402,7 +418,13 @@ def build_stommelarons(Q, Qdef, grid: Grid, mp):
     b = lambda p: jnp.asarray(np.broadcast_to(_bcast(p, nd, 0), shape))
     zero = jnp.zeros(shape)
     G = _fill(Q, Qdef)
-    return stencil.general_2d(b(A), zero, b(C), b(D), b(E), zero, G, Qdef,
+    return b(A), zero, b(C), b(D), b(E), zero, G
+
+
+def build_stommelarons(Q, Qdef, grid: Grid, mp):
+    """Stommel-Arons abyssal circulation, general 2D (apps.py:1839-1886)."""
+    A, B, C, D, E, Fc, G = stommelarons_coeffs(Q, Qdef, grid, mp)
+    return stencil.general_2d(A, B, C, D, E, Fc, G, Qdef,
                               grid.deltas, grid.bcs)
 
 
@@ -519,8 +541,10 @@ def build_omega(F, Fdef, grid: Grid, mp):
                                Fs, Fdef, grid.deltas, grid.bcs)
 
 
-def build_ocean3d(F, Fdef, grid: Grid, mp):
-    """3-D damped ocean flow, general 3D (apps.py:2055-2109)."""
+def ocean3d_coeffs(F, Fdef, grid: Grid, mp):
+    """3-D damped ocean flow general-3D coefficient planes
+    (apps.py:2055-2109); shared by the SOR builder and the multigrid
+    entry point."""
     nd, shape = grid.ndim, grid.shape
     eps, k, N2 = mp["epsilon"], mp["k"], np.asarray(mp["N2"], np.float64)
     lev = grid.coords[0]
@@ -561,8 +585,14 @@ def build_ocean3d(F, Fdef, grid: Grid, mp):
     by = lambda p: jnp.asarray(np.broadcast_to(_bcast(p, nd, 1), shape))
     zero = jnp.zeros(shape)
     H = _fill(F, Fdef)
-    return stencil.general_3d(bz(c3), by(c1), by(C), bz(dc3), by(E), by(Fc),
-                              zero, H, Fdef, grid.deltas, grid.bcs)
+    return bz(c3), by(c1), by(C), bz(dc3), by(E), by(Fc), zero, H
+
+
+def build_ocean3d(F, Fdef, grid: Grid, mp):
+    """3-D damped ocean flow, general 3D (apps.py:2055-2109)."""
+    A, B, C, D, E, Fc, G, H = ocean3d_coeffs(F, Fdef, grid, mp)
+    return stencil.general_3d(A, B, C, D, E, Fc, G, H, Fdef,
+                              grid.deltas, grid.bcs)
 
 
 BUILDERS = {

@@ -223,8 +223,30 @@ def standard_2d_e(A, B, C, D, E, F, Fdef, deltas, bcs):
     return _finalize(weights, w0, g, Fdef, F.shape[-2:], bcs, False, True, dtype)
 
 
-def general_2d(A, B, C, D, E, F, G, Fdef, deltas, bcs):
-    r"""A Syy + B Syx + C Sxx + D Sy + E Sx + F S = G  (numbas.py:988-1201)."""
+def _upwind_terms(coef, s, scale):
+    """First-order upwind split of a first-derivative term with coefficient
+    ``coef`` (already sign-normalised by ``s``: the equation times s has
+    non-negative diffusion).  Returns (w_plus, w_minus, w_center) folded
+    weight contributions such that w_plus + w_minus + w_center == 0 and the
+    center contribution strengthens the diagonal — the standard stabiliser
+    for advection-dominated COARSE operators in multigrid hierarchies
+    (coarse spacings raise the cell Peclet number until the centered
+    stencil loses diagonal dominance and smoothing diverges)."""
+    pos = jnp.where(s * coef > 0, coef, 0.0)
+    neg = jnp.where(s * coef < 0, coef, 0.0)
+    return pos * scale, -neg * scale, -s * jnp.abs(coef) * scale
+
+
+def general_2d(A, B, C, D, E, F, G, Fdef, deltas, bcs, upwind: float = 0.0):
+    r"""A Syy + B Syx + C Sxx + D Sy + E Sx + F S = G  (numbas.py:988-1201).
+
+    ``upwind`` (0 = centered first derivatives, reference parity) selects
+    first-order upwinding of the D/E advection terms with sign
+    normalisation ``upwind = +-1`` (the sign making the diffusion terms
+    non-negative); used for multigrid COARSE operators, where doubled
+    spacings push the cell Peclet number past centered-difference
+    stability.
+    """
     dely, delx = deltas
     ratio = delx / dely
     rsq = ratio ** 2
@@ -233,17 +255,30 @@ def general_2d(A, B, C, D, E, F, G, Fdef, deltas, bcs):
     half = delx / 2.0
     dtype = jnp.result_type(A, C, G)
 
-    weights = {
-        (1, 0): A * rsq + D * ratio * half,
-        (-1, 0): A * rsq - D * ratio * half,
-        (0, 1): C + E * half,
-        (0, -1): C - E * half,
+    w0 = -2.0 * (A * rsq + C) + F * dxsq
+    if upwind:
+        dyp, dym, dy0 = _upwind_terms(D, upwind, ratio * delx)
+        exp, exm, ex0 = _upwind_terms(E, upwind, delx)
+        weights = {
+            (1, 0): A * rsq + dyp,
+            (-1, 0): A * rsq + dym,
+            (0, 1): C + exp,
+            (0, -1): C + exm,
+        }
+        w0 = w0 + dy0 + ex0
+    else:
+        weights = {
+            (1, 0): A * rsq + D * ratio * half,
+            (-1, 0): A * rsq - D * ratio * half,
+            (0, 1): C + E * half,
+            (0, -1): C - E * half,
+        }
+    weights.update({
         (1, 1): B * rq,
         (1, -1): -B * rq,
         (-1, 1): -B * rq,
         (-1, -1): B * rq,
-    }
-    w0 = -2.0 * (A * rsq + C) + F * dxsq
+    })
     g = -G * dxsq
     return _finalize(weights, w0, g, Fdef, G.shape[-2:], bcs, False, False, dtype)
 
@@ -326,9 +361,10 @@ def standard_3d(A, B, C, F, Fdef, deltas, bcs):
     return _finalize(weights, w0, g, Fdef, F.shape[-3:], bcs, False, False, dtype)
 
 
-def general_3d(A, B, C, D, E, F, G, H, Fdef, deltas, bcs):
+def general_3d(A, B, C, D, E, F, G, H, Fdef, deltas, bcs,
+               upwind: float = 0.0):
     r"""A Szz + B Syy + C Sxx + D Sz + E Sy + F Sx + G S = H
-    (numbas.py:746-984)."""
+    (numbas.py:746-984).  ``upwind`` as in :func:`general_2d`."""
     delz, dely, delx = deltas
     r2 = delx / delz
     r1 = delx / dely
@@ -338,15 +374,29 @@ def general_3d(A, B, C, D, E, F, G, H, Fdef, deltas, bcs):
     half = delx / 2.0
     dtype = jnp.result_type(A, C, H)
 
-    weights = {
-        (1, 0, 0): A * r2sq + D * r2 * half,
-        (-1, 0, 0): A * r2sq - D * r2 * half,
-        (0, 1, 0): B * r1sq + E * r1 * half,
-        (0, -1, 0): B * r1sq - E * r1 * half,
-        (0, 0, 1): C + F * half,
-        (0, 0, -1): C - F * half,
-    }
     w0 = -2.0 * (A * r2sq + B * r1sq + C) + G * dxsq
+    if upwind:
+        dzp, dzm, dz0 = _upwind_terms(D, upwind, r2 * delx)
+        dyp, dym, dy0 = _upwind_terms(E, upwind, r1 * delx)
+        dxp, dxm, dx0 = _upwind_terms(F, upwind, delx)
+        weights = {
+            (1, 0, 0): A * r2sq + dzp,
+            (-1, 0, 0): A * r2sq + dzm,
+            (0, 1, 0): B * r1sq + dyp,
+            (0, -1, 0): B * r1sq + dym,
+            (0, 0, 1): C + dxp,
+            (0, 0, -1): C + dxm,
+        }
+        w0 = w0 + dz0 + dy0 + dx0
+    else:
+        weights = {
+            (1, 0, 0): A * r2sq + D * r2 * half,
+            (-1, 0, 0): A * r2sq - D * r2 * half,
+            (0, 1, 0): B * r1sq + E * r1 * half,
+            (0, -1, 0): B * r1sq - E * r1 * half,
+            (0, 0, 1): C + F * half,
+            (0, 0, -1): C - F * half,
+        }
     g = -H * dxsq
     return _finalize(weights, w0, g, Fdef, H.shape[-3:], bcs, False, False, dtype)
 
