@@ -126,8 +126,17 @@ def solve_fixed_halo(spec: StencilSpec, S, omega, n_iters: int,
     for any k: owned cells only ever read ghost values inside the fresh
     dependence cone (tests/test_parallel.py).
     """
+    if spec.ndim == 3:
+        # 3-D volumes (the reference's omega / 3DOcean families,
+        # numbas.py:16-212, :746-984): z stays device-local (the reference
+        # never updates z boundaries, so local z rolls match the global
+        # sweep exactly), y/x shard with ghost rings via the
+        # communication-avoiding executor — parity and the interior-z
+        # extend pre-pass generalise by one z term
+        return _solve_fixed_halo_kavoid(spec, S, omega, n_iters, mesh,
+                                        max(int(k_sweeps), 1))
     if spec.ndim != 2:
-        raise ValueError("halo executor supports 2-D problems")
+        raise ValueError("halo executor supports 2-D and 3-D problems")
     if k_sweeps > 1:
         return _solve_fixed_halo_kavoid(spec, S, omega, n_iters, mesh,
                                         int(k_sweeps))
@@ -352,9 +361,12 @@ def _solve_fixed_halo_kavoid(spec: StencilSpec, S, omega,
     if mesh is None:
         from .mesh import make_grid_mesh
         mesh = make_grid_mesh()
-    radius = max(max(abs(o) for o in off) for off in spec.offsets)
+    # ghost width covers the y/x dependence cone only: z (3-D) is
+    # device-local, so z coupling costs no exchange
+    radius = max(max(abs(o) for o in off[-2:]) for off in spec.offsets)
     h = 2 * radius * k_sweeps
     ny, nx = S.shape[-2:]
+    nz = S.shape[-3] if spec.ndim == 3 else None
     my_, mx_ = mesh.shape["y"], mesh.shape["x"]
     if ny % my_ or nx % mx_:
         raise ValueError(f"grid {ny}x{nx} not divisible by mesh {my_}x{mx_}")
@@ -407,6 +419,11 @@ def _solve_fixed_halo_kavoid(spec: StencilSpec, S, omega,
 
         row_g = jax.lax.broadcasted_iota(jnp.int32, (py, px), 0) + y0
         col_g = jax.lax.broadcasted_iota(jnp.int32, (py, px), 1) + x0
+        # 3-D: the reference extends y rows for INTERIOR z levels only
+        # (numbas.py:87-115) and never updates z boundaries
+        zsel = (jnp.ones((), bool) if nz is None else
+                (lambda zi: (zi >= 1) & (zi <= nz - 2))(
+                    jax.lax.broadcasted_iota(jnp.int32, (nz, 1, 1), 0)))
 
         def apply_extend(Sp):
             """Extend pre-pass in global coordinates on the padded block —
@@ -428,8 +445,8 @@ def _solve_fixed_halo_kavoid(spec: StencilSpec, S, omega,
                 return out
 
             if not bih:
-                Sp = jnp.where(row_g == 0, colfix(up1, 1), Sp)
-                Sp = jnp.where(row_g == ny - 1, colfix(dn1, 1), Sp)
+                Sp = jnp.where((row_g == 0) & zsel, colfix(up1, 1), Sp)
+                Sp = jnp.where((row_g == ny - 1) & zsel, colfix(dn1, 1), Sp)
                 return Sp
             up2 = jnp.roll(Sp, -2, nd - 2)
             dn2 = jnp.roll(Sp, 2, nd - 2)
@@ -444,7 +461,10 @@ def _solve_fixed_halo_kavoid(spec: StencilSpec, S, omega,
             Sp = jnp.where(row_g >= ny - 2, bot, Sp)
             return Sp
 
-        red = ((row_g + col_g) % 2 == 0).astype(Sl.dtype)
+        par = row_g + col_g
+        if nz is not None:
+            par = par + jax.lax.broadcasted_iota(jnp.int32, (nz, 1, 1), 0)
+        red = (par % 2 == 0).astype(Sl.dtype)
         rr_loc = rrp * red
         rb_loc = rbp * (1.0 - red)
 
@@ -454,9 +474,14 @@ def _solve_fixed_halo_kavoid(spec: StencilSpec, S, omega,
             for rel in (rr_loc, rb_loc):
                 acc = gp
                 for k, off in enumerate(offsets):
-                    dy, dx = off
-                    acc = acc + wp[k] * jnp.roll(
+                    *dzs, dy, dx = off
+                    nb = jnp.roll(
                         jnp.roll(Sp, -dy, nd - 2), -dx, nd - 1)
+                    if dzs and dzs[0]:
+                        # z is device-local; the wrap feeds only inactive
+                        # z-boundary cells, exactly like the global sweep
+                        nb = jnp.roll(nb, -dzs[0], nd - 3)
+                    acc = acc + wp[k] * nb
                 Sp = Sp + rel * (acc + w0p * Sp)
             return Sp
 
