@@ -108,6 +108,11 @@ def _bench_once(spec, S0, mesh, omega, n_iters, reps=3,
         from ..solver import solve_fixed
         spec_sh, S_sh = shard_problem(spec, S0, mesh)
         fn = lambda s: solve_fixed(spec_sh, s, omega, n_iters)
+    elif executor == "halo_window":
+        from .halo_window import solve_fixed_halo_window
+        S_sh = S0
+        fn = lambda s: solve_fixed_halo_window(spec, s, omega, n_iters,
+                                               mesh=mesh)
     else:
         from .halo import solve_fixed_halo
         S_sh = S0
@@ -150,7 +155,13 @@ def scaling_bench(device_counts: Optional[Sequence[int]] = None,
     rows = []
     base_rate = None
     for c in device_counts:
-        mesh = make_grid_mesh(n_devices=c)
+        if executor == "halo_window":
+            # the windowed kernel keeps x unsplit: rows-only decomposition
+            from jax.sharding import Mesh
+            mesh = Mesh(np.array(jax.devices()[:c]).reshape(c, 1),
+                        ("y", "x"))
+        else:
+            mesh = make_grid_mesh(n_devices=c)
         my_, mx_ = mesh.shape["y"], mesh.shape["x"]
         if mode == "weak":
             ny, nx = base_ny * my_, base_nx * mx_
