@@ -373,3 +373,149 @@ class TestApplicability:
         spec = build_stommelmunk(jnp.ones((ny, nx)),
                                  jnp.ones((ny, nx), bool), grid, mp)
         assert not direct_applicable(spec, (ny, nx))
+
+
+class TestMaskedCapacitance:
+    """solve_direct_masked: capacitance-matrix (Schur-on-the-holes) exact
+    solve on masked domains — the flagship masked-ocean problems
+    (/root/reference/tests/test_Poisson.py:44-65) left iterative in round 2
+    (VERDICT r2 item 6)."""
+
+    def _pair(self, ny, nx, bcs, holes, dtype=np.float64, seed=0,
+              batch=0):
+        """(spec_full, spec_masked, S0) Poisson pair sharing coefficients."""
+        from xinvert_tpu.grid import Grid
+        from xinvert_tpu.models.problems import build_poisson
+        from xinvert_tpu.models.params import default_mParams
+        rng = np.random.default_rng(seed)
+        y = np.arange(ny) * 1e4
+        x = np.arange(nx) * 1e4
+        grid = Grid.make(("y", "x"), (y, x), "cartesian", bcs=bcs)
+        shape = ((batch, ny, nx) if batch else (ny, nx))
+        F = rng.normal(0.0, 1.0, shape).astype(dtype)
+        full = build_poisson(jnp.asarray(F), jnp.ones((ny, nx), bool),
+                             grid, default_mParams)
+        masked = build_poisson(jnp.asarray(F), jnp.asarray(~holes),
+                               grid, default_mParams)
+        return full, masked, jnp.zeros(shape, dtype)
+
+    def _holes(self, ny, nx):
+        holes = np.zeros((ny, nx), bool)
+        holes[10:16, 20:30] = True        # island
+        holes[30:34, 40:44] = True        # second island
+        holes[22, 5] = True               # isolated cell
+        return holes
+
+    @pytest.mark.parametrize("bcs", [("fixed", "periodic"),
+                                     ("fixed", "fixed")])
+    def test_machine_precision_residual(self, bcs):
+        from xinvert_tpu.ops.direct import (masked_direct_applicable,
+                                            solve_direct_masked)
+        ny, nx = 48, 64
+        holes = self._holes(ny, nx)
+        full, masked, S0 = self._pair(ny, nx, bcs, holes)
+        assert masked_direct_applicable(full, holes)
+        Sd = solve_direct_masked(full, holes, S0)
+        zero_g = dataclasses.replace(masked, g=jnp.zeros_like(masked.g))
+        res = np.where(np.asarray(masked.active),
+                       np.asarray(_neighbor_sum(zero_g, Sd))
+                       + np.asarray(masked.w0) * np.asarray(Sd)
+                       + np.asarray(masked.g), 0.0)
+        scale = np.abs(np.asarray(masked.g)).max()
+        assert np.abs(res).max() < 1e-11 * scale
+        # holes pinned exactly at S0
+        assert np.abs(np.asarray(Sd)[holes]).max() == 0.0
+
+    def test_matches_sor_fixed_point(self):
+        from xinvert_tpu.ops.direct import solve_direct_masked
+        ny, nx = 48, 64
+        holes = self._holes(ny, nx)
+        full, masked, S0 = self._pair(ny, nx, ("fixed", "periodic"), holes)
+        Sd = solve_direct_masked(full, holes, S0)
+        r = solve(masked, S0, omega=1.5, tol=1e-14, max_iters=60000,
+                  check_every=16)
+        scale = float(jnp.max(jnp.abs(r.S)))
+        assert float(jnp.max(jnp.abs(Sd - r.S))) < 1e-12 * scale
+
+    def test_singular_gauge_bordered(self):
+        """extend+periodic pure-Neumann gauge: the bordered system closes
+        the constant mode; agreement with SOR up to rounding."""
+        from xinvert_tpu.ops.direct import solve_direct_masked
+        ny, nx = 48, 64
+        holes = self._holes(ny, nx)
+        full, masked, S0 = self._pair(ny, nx, ("extend", "periodic"), holes)
+        Sd = solve_direct_masked(full, holes, S0)
+        r = solve(masked, S0, omega=1.5, tol=1e-15, max_iters=120000,
+                  check_every=16)
+        scale = float(jnp.max(jnp.abs(r.S)))
+        assert float(jnp.max(jnp.abs(Sd - r.S))) < 1e-9 * scale
+
+    def test_batched_shares_capacitance(self):
+        """Leading batch dims ride through one capacitance factorisation;
+        each member equals its own unbatched solve (up to batched-FFT
+        rounding)."""
+        from xinvert_tpu.ops.direct import solve_direct_masked
+        ny, nx = 40, 48
+        holes = self._holes(ny, nx)
+        full, _, S0 = self._pair(ny, nx, ("fixed", "periodic"), holes,
+                                 batch=3)
+        Sb = np.asarray(solve_direct_masked(full, holes, S0))
+        for b in range(3):
+            fb = dataclasses.replace(full, g=jnp.asarray(full.g)[b])
+            Su = np.asarray(solve_direct_masked(fb, holes, S0[b]))
+            scale = np.abs(Su).max()
+            assert np.abs(Sb[b] - Su).max() < 1e-12 * scale
+
+    def test_dirichlet_pin_values(self):
+        """Nonzero S0 at the holes acts as interior Dirichlet data."""
+        from xinvert_tpu.ops.direct import solve_direct_masked
+        ny, nx = 40, 48
+        holes = self._holes(ny, nx)
+        full, masked, _ = self._pair(ny, nx, ("fixed", "periodic"), holes)
+        S0 = np.zeros((ny, nx))
+        S0[holes] = 3.14
+        Sd = np.asarray(solve_direct_masked(full, holes, jnp.asarray(S0)))
+        assert np.all(Sd[holes] == 3.14)
+        r = solve(masked, jnp.asarray(S0), omega=1.5, tol=1e-14,
+                  max_iters=60000, check_every=16)
+        scale = float(jnp.max(jnp.abs(r.S)))
+        assert float(jnp.max(jnp.abs(Sd - np.asarray(r.S)))) < 1e-12 * scale
+
+    def test_applicability_gates(self):
+        from xinvert_tpu.ops.direct import masked_direct_applicable
+        ny, nx = 40, 48
+        full, _, _ = self._pair(ny, nx, ("fixed", "periodic"),
+                                self._holes(ny, nx))
+        none = np.zeros((ny, nx), bool)
+        assert not masked_direct_applicable(full, none)       # no holes
+        bdry = none.copy()
+        bdry[0, 5] = True
+        assert not masked_direct_applicable(full, bdry)       # boundary row
+        many = none.copy()
+        many[1:-1, :] = True
+        assert not masked_direct_applicable(full, many, max_holes=1000)
+
+    def test_api_scheme_direct_masked(self):
+        """invert_Poisson with NaN-masked forcing and scheme='direct'
+        routes through the capacitance solve and matches the iterative
+        answer."""
+        ny, nx = 48, 64
+        y = np.arange(ny) * 1e4
+        x = np.arange(nx) * 1e4
+        rng = np.random.default_rng(7)
+        F = rng.normal(0.0, 1e-9, (ny, nx))
+        holes = self._holes(ny, nx)
+        F[holes] = np.nan
+        Ff = Field(F, ("y", "x"), {"y": y, "x": x})
+        iP = {"BCs": ["fixed", "periodic"], "coords": "cartesian",
+              "undef": np.nan, "mxLoop": 60000, "tolerance": 1e-14,
+              "optArg": 1.5, "printInfo": False}
+        ref = xi.invert_Poisson(Ff, dims=["y", "x"], coords="cartesian",
+                                iParams=iP)
+        out = xi.invert_Poisson(Ff, dims=["y", "x"], coords="cartesian",
+                                iParams=dict(iP, scheme="direct"))
+        from xinvert_tpu.models.api import LAST_SOLVE
+        assert int(np.max(np.asarray(LAST_SOLVE.iters))) == 1
+        scale = np.nanmax(np.abs(ref.values))
+        assert np.nanmax(np.abs(out.values - ref.values)) < 1e-10 * scale
+        assert np.isnan(out.values[holes]).all()

@@ -198,6 +198,43 @@ _AUTO_OMEGA = {
 }
 
 
+def _try_masked_direct(problem_key, vals, Fdef_c, grid, mPr, spec, S0):
+    """scheme='direct' on a masked domain: capacitance-matrix one-shot
+    solve (ops/direct.solve_direct_masked) when the UNMASKED operator
+    qualifies and the hole count fits the dense budget; None otherwise
+    (the caller falls through to solve(), which handles the fully active
+    direct case and raises a clear error for the rest)."""
+    from ..stencil import _interior_mask
+    from ..ops.direct import masked_direct_applicable, solve_direct_masked
+    from ..solver import _residual_norm, _residual_scale, _norm
+
+    if grid.ndim != 2:
+        return None
+    Fdef_np = np.asarray(Fdef_c)
+    interior = np.asarray(_interior_mask(grid.shape, grid.bcs, False))
+    holes = interior & ~Fdef_np
+    if not holes.any():
+        return None
+    # undefined cells may be NaN in the forcing; the active-cell answer is
+    # independent of g at the holes (they are pinned), so zero-fill there
+    vals_f = jnp.where(jnp.asarray(Fdef_np), jnp.nan_to_num(
+        jnp.asarray(vals)), 0.0)
+    spec_full = problems.BUILDERS[problem_key](
+        vals_f, jnp.ones(grid.shape, bool), grid, mPr)
+    if not masked_direct_applicable(spec_full, holes,
+                                    S_shape=jnp.shape(S0)):
+        return None
+    S = solve_direct_masked(spec_full, holes, jnp.asarray(S0))
+    batch_shape = jnp.shape(S)[: S.ndim - grid.ndim]
+    rel = jnp.broadcast_to(
+        _residual_norm(spec, S) / _residual_scale(spec), batch_shape)
+    return SolveResult(
+        S=S, iters=jnp.ones(batch_shape, jnp.int32),
+        rel_change=rel.astype(S.dtype),
+        overflow=~jnp.isfinite(_norm(spec, S))
+        & jnp.ones(batch_shape, bool))
+
+
 def _invert(problem_key, F, dims, coords, icbc, valid_mp, mParams, iParams,
             ndim):
     dims = [dims] if isinstance(dims, str) else list(dims)
@@ -229,11 +266,16 @@ def _invert(problem_key, F, dims, coords, icbc, valid_mp, mParams, iParams,
               f"optArg     : {omega}\nmax loops  : {iP['mxLoop']}\n"
               f"tolerance  : {iP['tolerance']}\nboundaries : {grid.bcs}")
 
-    res = solve(spec, jnp.asarray(S0), omega=omega,
-                tol=iP["tolerance"], max_iters=iP["mxLoop"],
-                check_every=_auto_check_every(iParams, iP),
-                scheme=iP.get("scheme", "sor"),
-                tol_type=iP.get("tolType", "change"))
+    res = None
+    if iP.get("scheme", "sor") == "direct":
+        res = _try_masked_direct(problem_key, vals, Fdef_c, grid, mPr,
+                                 spec, S0)
+    if res is None:
+        res = solve(spec, jnp.asarray(S0), omega=omega,
+                    tol=iP["tolerance"], max_iters=iP["mxLoop"],
+                    check_every=_auto_check_every(iParams, iP),
+                    scheme=iP.get("scheme", "sor"),
+                    tol_type=iP.get("tolType", "change"))
     global LAST_SOLVE
     LAST_SOLVE = res
     S = np.asarray(res.S)

@@ -46,7 +46,10 @@ __all__ = ["solve_fixed_halo", "last_traffic_bytes_per_iter"]
 
 # trace-time accounting: bytes moved by ppermute per ITERATION of the last
 # traced solve (the fori_loop body is traced once, so summing payload sizes
-# during tracing yields exactly the per-iteration traffic)
+# during tracing yields exactly the per-iteration traffic).  NOTE: a
+# module-global mutated at trace time — a TEST/diagnostic counter only, not
+# load-bearing; concurrent or re-entrant traces would interleave updates,
+# so never branch library behavior on it.
 _traffic = {"bytes": 0}
 
 
