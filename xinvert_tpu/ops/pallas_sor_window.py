@@ -51,7 +51,8 @@ from jax._src.pallas import core as pallas_core
 
 from .pallas_sor import _roll2, VMEM_BUDGET
 
-__all__ = ["sor_sweeps_window", "window_applicable", "window_plan"]
+__all__ = ["sor_sweeps_window", "window_applicable", "window_plan",
+           "make_window_stepper"]
 
 
 def _round8(n):
@@ -245,9 +246,9 @@ def window_applicable(spec, S_shape, for_dispatch: bool = False) -> bool:
     return window_plan(spec, S_shape) is not None
 
 
-def _kernel(n_ref, W_ref, s_ref, out_ref, *, K, offsets, tile, halo, ny, nx,
-            extend_y, periodic_x, bih, dtype, n_static=None,
-            pad_lo=0, has_top=True, has_bot=True):
+def _kernel(n_ref, W_ref, s_ref, out_ref, norm_ref=None, *, K, offsets,
+            tile, halo, ny, nx, extend_y, periodic_x, bih, dtype,
+            n_static=None, pad_lo=0, has_top=True, has_bot=True):
     """One grid program: k sweeps on an overlapping row window.
 
     ``ny`` is the (sub-)domain height this call sees.  For a chunk of a
@@ -336,17 +337,29 @@ def _kernel(n_ref, W_ref, s_ref, out_ref, *, K, offsets, tile, halo, ny, nx,
     first = is_top
     last = is_bot
 
+    def store(owned):
+        out_ref[0] = owned
+        if norm_ref is not None:
+            # fused convergence-norm partial (SURVEY §7.1 item 2): the
+            # owned tile is live in VMEM, so its |S| column sums cost one
+            # VPU reduction and an nx-row write — the solver's check no
+            # longer re-reads the state from HBM.  Accumulation depth stays
+            # at tile rows per column (tree-summed on the host side), on
+            # par with XLA's tree reduction.
+            norm_ref[...] = jnp.sum(jnp.abs(owned), axis=0,
+                                    keepdims=True)[None]
+
     @pl.when(jnp.logical_and(~first, ~last))
     def _():
-        out_ref[0] = S[halo:halo + tile, :]
+        store(S[halo:halo + tile, :])
 
     @pl.when(first)
     def _():
-        out_ref[0] = S[0:tile, :]
+        store(S[0:tile, :])
 
     @pl.when(jnp.logical_and(last, ~first))
     def _():
-        out_ref[0] = S[2 * halo:2 * halo + tile, :]
+        store(S[2 * halo:2 * halo + tile, :])
 
 
 def _kernel_inplace(n_ref, W_ref, s_ref, out_ref, sc, *, K, offsets, tile,
@@ -555,11 +568,12 @@ def _stack_planes(spec, rel, ny, nx, dtype):
 @functools.partial(jax.jit,
                    static_argnames=("k_sweeps", "tile", "interpret",
                                     "n_static", "out_rows", "pad_lo",
-                                    "has_top", "has_bot"))
+                                    "has_top", "has_bot", "with_norm"))
 def _window_chunk(spec, W, S, n, k_sweeps: int, tile: int,
                   interpret: bool = False, n_static=None,
                   out_rows=None, pad_lo: int = 0,
-                  has_top: bool = True, has_bot: bool = True):
+                  has_top: bool = True, has_bot: bool = True,
+                  with_norm: bool = False):
     """One pallas launch running ``n`` (<= k_sweeps) full iterations.
 
     ``n_static`` (<= k_sweeps) unrolls the sweep loop statically — the
@@ -570,7 +584,12 @@ def _window_chunk(spec, W, S, n, k_sweeps: int, tile: int,
     For a chunk call of a row-split larger domain, ``S`` and ``W`` hold the
     chunk's rows plus its one-sided neighbor pads (``pad_lo`` below, the
     rest above), ``out_rows`` are the rows this call owns and writes, and
-    ``has_top`` / ``has_bot`` mark true domain boundaries."""
+    ``has_top`` / ``has_bot`` mark true domain boundaries.
+
+    ``with_norm`` adds a second output of |S| column-sum partials per owned
+    tile, shape (B, out_rows//tile, nx) — the fused convergence-norm piece
+    (sum over the last two axes gives each slice's total |S| over this
+    call's rows)."""
     B, ny, nx = S.shape
     out_rows = ny if out_rows is None else out_rows
     dtype = S.dtype
@@ -582,7 +601,7 @@ def _window_chunk(spec, W, S, n, k_sweeps: int, tile: int,
 
     win = tile + 2 * halo
     inplace = (_no_cross_r1(spec) and has_top and has_bot and pad_lo == 0
-               and out_rows == ny)
+               and out_rows == ny and not with_norm)
     if inplace:
         kern = functools.partial(
             _kernel_inplace,
@@ -622,6 +641,15 @@ def _window_chunk(spec, W, S, n, k_sweeps: int, tile: int,
 
     nS = jnp.reshape(jnp.asarray(n, jnp.int32), (1,))
     Element = pallas_core.Element
+    out_specs = pl.BlockSpec((1, tile, nx), lambda b, t: (b, t, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((B, out_rows, nx), dtype)
+    if with_norm:
+        out_specs = [out_specs,
+                     pl.BlockSpec((1, 1, nx), lambda b, t: (b, t, 0),
+                                  memory_space=pltpu.VMEM)]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((B, out_rows // tile, nx), dtype)]
     # Mosaic requires all-or-none Element dims within a BlockSpec; the
     # non-windowed dims are full-size (or unit) Elements at their offset
     return pl.pallas_call(
@@ -634,9 +662,8 @@ def _window_chunk(spec, W, S, n, k_sweeps: int, tile: int,
             pl.BlockSpec((Element(1), Element(win), Element(nx)), smap,
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tile, nx), lambda b, t: (b, t, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, out_rows, nx), dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=scratch,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -676,10 +703,11 @@ class _RowChunks:
     def join(self, chunks):
         return jnp.concatenate(chunks, axis=1)
 
-    def step(self, spec, chunks, n, n_static):
+    def step(self, spec, chunks, n, n_static, with_norm=False):
         C = len(chunks)
         h = self.halo
         out = []
+        nrm = None
         for c in range(C):
             pieces = ([chunks[c - 1][:, -h:]] if c > 0 else [])
             pieces.append(chunks[c])
@@ -687,12 +715,19 @@ class _RowChunks:
                 pieces.append(chunks[c + 1][:, :h])
             sub = pieces[0] if len(pieces) == 1 else jnp.concatenate(
                 pieces, axis=1)
-            out.append(_window_chunk(
+            r = _window_chunk(
                 spec, self.Wsub[c], sub, n, self.k, self.tile,
                 interpret=self.interpret, n_static=n_static,
                 out_rows=self.rows[c], pad_lo=0 if c == 0 else h,
-                has_top=(c == 0), has_bot=(c == C - 1)))
-        return tuple(out)
+                has_top=(c == 0), has_bot=(c == C - 1),
+                with_norm=with_norm)
+            if with_norm:
+                out.append(r[0])
+                part = jnp.sum(r[1], axis=(1, 2))
+                nrm = part if nrm is None else nrm + part
+            else:
+                out.append(r)
+        return (tuple(out), nrm) if with_norm else tuple(out)
 
 
 class _OneCall:
@@ -708,9 +743,13 @@ class _OneCall:
     def join(self, S):
         return S
 
-    def step(self, spec, S, n, n_static):
-        return _window_chunk(spec, self.W, S, n, self.k, self.tile,
-                             interpret=self.interpret, n_static=n_static)
+    def step(self, spec, S, n, n_static, with_norm=False):
+        r = _window_chunk(spec, self.W, S, n, self.k, self.tile,
+                          interpret=self.interpret, n_static=n_static,
+                          with_norm=with_norm)
+        if with_norm:
+            return r[0], jnp.sum(r[1], axis=(1, 2))
+        return r
 
 
 # Edge-split: when the extend pre-pass applies, split the one-call domain
@@ -875,3 +914,82 @@ def sor_sweeps_window(spec, S, omega, n_sweeps, interpret: bool = False):
                   fold=FOLD_EXTEND)
     fn = _jit_tpu if use_tpu_opts else _jit_plain
     return fn(spec, S, omega, n_sweeps, interpret=interpret)
+
+
+def make_window_stepper(spec, S, omega, check_every: int,
+                        interpret: bool = False):
+    """Pre-built stepper for CHECKED solves (the solver's while-loop body).
+
+    Calling :func:`sor_sweeps_window` inside the convergence while loop
+    rebuilds the (K+3)-plane stacked coefficient volume on EVERY check —
+    ~(K+3) full-plane HBM writes + reads per check, which dominated the
+    measured ~0.5 ms/check at 2048^2 (tools/tpu_cadence_ab.py, round 2:
+    cadence 32 ran 1.17x solve_fixed).  This builds the plan and the W
+    stack ONCE (loop-invariant operands of the outer while op) and fuses
+    the masked-mean-|S| convergence norm into the kernel's tile write-back
+    (SURVEY §7.1 item 2), so a check costs only its kernel launches.
+
+    Returns ``(step_full, step_dyn)`` or None when the plan needs batch
+    groups (the caller falls back to the per-call path):
+
+    - ``step_full(S) -> (S', sumabs)`` — exactly ``check_every`` sweeps;
+    - ``step_dyn(S, n) -> (S', sumabs)`` — ``n`` (traced, >= 1) sweeps;
+
+    ``sumabs`` is the batch-shaped total |S'| over the core cells
+    (divide by ny*nx for the reference's absNorm mean)."""
+    if S.ndim < 2:
+        return None
+    plan = window_plan(spec, S.shape)
+    if plan is None:
+        return None
+    B = int(np.prod(S.shape[:-2], dtype=np.int64))
+    if plan.b_chunk < B:
+        return None
+    tile, k, halo, y_chunk, _ = plan
+    dtype = S.dtype
+    ny, nx = S.shape[-2:]
+    batch_shape = S.shape[:-2]
+    rel = (jnp.asarray(omega, dtype) * spec.relax).astype(dtype)
+    W = _stack_planes(spec, rel, ny, nx, dtype)
+
+    def make_ex(static_n):
+        if y_chunk < ny:
+            return _RowChunks(W, ny, tile, k, halo, y_chunk, interpret)
+        if EDGE_SPLIT and static_n and not _no_cross_r1(spec):
+            rows = _edge_rows(spec, ny, tile, halo)
+            if rows is not None:
+                return _RowChunks(W, ny, tile, k, halo, ny, interpret,
+                                  rows=rows)
+        return _OneCall(W, tile, k, interpret)
+
+    ex_s = make_ex(True)
+    ex_d = ex_s if y_chunk < ny else make_ex(False)
+    zero = jnp.zeros((B,), dtype)
+
+    def step_full(Sf):
+        st = ex_s.split(Sf.reshape((B, ny, nx)))
+        full, rem = divmod(int(check_every), k)
+        nrm = zero
+        if full:
+            st, nrm = jax.lax.fori_loop(
+                0, full,
+                lambda i, c: ex_s.step(spec, c[0], k, k, with_norm=True),
+                (st, nrm))
+        if rem:
+            st, nrm = ex_s.step(spec, st, rem, rem, with_norm=True)
+        return (ex_s.join(st).reshape(S.shape),
+                nrm.reshape(batch_shape))
+
+    def step_dyn(Sf, n):
+        st = ex_d.split(Sf.reshape((B, ny, nx)))
+        n = jnp.asarray(n, jnp.int32)
+        chunks = (n + k - 1) // k
+        st, nrm = jax.lax.fori_loop(
+            0, chunks,
+            lambda i, c: ex_d.step(spec, c[0], jnp.minimum(k, n - i * k),
+                                   None, with_norm=True),
+            (st, zero))
+        return (ex_d.join(st).reshape(S.shape),
+                nrm.reshape(batch_shape))
+
+    return step_full, step_dyn

@@ -260,6 +260,7 @@ def _solve_impl(spec, S0, omega, tol, max_iters, check_every=1,
     r_scale = _residual_scale(spec) if tol_type == "residual" else None
 
     sweeps_aux, init_aux = None, ()
+    sweeps_norm = None                   # fused-norm stepper (window path)
     if scheme == "cheby":
         # Chebyshev semi-iteration needs per-half-sweep factors; it runs on
         # the XLA path (the fused kernels bake a constant omega into their
@@ -285,16 +286,38 @@ def _solve_impl(spec, S0, omega, tol, max_iters, check_every=1,
         def sweeps(S, k):
             return sor_sweeps_pallas3d(spec, S, omega, k)
     elif kernel == "window":
-        from .ops.pallas_sor_window import sor_sweeps_window
+        from .ops.pallas_sor_window import (sor_sweeps_window,
+                                            make_window_stepper)
 
-        def sweeps(S, k):
-            # full chunks take the statically-unrolled fast kernel; only
-            # the clamped final chunk pays the dynamic-count variant
-            return jax.lax.cond(
-                k == check_every,
-                lambda s: sor_sweeps_window(spec, s, omega, check_every),
-                lambda s: sor_sweeps_window(spec, s, omega, k),
-                S)
+        # the fused norm partial only pays for itself under the
+        # solution-change rule; the residual rule re-reads the state anyway
+        stepper = (make_window_stepper(spec, S0, omega, check_every)
+                   if tol_type != "residual" else None)
+        if stepper is not None:
+            # checked-solve hot path: plan + W stack built ONCE before the
+            # while loop (loop-invariant), masked-mean-|S| norm partials
+            # fused into the kernel's tile write-back — a check costs only
+            # its kernel launches (round-2 per-check cost was dominated by
+            # rebuilding the W stack every check)
+            step_full, step_dyn = stepper
+
+            def sweeps_norm(S, k):
+                return jax.lax.cond(
+                    k == jnp.int32(check_every),
+                    lambda s: step_full(s),
+                    lambda s: step_dyn(s, k),
+                    S)
+        else:
+            def sweeps(S, k):
+                # full chunks take the statically-unrolled fast kernel;
+                # only the clamped final chunk pays the dynamic-count
+                # variant
+                return jax.lax.cond(
+                    k == check_every,
+                    lambda s: sor_sweeps_window(spec, s, omega,
+                                                check_every),
+                    lambda s: sor_sweeps_window(spec, s, omega, k),
+                    S)
     elif kernel == "window3d":
         from .ops.pallas_sor3d_window import sor_sweeps_window3d
 
@@ -340,9 +363,13 @@ def _solve_impl(spec, S0, omega, tol, max_iters, check_every=1,
         # carries the same loop count, so the scalar `it` tracks them all)
         k_eff = jnp.minimum(jnp.int32(check_every),
                             max_iters.astype(jnp.int32) - c["it"])
+        sum_abs = None
         if sweeps_aux is not None:
             S_new, m_new, w_new = sweeps_aux(c["S"], c["aux"], k_eff)
             aux_new = (m_new, w_new)
+        elif sweeps_norm is not None:
+            S_new, sum_abs = sweeps_norm(c["S"], k_eff)
+            aux_new = c["aux"]
         else:
             S_new = sweeps(c["S"], k_eff)
             aux_new = c["aux"]
@@ -353,7 +380,14 @@ def _solve_impl(spec, S0, omega, tol, max_iters, check_every=1,
             norm = jnp.broadcast_to(_residual_norm(spec, S_new), batch_shape)
             rel = norm / r_scale
         else:
-            norm = _norm(spec, S_new)
+            if sum_abs is not None:
+                # fused in-kernel partial: total |S| over core cells came
+                # back with the sweep launches — same masked-mean-|S| rule,
+                # no second pass over the state
+                ncells = float(np.prod(jnp.shape(S_new)[-spec.ndim:]))
+                norm = sum_abs / jnp.asarray(ncells, sum_abs.dtype)
+            else:
+                norm = _norm(spec, S_new)
             prev = c["norm_prev"]
             rel = jnp.where(prev >= 0,
                             jnp.abs(norm - prev)
