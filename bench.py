@@ -73,7 +73,11 @@ def main():
     if platform == "cpu":
         batch, ny, nx, iters, chain = 1, 512, 512, 50, 2
     else:
-        batch, ny, nx, iters, chain = 1, 2048, 2048, 100, 8
+        # 500 sweeps per call amortises the per-call W-stack build the way
+        # a real convergence run does (the 2048^2 Poisson needs thousands
+        # of sweeps); at 100 sweeps/call the fixed overhead hid ~15% of
+        # the kernel rate
+        batch, ny, nx, iters, chain = 1, 2048, 2048, 500, 4
 
     spec, S0, grid = _poisson_problem(batch=batch, ny=ny, nx=nx,
                                       dtype=np.float32)

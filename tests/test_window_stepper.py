@@ -16,6 +16,24 @@ from xinvert_tpu import solver, stencil
 from xinvert_tpu.ops import pallas_sor_window as win
 
 
+def _mk(spec, S0, omega, check, **kw):
+    """Array-level step_full/step_dyn from the split-state stepper."""
+    r = win.make_window_stepper(spec, S0, omega, check, **kw)
+    if r is None:
+        return None
+    split, join, sf, sd = r
+
+    def step_full(S):
+        st, sa = sf(split(S))
+        return join(st), sa
+
+    def step_dyn(S, n):
+        st, sa = sd(split(S), n)
+        return join(st), sa
+
+    return step_full, step_dyn
+
+
 def _spec(ny, nx, bcs, mask=False, cross=False, seed=0):
     rng = np.random.default_rng(seed)
     A = np.abs(rng.normal(1, 0.1, (ny, nx))) + 0.5
@@ -41,8 +59,7 @@ def test_stepper_full_matches_plain_window(bcs, mask, cross):
     spec = _spec(ny, nx, bcs, mask=mask, cross=cross)
     S0 = jnp.zeros((ny, nx))
     omega, check = 1.5, 7
-    step_full, _ = win.make_window_stepper(spec, S0, omega, check,
-                                           interpret=True)
+    step_full, _ = _mk(spec, S0, omega, check, interpret=True)
     S1, sa = step_full(S0)
     ref = win.sor_sweeps_window(spec, S0, omega, check, interpret=True)
     assert np.array_equal(np.asarray(S1), np.asarray(ref)), (
@@ -57,8 +74,7 @@ def test_stepper_dyn_matches_plain_window():
     spec = _spec(ny, nx, ("extend", "periodic"), mask=True)
     S0 = jnp.zeros((ny, nx))
     k = win.window_plan(spec, (ny, nx)).k_sweeps
-    _, step_dyn = win.make_window_stepper(spec, S0, 1.4, 3 * k,
-                                          interpret=True)
+    _, step_dyn = _mk(spec, S0, 1.4, 3 * k, interpret=True)
     for n in (1, k, k + 1, 2 * k + 2):
         S1, sa = step_dyn(S0, jnp.asarray(n, jnp.int32))
         ref = win.sor_sweeps_window(spec, S0, 1.4, jnp.asarray(n),
@@ -79,7 +95,7 @@ def test_stepper_batched_norm_per_slice():
                                jnp.asarray(F), jnp.ones((ny, nx), bool),
                                (1.3, 1.0), ("extend", "periodic"))
     S0 = jnp.zeros((B, ny, nx))
-    step_full, _ = win.make_window_stepper(spec, S0, 1.5, 6, interpret=True)
+    step_full, _ = _mk(spec, S0, 1.5, 6, interpret=True)
     S1, sa = step_full(S0)
     ref = win.sor_sweeps_window(spec, S0, 1.5, 6, interpret=True)
     assert np.array_equal(np.asarray(S1), np.asarray(ref))
@@ -98,8 +114,7 @@ def test_stepper_row_chunked(monkeypatch):
     spec = _spec(ny, nx, ("extend", "periodic"), mask=True, seed=11)
     assert win.window_plan(spec, (ny, nx)).y_chunk < ny
     S0 = jnp.zeros((ny, nx))
-    step_full, step_dyn = win.make_window_stepper(spec, S0, 1.4, 9,
-                                                  interpret=True)
+    step_full, step_dyn = _mk(spec, S0, 1.4, 9, interpret=True)
     for S1, sa, n in [step_full(S0) + (9,),
                       step_dyn(S0, jnp.asarray(4, jnp.int32)) + (4,)]:
         ref = win.sor_sweeps_window(spec, S0, 1.4, jnp.asarray(n),
@@ -119,7 +134,7 @@ def test_stepper_none_on_batch_groups(monkeypatch):
     S0 = jnp.zeros((B, ny, nx))
     plan = win.window_plan(spec, (B, ny, nx))
     assert plan is not None and plan.b_chunk < B
-    assert win.make_window_stepper(spec, S0, 1.4, 8, interpret=True) is None
+    assert _mk(spec, S0, 1.4, 8, interpret=True) is None
 
 
 def _route_solver_through_interpret(monkeypatch):
@@ -167,5 +182,32 @@ def test_checked_solve_fused_norm_converges(monkeypatch):
     # the fused partial and jnp.mean differ only in summation order; the
     # stopping decision may shift by at most one check window
     assert abs(int(got.iters) - int(ref.iters)) <= 8
+    np.testing.assert_allclose(np.asarray(got.S), np.asarray(ref.S),
+                               rtol=2e-5, atol=1e-7)
+
+
+def test_checked_solve_fused_norm_batched_freeze(monkeypatch):
+    """Batch elements converging at different times freeze correctly in
+    the split-state carry (tree_map where over chunk leaves)."""
+    _route_solver_through_interpret(monkeypatch)
+    ny, nx = 96, 160           # unique shape: fresh trace under the patch
+    rng = np.random.default_rng(21)
+    A = np.abs(rng.normal(1, 0.1, (ny, nx))) + 0.5
+    # very different forcing scales -> very different convergence times
+    F = np.stack([rng.normal(0, 1, (ny, nx)),
+                  1e-3 * rng.normal(0, 1, (ny, nx)),
+                  10.0 * rng.normal(0, 1, (ny, nx))])
+    spec = stencil.standard_2d(jnp.asarray(A), 0.0, jnp.asarray(A),
+                               jnp.asarray(F), jnp.ones((ny, nx), bool),
+                               (1.3, 1.0), ("extend", "periodic"))
+    S0 = jnp.zeros((3, ny, nx))
+    args = (jnp.asarray(1.6, S0.dtype), jnp.asarray(1e-6, S0.dtype),
+            jnp.asarray(3000, jnp.int32))
+    got = solver._solve_jit(spec, S0, *args, check_every=8, kernel="window",
+                            scheme="sor", tol_type="change")
+    ref = solver._solve_jit(spec, S0, *args, check_every=8, kernel=None,
+                            scheme="sor", tol_type="change")
+    # per-element iteration counts may shift by one check window at most
+    assert np.all(np.abs(np.asarray(got.iters) - np.asarray(ref.iters)) <= 8)
     np.testing.assert_allclose(np.asarray(got.S), np.asarray(ref.S),
                                rtol=2e-5, atol=1e-7)

@@ -20,6 +20,7 @@ from .grid import Grid, optimal_omega                           # noqa: F401
 from .stencil import StencilSpec                                # noqa: F401
 from .solver import (solve, solve_fixed, solve_fixed_cheby,  # noqa: F401
                      solve_trajectory, SolveResult)
+from .stream import solve_streamed                              # noqa: F401
 from .fd import FiniteDiff, padBCs, deriv, deriv2               # noqa: F401
 from .ops.tridiag import trace, traceCyclic, tridiag_solve      # noqa: F401
 from .ops.direct import solve_direct, direct_applicable         # noqa: F401

@@ -342,12 +342,25 @@ def _kernel(n_ref, W_ref, s_ref, out_ref, norm_ref=None, *, K, offsets,
         if norm_ref is not None:
             # fused convergence-norm partial (SURVEY §7.1 item 2): the
             # owned tile is live in VMEM, so its |S| column sums cost one
-            # VPU reduction and an nx-row write — the solver's check no
-            # longer re-reads the state from HBM.  Accumulation depth stays
-            # at tile rows per column (tree-summed on the host side), on
-            # par with XLA's tree reduction.
-            norm_ref[...] = jnp.sum(jnp.abs(owned), axis=0,
-                                    keepdims=True)[None]
+            # VPU reduction.  All tile programs of a batch slice map to the
+            # SAME (1, 8, nx) output block (index map constant in t), so
+            # Mosaic keeps it VMEM-resident across the whole grid row and
+            # writes it to HBM once; t==0 initialises, later tiles
+            # accumulate.  The (1, nx) column sum is broadcast over the
+            # 8 sublanes (Mosaic's minimum f32 block height) pre-divided
+            # by 8 (exact in binary fp), so the host-side sum over the
+            # block is the true total.
+            part = jnp.broadcast_to(
+                jnp.sum(jnp.abs(owned), axis=0, keepdims=True) / 8.0,
+                (8, nx))
+
+            @pl.when(t == 0)
+            def _():
+                norm_ref[0] = part
+
+            @pl.when(t != 0)
+            def _():
+                norm_ref[0] = norm_ref[0] + part
 
     @pl.when(jnp.logical_and(~first, ~last))
     def _():
@@ -362,7 +375,7 @@ def _kernel(n_ref, W_ref, s_ref, out_ref, norm_ref=None, *, K, offsets,
         store(S[2 * halo:2 * halo + tile, :])
 
 
-def _kernel_inplace(n_ref, W_ref, s_ref, out_ref, sc, *, K, offsets, tile,
+def _kernel_inplace(n_ref, W_ref, s_ref, out_ref, *rest, K, offsets, tile,
                     halo, ny, nx, extend_y, periodic_x, dtype, n_static):
     """Shifted-load in-place variant for nearest-neighbor radius-1 stencils.
 
@@ -373,7 +386,14 @@ def _kernel_inplace(n_ref, W_ref, s_ref, out_ref, sc, *, K, offsets, tile,
     neighbors are all the opposite color, whose stored values are bitwise
     unchanged by the color's own write.  The interior sits at an aligned
     (8, 128) offset so only the +-1 neighbor reads are unaligned.
+
+    ``rest`` is ``(norm_ref, sc)`` when the launch carries the fused
+    convergence-norm output (see ``_kernel``'s store), else ``(sc,)``.
     """
+    if len(rest) == 2:
+        norm_ref, sc = rest
+    else:
+        norm_ref, sc = None, rest[0]
     win = tile + 2 * halo
     OY, OX = 8, 128                   # aligned interior origin
     t = pl.program_id(1)              # grid = (batch, tiles)
@@ -445,17 +465,35 @@ def _kernel_inplace(n_ref, W_ref, s_ref, out_ref, sc, *, K, offsets, tile,
     else:
         jax.lax.fori_loop(0, n_ref[0], one_sweep, 0)
 
+    def store(owned):
+        out_ref[0] = owned
+        if norm_ref is not None:
+            # fused convergence-norm partial — same revisited-accumulator
+            # pattern as _kernel's store (one VMEM-resident (8, nx) block
+            # per batch slice, initialised at t == 0)
+            part = jnp.broadcast_to(
+                jnp.sum(jnp.abs(owned), axis=0, keepdims=True) / 8.0,
+                (8, nx))
+
+            @pl.when(t == 0)
+            def _():
+                norm_ref[0] = part
+
+            @pl.when(t != 0)
+            def _():
+                norm_ref[0] = norm_ref[0] + part
+
     @pl.when(jnp.logical_and(~first, ~last))
     def _():
-        out_ref[0] = sc[OY + halo:OY + halo + tile, OX:OX + nx]
+        store(sc[OY + halo:OY + halo + tile, OX:OX + nx])
 
     @pl.when(first)
     def _():
-        out_ref[0] = sc[OY:OY + tile, OX:OX + nx]
+        store(sc[OY:OY + tile, OX:OX + nx])
 
     @pl.when(jnp.logical_and(last, ~first))
     def _():
-        out_ref[0] = sc[OY + 2 * halo:OY + 2 * halo + tile, OX:OX + nx]
+        store(sc[OY + 2 * halo:OY + 2 * halo + tile, OX:OX + nx])
 
 
 # extend-fold trades bit-exactness for speed: (w0 + w_s)*S rounds once
@@ -586,10 +624,9 @@ def _window_chunk(spec, W, S, n, k_sweeps: int, tile: int,
     rest above), ``out_rows`` are the rows this call owns and writes, and
     ``has_top`` / ``has_bot`` mark true domain boundaries.
 
-    ``with_norm`` adds a second output of |S| column-sum partials per owned
-    tile, shape (B, out_rows//tile, nx) — the fused convergence-norm piece
-    (sum over the last two axes gives each slice's total |S| over this
-    call's rows)."""
+    ``with_norm`` adds a second output of |S| column-sum partials, shape
+    (B, 8, nx) — the fused convergence-norm piece (sum over the last two
+    axes gives each slice's total |S| over this call's rows)."""
     B, ny, nx = S.shape
     out_rows = ny if out_rows is None else out_rows
     dtype = S.dtype
@@ -601,7 +638,7 @@ def _window_chunk(spec, W, S, n, k_sweeps: int, tile: int,
 
     win = tile + 2 * halo
     inplace = (_no_cross_r1(spec) and has_top and has_bot and pad_lo == 0
-               and out_rows == ny and not with_norm)
+               and out_rows == ny)
     if inplace:
         kern = functools.partial(
             _kernel_inplace,
@@ -645,11 +682,13 @@ def _window_chunk(spec, W, S, n, k_sweeps: int, tile: int,
                              memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((B, out_rows, nx), dtype)
     if with_norm:
+        # one revisited block per batch slice: constant-in-t index map keeps
+        # the accumulator in VMEM for the whole grid row (one HBM write)
         out_specs = [out_specs,
-                     pl.BlockSpec((1, 1, nx), lambda b, t: (b, t, 0),
+                     pl.BlockSpec((1, 8, nx), lambda b, t: (b, 0, 0),
                                   memory_space=pltpu.VMEM)]
         out_shape = [out_shape,
-                     jax.ShapeDtypeStruct((B, out_rows // tile, nx), dtype)]
+                     jax.ShapeDtypeStruct((B, 8, nx), dtype)]
     # Mosaic requires all-or-none Element dims within a BlockSpec; the
     # non-windowed dims are full-size (or unit) Elements at their offset
     return pl.pallas_call(
@@ -929,11 +968,19 @@ def make_window_stepper(spec, S, omega, check_every: int,
     the masked-mean-|S| convergence norm into the kernel's tile write-back
     (SURVEY §7.1 item 2), so a check costs only its kernel launches.
 
-    Returns ``(step_full, step_dyn)`` or None when the plan needs batch
-    groups (the caller falls back to the per-call path):
+    Returns ``(split, join, step_full, step_dyn)`` or None when the plan
+    needs batch groups (the caller falls back to the per-call path):
 
-    - ``step_full(S) -> (S', sumabs)`` — exactly ``check_every`` sweeps;
-    - ``step_dyn(S, n) -> (S', sumabs)`` — ``n`` (traced, >= 1) sweeps;
+    - ``split(S) -> st`` / ``join(st) -> S`` — convert between the
+      caller's array and the executor's state representation (a tuple of
+      row-chunk arrays for split executors).  The caller keeps ``st`` as
+      its loop carry: edge-split and row-chunk executors then never pay
+      per-check split/join full-state copies (the one-call extend-folded
+      sweep rate is what makes edge-split worth keeping: dropping it cost
+      ~24% of the sweep rate at 2048^2 on the v5e);
+    - ``step_full(st) -> (st', sumabs)`` — exactly ``check_every`` sweeps;
+    - ``step_dyn(st, n) -> (st', sumabs)`` — ``n`` (traced, >= 1) sweeps
+      via the SMEM-count kernel (runs once per solve, at the mxLoop clamp);
 
     ``sumabs`` is the batch-shaped total |S'| over the core cells
     (divide by ny*nx for the reference's absNorm mean)."""
@@ -952,44 +999,45 @@ def make_window_stepper(spec, S, omega, check_every: int,
     rel = (jnp.asarray(omega, dtype) * spec.relax).astype(dtype)
     W = _stack_planes(spec, rel, ny, nx, dtype)
 
-    def make_ex(static_n):
-        if y_chunk < ny:
-            return _RowChunks(W, ny, tile, k, halo, y_chunk, interpret)
-        if EDGE_SPLIT and static_n and not _no_cross_r1(spec):
+    if y_chunk < ny:
+        ex = _RowChunks(W, ny, tile, k, halo, y_chunk, interpret)
+    else:
+        ex = None
+        if EDGE_SPLIT and not _no_cross_r1(spec):
             rows = _edge_rows(spec, ny, tile, halo)
             if rows is not None:
-                return _RowChunks(W, ny, tile, k, halo, ny, interpret,
-                                  rows=rows)
-        return _OneCall(W, tile, k, interpret)
-
-    ex_s = make_ex(True)
-    ex_d = ex_s if y_chunk < ny else make_ex(False)
+                ex = _RowChunks(W, ny, tile, k, halo, ny, interpret,
+                                rows=rows)
+        if ex is None:
+            ex = _OneCall(W, tile, k, interpret)
     zero = jnp.zeros((B,), dtype)
 
-    def step_full(Sf):
-        st = ex_s.split(Sf.reshape((B, ny, nx)))
+    def split(Sf):
+        return ex.split(Sf.reshape((B, ny, nx)))
+
+    def join(st):
+        return ex.join(st).reshape(S.shape)
+
+    def step_full(st):
         full, rem = divmod(int(check_every), k)
         nrm = zero
         if full:
             st, nrm = jax.lax.fori_loop(
                 0, full,
-                lambda i, c: ex_s.step(spec, c[0], k, k, with_norm=True),
+                lambda i, c: ex.step(spec, c[0], k, k, with_norm=True),
                 (st, nrm))
         if rem:
-            st, nrm = ex_s.step(spec, st, rem, rem, with_norm=True)
-        return (ex_s.join(st).reshape(S.shape),
-                nrm.reshape(batch_shape))
+            st, nrm = ex.step(spec, st, rem, rem, with_norm=True)
+        return st, nrm.reshape(batch_shape)
 
-    def step_dyn(Sf, n):
-        st = ex_d.split(Sf.reshape((B, ny, nx)))
+    def step_dyn(st, n):
         n = jnp.asarray(n, jnp.int32)
         chunks = (n + k - 1) // k
         st, nrm = jax.lax.fori_loop(
             0, chunks,
-            lambda i, c: ex_d.step(spec, c[0], jnp.minimum(k, n - i * k),
-                                   None, with_norm=True),
+            lambda i, c: ex.step(spec, c[0], jnp.minimum(k, n - i * k),
+                                 None, with_norm=True),
             (st, zero))
-        return (ex_d.join(st).reshape(S.shape),
-                nrm.reshape(batch_shape))
+        return st, nrm.reshape(batch_shape)
 
-    return step_full, step_dyn
+    return split, join, step_full, step_dyn

@@ -261,6 +261,7 @@ def _solve_impl(spec, S0, omega, tol, max_iters, check_every=1,
 
     sweeps_aux, init_aux = None, ()
     sweeps_norm = None                   # fused-norm stepper (window path)
+    state_split = state_join = None      # split-state carry (window path)
     if scheme == "cheby":
         # Chebyshev semi-iteration needs per-half-sweep factors; it runs on
         # the XLA path (the fused kernels bake a constant omega into their
@@ -296,17 +297,19 @@ def _solve_impl(spec, S0, omega, tol, max_iters, check_every=1,
         if stepper is not None:
             # checked-solve hot path: plan + W stack built ONCE before the
             # while loop (loop-invariant), masked-mean-|S| norm partials
-            # fused into the kernel's tile write-back — a check costs only
-            # its kernel launches (round-2 per-check cost was dominated by
-            # rebuilding the W stack every check)
-            step_full, step_dyn = stepper
+            # fused into the kernel's tile write-back, and the loop carry
+            # holds the executor's SPLIT state so edge-split/row-chunk
+            # executors never pay per-check join/split copies — a check
+            # costs only its kernel launches (round-2 per-check cost was
+            # dominated by rebuilding the W stack every check)
+            state_split, state_join, step_full, step_dyn = stepper
 
-            def sweeps_norm(S, k):
+            def sweeps_norm(st, k):
                 return jax.lax.cond(
                     k == jnp.int32(check_every),
                     lambda s: step_full(s),
                     lambda s: step_dyn(s, k),
-                    S)
+                    st)
         else:
             def sweeps(S, k):
                 # full chunks take the statically-unrolled fast kernel;
@@ -344,7 +347,7 @@ def _solve_impl(spec, S0, omega, tol, max_iters, check_every=1,
     # lowers to a multiply by the subnormal 1/MAX, which the TPU flushes to
     # zero -> rel == 0 -> instant false convergence.)
     init = dict(
-        S=S0,
+        S=S0 if state_split is None else state_split(S0),
         it=jnp.zeros((), jnp.int32),      # total sweeps run (scalar)
         loop=jnp.zeros(batch_shape, jnp.int32),
         norm_prev=jnp.full(batch_shape, -1.0, dtype),
@@ -384,7 +387,7 @@ def _solve_impl(spec, S0, omega, tol, max_iters, check_every=1,
                 # fused in-kernel partial: total |S| over core cells came
                 # back with the sweep launches — same masked-mean-|S| rule,
                 # no second pass over the state
-                ncells = float(np.prod(jnp.shape(S_new)[-spec.ndim:]))
+                ncells = float(np.prod(jnp.shape(S0)[-spec.ndim:]))
                 norm = sum_abs / jnp.asarray(ncells, sum_abs.dtype)
             else:
                 norm = _norm(spec, S_new)
@@ -405,20 +408,43 @@ def _solve_impl(spec, S0, omega, tol, max_iters, check_every=1,
         stop = overflow | (rel < tol) | (new_loop >= max_iters)
         if spec.stop_on_zero_norm and tol_type != "residual":
             stop = stop | (norm == 0)
-        done_b = c["done"].reshape(batch_shape + (1,) * spec.ndim)
+        if np.prod(batch_shape, dtype=np.int64) == 1:
+            # single batch element: the loop exits the moment `done` flips
+            # (cond is any(~done)), so the body never runs on a finished
+            # element — the freeze `where`s are identity and the one on S
+            # would cost a full extra state read+write per check
+            def frz(done, old, new):
+                return new
+
+            def frz_state(old, new):
+                return new
+        else:
+            def frz(done, old, new):
+                return jnp.where(done, old, new)
+
+            def frz_state(old, new):
+                # split-state leaves are (B_flat, rows, nx); plain state is
+                # batch_shape + core — one tree_map covers both
+                if state_split is not None:
+                    d = c["done"].reshape((-1,) + (1,) * spec.ndim)
+                else:
+                    d = c["done"].reshape(batch_shape + (1,) * spec.ndim)
+                return jax.tree_util.tree_map(
+                    lambda o, n: jnp.where(d, o, n), old, new)
         return dict(
-            S=jnp.where(done_b, c["S"], S_new),
+            S=frz_state(c["S"], S_new),
             it=c["it"] + k_eff,
-            loop=jnp.where(c["done"], c["loop"], new_loop),
-            norm_prev=jnp.where(c["done"], c["norm_prev"], norm),
-            rel=jnp.where(c["done"], c["rel"], rel),
-            overflow=jnp.where(c["done"], c["overflow"], overflow),
+            loop=frz(c["done"], c["loop"], new_loop),
+            norm_prev=frz(c["done"], c["norm_prev"], norm),
+            rel=frz(c["done"], c["rel"], rel),
+            overflow=frz(c["done"], c["overflow"], overflow),
             done=c["done"] | stop,
             aux=aux_new,
         )
 
     out = jax.lax.while_loop(cond, body, init)
-    return SolveResult(S=out["S"], iters=out["loop"], rel_change=out["rel"],
+    S_out = out["S"] if state_join is None else state_join(out["S"])
+    return SolveResult(S=S_out, iters=out["loop"], rel_change=out["rel"],
                        overflow=out["overflow"])
 
 
