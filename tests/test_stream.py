@@ -99,3 +99,16 @@ def test_streamed_single_chunk_fastpath():
     ref = solver.solve(spec, jnp.asarray(S0), 1.5, tol=1e-7, max_iters=300)
     got = solve_streamed(spec, S0, 1.5, tol=1e-7, max_iters=300, chunk=8)
     _assert_equal(got, ref)
+
+
+def test_streamchunk_iparam_matches_resident(data_dir):
+    """iParams['streamChunk'] routes invert_* through solve_streamed and
+    reproduces the resident result exactly (api-level integration)."""
+    from xinvert_tpu import open_dataset, invert_Poisson
+    vor = open_dataset(f"{data_dir}/Helmholtz_atmos.nc")["vor"]
+    iP = {"BCs": ["extend", "periodic"], "undef": np.nan,
+          "mxLoop": 300, "tolerance": 1e-11, "printInfo": False}
+    res = invert_Poisson(vor, dims=["lat", "lon"], iParams=iP)
+    got = invert_Poisson(vor, dims=["lat", "lon"],
+                         iParams={**iP, "streamChunk": 1})
+    assert np.array_equal(got.values, res.values, equal_nan=True)

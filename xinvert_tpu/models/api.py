@@ -159,22 +159,24 @@ def _auto_check_every(user_iParams, iP) -> int:
     The reference checks convergence after EVERY sweep (numbas.py:401-414);
     on TPU that costs a norm reduction — and on the Pallas paths a kernel
     launch — per sweep.  When the user did not ask for a specific cadence,
-    the TPU f32 path checks every min(64, mxLoop/10) sweeps: termination
+    the TPU f32 path checks every min(32, mxLoop/10) sweeps: termination
     can only land later than the per-sweep rule (never earlier), so the
     tolerance contract still holds.  CPU/f64 (the parity platform) and any
     explicit ``checkEvery`` keep the reference cadence.
 
-    Cadence 64 measured on the v5e (2048^2 masked Poisson, 4000 sweeps):
-    the check cost is per-check launch/bookkeeping, ~0.7 ms each — cadence
-    32 ran 1.24x solve_fixed, 64 brings the checked solve within the 1.2x
-    acceptance bound while still testing every ~1.6% of the sweep budget.
+    Round-3 stepper (fused in-kernel norm + split-state while carry +
+    branch-free loop body, ops/pallas_sor_window.make_window_stepper)
+    measured on the v5e (2048^2 masked Poisson, 4000 sweeps): checked
+    solve at cadence 32 runs 1.015x solve_fixed (round 2's per-call path:
+    1.17x), cadence 8 1.11x — so cadence 32 tests every 0.8% of the sweep
+    budget at ~1.5% cost (tools/tpu_cadence_ab.py).
     """
     if user_iParams and "checkEvery" in user_iParams:
         return int(user_iParams["checkEvery"])
     ce = int(iP.get("checkEvery", 1))
     if ce == 1 and jax.default_backend() == "tpu" \
             and not jax.config.jax_enable_x64:
-        ce = max(1, min(64, int(iP["mxLoop"]) // 10))
+        ce = max(1, min(32, int(iP["mxLoop"]) // 10))
     return ce
 
 
@@ -270,6 +272,16 @@ def _invert(problem_key, F, dims, coords, icbc, valid_mp, mParams, iParams,
     if iP.get("scheme", "sor") == "direct":
         res = _try_masked_direct(problem_key, vals, Fdef_c, grid, mPr,
                                  spec, S0)
+    if res is None and iP.get("streamChunk"):
+        # out-of-core batch: stream non-core slices through the device
+        # (stream.solve_streamed; bit-identical to the resident solve)
+        from ..stream import solve_streamed
+        res = solve_streamed(spec, np.asarray(S0), omega,
+                             tol=iP["tolerance"], max_iters=iP["mxLoop"],
+                             chunk=int(iP["streamChunk"]),
+                             check_every=_auto_check_every(iParams, iP),
+                             scheme=iP.get("scheme", "sor"),
+                             tol_type=iP.get("tolType", "change"))
     if res is None:
         res = solve(spec, jnp.asarray(S0), omega=omega,
                     tol=iP["tolerance"], max_iters=iP["mxLoop"],

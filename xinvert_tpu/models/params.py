@@ -41,6 +41,10 @@ default_iParams = {
     "tolType": "change", # TPU-native extension: 'residual' stops on the
                          # true relative discrete residual mean|r|/mean|g|
                          # instead of the reference's solution-change rule
+    "streamChunk": None, # TPU-native extension: int -> stream the batch
+                         # (non-core) dims through the device this many
+                         # slices at a time (stream.solve_streamed), for
+                         # batches larger than HBM; None -> resident solve
 }
 
 default_mParams = {

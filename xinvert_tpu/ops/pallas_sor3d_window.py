@@ -60,6 +60,7 @@ from .pallas_sor_window import (WINDOW_COMPILER_OPTS, _SCOPED_VMEM_KIB,
 from .pallas_sor3d import _roll3, pallas3d_applicable
 
 __all__ = ["sor_sweeps_window3d", "window3d_applicable", "window3d_plan",
+           "make_window3d_stepper",
            "window3d_plan_any"]
 
 
@@ -608,3 +609,91 @@ def sor_sweeps_window3d(spec, S, omega, n_sweeps, interpret: bool = False):
         return fn(spec, S, omega, int(n_sweeps), interpret=interpret)
     fn = _jit_tpu if use_tpu_opts else _jit_plain
     return fn(spec, S, omega, n_sweeps, interpret=interpret)
+
+
+def make_window3d_stepper(spec, S, omega, check_every: int,
+                          interpret: bool = False):
+    """Pre-built stepper for CHECKED 3-D solves — the 3-D analog of
+    pallas_sor_window.make_window_stepper.
+
+    Builds the plan, the stacked coefficient volume and the executor ONCE
+    (loop-invariant operands of the solver's while op) instead of on every
+    convergence check, and exposes the executor's split state so the loop
+    carry never pays per-check join/split copies.  The convergence norm is
+    a plain XLA reduction over the split chunks (one state read per check
+    — a few MiB for the omega-class volumes, negligible next to a check
+    window of sweeps; the z-padded levels stay exactly zero, so they add
+    nothing to the masked-mean-|S| sum).
+
+    Returns ``(split, join, step_full, step_dyn)`` or None when the plan
+    needs batch groups (the caller falls back to the per-call path):
+
+    - ``split(S) -> st`` / ``join(st) -> S``;
+    - ``step_full(st) -> (st', sumabs)`` — exactly ``check_every`` sweeps;
+    - ``step_dyn(st, n) -> (st', sumabs)`` — ``n`` (traced, >= 1) sweeps.
+    """
+    if S.ndim < 3:
+        return None
+    planned = window3d_plan_any(spec, S.shape)
+    if planned is None:
+        return None
+    plan, perm = planned
+    B = int(np.prod(S.shape[:-3], dtype=np.int64))
+    if plan.b_chunk < B:
+        return None
+    tile, k, halo, nzp, _, z_chunk = plan
+    batch_shape = S.shape[:-3]
+    dtype = S.dtype
+    if perm:
+        spec = _permute_zy_spec(spec)
+    nz, ny, nx = ((S.shape[-3], S.shape[-2], S.shape[-1]) if not perm
+                  else (S.shape[-2], S.shape[-3], S.shape[-1]))
+    rel = (jnp.asarray(omega, dtype) * spec.relax).astype(dtype)
+    W = _stack_planes3(spec, rel, nz, ny, nx, dtype, nzp=nzp)
+
+    if z_chunk < nzp:
+        ex = _LevChunks3(W, nzp, tile, k, halo, z_chunk, interpret, perm)
+    else:
+        ex = _OneCall3(W, tile, k, interpret, perm)
+
+    def split(Sf):
+        Sc = Sf.reshape((B,) + Sf.shape[-3:])
+        if perm:
+            Sc = jnp.swapaxes(Sc, -3, -2)
+        if nzp > nz:
+            Sc = jnp.pad(Sc, ((0, 0), (0, nzp - nz), (0, 0), (0, 0)))
+        return ex.split(Sc)
+
+    def join(st):
+        Sc = ex.join(st)
+        if nzp > nz:
+            Sc = Sc[:, :nz]
+        if perm:
+            Sc = jnp.swapaxes(Sc, -3, -2)
+        return Sc.reshape(S.shape)
+
+    def sumabs(st):
+        leaves = st if isinstance(st, tuple) else (st,)
+        tot = sum(jnp.sum(jnp.abs(c), axis=tuple(range(1, c.ndim)))
+                  for c in leaves)
+        return tot.reshape(batch_shape)
+
+    def step_full(st):
+        full, rem = divmod(int(check_every), k)
+        if full:
+            st = jax.lax.fori_loop(
+                0, full, lambda i, s: ex.step(spec, s, k, k), st)
+        if rem:
+            st = ex.step(spec, st, rem, rem)
+        return st, sumabs(st)
+
+    def step_dyn(st, n):
+        n = jnp.asarray(n, jnp.int32)
+        chunks = (n + k - 1) // k
+        st = jax.lax.fori_loop(
+            0, chunks,
+            lambda i, s: ex.step(spec, s, jnp.minimum(k, n - i * k), None),
+            st)
+        return st, sumabs(st)
+
+    return split, join, step_full, step_dyn

@@ -342,25 +342,16 @@ def _kernel(n_ref, W_ref, s_ref, out_ref, norm_ref=None, *, K, offsets,
         if norm_ref is not None:
             # fused convergence-norm partial (SURVEY §7.1 item 2): the
             # owned tile is live in VMEM, so its |S| column sums cost one
-            # VPU reduction.  All tile programs of a batch slice map to the
-            # SAME (1, 8, nx) output block (index map constant in t), so
-            # Mosaic keeps it VMEM-resident across the whole grid row and
-            # writes it to HBM once; t==0 initialises, later tiles
-            # accumulate.  The (1, nx) column sum is broadcast over the
-            # 8 sublanes (Mosaic's minimum f32 block height) pre-divided
-            # by 8 (exact in binary fp), so the host-side sum over the
-            # block is the true total.
-            part = jnp.broadcast_to(
+            # VPU reduction; each tile writes its own independent (8, nx)
+            # block (no cross-tile accumulator: a revisited block's
+            # read-modify-write chain serialised the output pipeline).
+            # The (1, nx) column sum is broadcast over the 8 sublanes
+            # (Mosaic's minimum f32 block height) pre-divided by 8 (exact
+            # in binary fp), so the host-side sum over all blocks is the
+            # true total.
+            norm_ref[0] = jnp.broadcast_to(
                 jnp.sum(jnp.abs(owned), axis=0, keepdims=True) / 8.0,
                 (8, nx))
-
-            @pl.when(t == 0)
-            def _():
-                norm_ref[0] = part
-
-            @pl.when(t != 0)
-            def _():
-                norm_ref[0] = norm_ref[0] + part
 
     @pl.when(jnp.logical_and(~first, ~last))
     def _():
@@ -468,20 +459,11 @@ def _kernel_inplace(n_ref, W_ref, s_ref, out_ref, *rest, K, offsets, tile,
     def store(owned):
         out_ref[0] = owned
         if norm_ref is not None:
-            # fused convergence-norm partial — same revisited-accumulator
-            # pattern as _kernel's store (one VMEM-resident (8, nx) block
-            # per batch slice, initialised at t == 0)
-            part = jnp.broadcast_to(
+            # fused convergence-norm partial — same independent per-tile
+            # block as _kernel's store
+            norm_ref[0] = jnp.broadcast_to(
                 jnp.sum(jnp.abs(owned), axis=0, keepdims=True) / 8.0,
                 (8, nx))
-
-            @pl.when(t == 0)
-            def _():
-                norm_ref[0] = part
-
-            @pl.when(t != 0)
-            def _():
-                norm_ref[0] = norm_ref[0] + part
 
     @pl.when(jnp.logical_and(~first, ~last))
     def _():
@@ -682,13 +664,14 @@ def _window_chunk(spec, W, S, n, k_sweeps: int, tile: int,
                              memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((B, out_rows, nx), dtype)
     if with_norm:
-        # one revisited block per batch slice: constant-in-t index map keeps
-        # the accumulator in VMEM for the whole grid row (one HBM write)
+        # independent (8, nx) block per tile program: tiny extra HBM write
+        # (8 rows per tile), summed host-side with the chunk joins
         out_specs = [out_specs,
-                     pl.BlockSpec((1, 8, nx), lambda b, t: (b, 0, 0),
+                     pl.BlockSpec((1, 8, nx), lambda b, t: (b, t, 0),
                                   memory_space=pltpu.VMEM)]
         out_shape = [out_shape,
-                     jax.ShapeDtypeStruct((B, 8, nx), dtype)]
+                     jax.ShapeDtypeStruct((B, 8 * (out_rows // tile), nx),
+                                          dtype)]
     # Mosaic requires all-or-none Element dims within a BlockSpec; the
     # non-windowed dims are full-size (or unit) Elements at their offset
     return pl.pallas_call(
@@ -1018,26 +1001,34 @@ def make_window_stepper(spec, S, omega, check_every: int,
     def join(st):
         return ex.join(st).reshape(S.shape)
 
+    # only the LAST launch of a check window carries the norm output: the
+    # convergence rule reads the norm once per window, and the with_norm
+    # kernel variant measured ~8.5% slower per launch than the plain one
+    # (tools/tpu_stepper_probe.py), so earlier launches stay plain
     def step_full(st):
         full, rem = divmod(int(check_every), k)
-        nrm = zero
-        if full:
-            st, nrm = jax.lax.fori_loop(
-                0, full,
-                lambda i, c: ex.step(spec, c[0], k, k, with_norm=True),
-                (st, nrm))
-        if rem:
+        if rem == 0:
+            if full > 1:
+                st = jax.lax.fori_loop(
+                    0, full - 1, lambda i, s: ex.step(spec, s, k, k), st)
+            st, nrm = ex.step(spec, st, k, k, with_norm=True)
+        else:
+            if full:
+                st = jax.lax.fori_loop(
+                    0, full, lambda i, s: ex.step(spec, s, k, k), st)
             st, nrm = ex.step(spec, st, rem, rem, with_norm=True)
         return st, nrm.reshape(batch_shape)
 
     def step_dyn(st, n):
+        # n traced, >= 1: the first ceil(n/k)-1 chunks are exactly k sweeps
+        # (plain), the final chunk n-(chunks-1)*k in [1, k] carries the norm
         n = jnp.asarray(n, jnp.int32)
         chunks = (n + k - 1) // k
-        st, nrm = jax.lax.fori_loop(
-            0, chunks,
-            lambda i, c: ex.step(spec, c[0], jnp.minimum(k, n - i * k),
-                                 None, with_norm=True),
-            (st, zero))
+        st = jax.lax.fori_loop(
+            0, chunks - 1,
+            lambda i, s: ex.step(spec, s, jnp.int32(k), None), st)
+        st, nrm = ex.step(spec, st, n - (chunks - 1) * k, None,
+                          with_norm=True)
         return st, nrm.reshape(batch_shape)
 
     return split, join, step_full, step_dyn

@@ -279,12 +279,12 @@ def _solve_impl(spec, S0, omega, tol, max_iters, check_every=1,
     elif kernel == "vmem":
         from .ops.pallas_sor import sor_sweeps_pallas
 
-        def sweeps(S, k):
+        def sweeps(S, k, full):
             return sor_sweeps_pallas(spec, S, omega, k)
     elif kernel == "vmem3d":
         from .ops.pallas_sor3d import sor_sweeps_pallas3d
 
-        def sweeps(S, k):
+        def sweeps(S, k, full):
             return sor_sweeps_pallas3d(spec, S, omega, k)
     elif kernel == "window":
         from .ops.pallas_sor_window import (sor_sweeps_window,
@@ -304,41 +304,46 @@ def _solve_impl(spec, S0, omega, tol, max_iters, check_every=1,
             # dominated by rebuilding the W stack every check)
             state_split, state_join, step_full, step_dyn = stepper
 
-            def sweeps_norm(st, k):
-                return jax.lax.cond(
-                    k == jnp.int32(check_every),
-                    lambda s: step_full(s),
-                    lambda s: step_dyn(s, k),
-                    st)
+            def sweeps_norm(st, k, full):
+                # `full` is static: the hot while body always runs the
+                # statically-unrolled step; only the one-off mxLoop
+                # remainder (outside the loop) takes the dynamic kernel
+                return step_full(st) if full else step_dyn(st, k)
         else:
-            def sweeps(S, k):
-                # full chunks take the statically-unrolled fast kernel;
-                # only the clamped final chunk pays the dynamic-count
-                # variant
-                return jax.lax.cond(
-                    k == check_every,
-                    lambda s: sor_sweeps_window(spec, s, omega,
-                                                check_every),
-                    lambda s: sor_sweeps_window(spec, s, omega, k),
-                    S)
+            def sweeps(S, k, full):
+                # full windows take the statically-unrolled fast kernel;
+                # only the one-off clamped remainder pays the
+                # dynamic-count variant
+                n = check_every if full else k
+                return sor_sweeps_window(spec, S, omega, n)
     elif kernel == "window3d":
-        from .ops.pallas_sor3d_window import sor_sweeps_window3d
+        from .ops.pallas_sor3d_window import (sor_sweeps_window3d,
+                                              make_window3d_stepper)
 
-        def sweeps(S, k):
-            return jax.lax.cond(
-                k == check_every,
-                lambda s: sor_sweeps_window3d(spec, s, omega, check_every),
-                lambda s: sor_sweeps_window3d(spec, s, omega, k),
-                S)
+        stepper = (make_window3d_stepper(spec, S0, omega, check_every)
+                   if tol_type != "residual" else None)
+        if stepper is not None:
+            # same shape as the 2-D stepper: plan + stacked coefficient
+            # volume built once, split-state carry; the norm is an XLA
+            # reduction over the chunks (a few MiB per check for the
+            # omega-class volumes)
+            state_split, state_join, step_full, step_dyn = stepper
+
+            def sweeps_norm(st, k, full):
+                return step_full(st) if full else step_dyn(st, k)
+        else:
+            def sweeps(S, k, full):
+                n = check_every if full else k
+                return sor_sweeps_window3d(spec, S, omega, n)
     elif check_every == 1:
         rr, rb = _color_relax(spec, jnp.asarray(omega, dtype))
 
-        def sweeps(S, k):
+        def sweeps(S, k, full):
             return _sweep_with(spec, S, rr, rb)
     else:
         rr, rb = _color_relax(spec, jnp.asarray(omega, dtype))
 
-        def sweeps(S, k):
+        def sweeps(S, k, full):
             return jax.lax.fori_loop(
                 0, k, lambda i, s: _sweep_with(spec, s, rr, rb), S)
 
@@ -358,23 +363,27 @@ def _solve_impl(spec, S0, omega, tol, max_iters, check_every=1,
     )
 
     def cond(c):
-        return jnp.any(~c["done"])
+        # the hot loop runs only FULL check windows; the clamped mxLoop
+        # remainder is a one-off tail step outside the loop, so the body
+        # stays free of data-dependent branches (a lax.cond in the body
+        # measured ~6% of solve time at 2048^2, tools/tpu_stepper_probe.py)
+        return jnp.any(~c["done"]) & (c["it"] + check_every
+                                      <= max_iters.astype(jnp.int32))
 
-    def body(c):
-        # clamp the last chunk so exactly mxLoop sweeps run even when
-        # check_every does not divide it (every still-active batch element
-        # carries the same loop count, so the scalar `it` tracks them all)
-        k_eff = jnp.minimum(jnp.int32(check_every),
-                            max_iters.astype(jnp.int32) - c["it"])
+    def advance(c, k_eff, full):
+        # one check window: k_eff sweeps, then the convergence/telemetry
+        # update.  `full` is STATIC: True in the while body (k_eff ==
+        # check_every, statically-unrolled kernels), False in the tail
+        # (dynamic remainder count)
         sum_abs = None
         if sweeps_aux is not None:
             S_new, m_new, w_new = sweeps_aux(c["S"], c["aux"], k_eff)
             aux_new = (m_new, w_new)
         elif sweeps_norm is not None:
-            S_new, sum_abs = sweeps_norm(c["S"], k_eff)
+            S_new, sum_abs = sweeps_norm(c["S"], k_eff, full)
             aux_new = c["aux"]
         else:
-            S_new = sweeps(c["S"], k_eff)
+            S_new = sweeps(c["S"], k_eff, full)
             aux_new = c["aux"]
         if tol_type == "residual":
             # TPU-native extension: stop on the TRUE relative discrete
@@ -442,7 +451,15 @@ def _solve_impl(spec, S0, omega, tol, max_iters, check_every=1,
             aux=aux_new,
         )
 
-    out = jax.lax.while_loop(cond, body, init)
+    out = jax.lax.while_loop(
+        cond, lambda c: advance(c, jnp.int32(check_every), True), init)
+    # clamped remainder so exactly mxLoop sweeps run even when check_every
+    # does not divide it (reference semantics: sweep, increment, test)
+    rem = max_iters.astype(jnp.int32) - out["it"]
+    out = jax.lax.cond(
+        jnp.any(~out["done"]) & (rem > 0),
+        lambda c: advance(c, rem, False),
+        lambda c: c, out)
     S_out = out["S"] if state_join is None else state_join(out["S"])
     return SolveResult(S=S_out, iters=out["loop"], rel_change=out["rel"],
                        overflow=out["overflow"])

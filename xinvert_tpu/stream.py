@@ -163,22 +163,33 @@ def solve_streamed(spec: StencilSpec, S0, omega=None, tol: float = 1e-8,
         out_rel[b0:b0 + nb] = np.asarray(r.rel_change)[:nb]
         out_ovf[b0:b0 + nb] = np.asarray(r.overflow)[:nb]
 
-    pending = []
-    nxt = put_chunk(0)
-    for i in range(n_chunks):
-        nb, cspec, Sc = nxt
-        r = solve(cspec, Sc, omega, tol=tol, max_iters=max_iters,
-                  check_every=check_every, scheme=scheme, tol_type=tol_type)
-        # enqueue the D2H copies behind the solve; non-blocking
-        for leaf in (r.S, r.iters, r.rel_change, r.overflow):
-            leaf.copy_to_host_async()
-        if i + 1 < n_chunks:
-            nxt = put_chunk(i + 1)       # H2D overlaps the solve in flight
-        pending.append((i, nb, r))
-        if len(pending) > 1:
-            fetch(*pending.pop(0))       # blocks only on the PREVIOUS chunk
-    for item in pending:
-        fetch(*item)
+    # transfers run in worker threads: through a relay-attached device,
+    # device_put / host fetches can hold the calling thread for the whole
+    # wire time, which would serialise them with compute DISPATCH; two
+    # workers keep the H2D of chunk k+1 and the D2H of chunk k-1 off the
+    # main thread while chunk k computes (at most 3 chunks are ever live)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fetches = []
+        nxt = pool.submit(put_chunk, 0)
+        prev = None
+        for i in range(n_chunks):
+            nb, cspec, Sc = nxt.result()
+            r = solve(cspec, Sc, omega, tol=tol, max_iters=max_iters,
+                      check_every=check_every, scheme=scheme,
+                      tol_type=tol_type)
+            # enqueue the D2H copies behind the solve; non-blocking
+            for leaf in (r.S, r.iters, r.rel_change, r.overflow):
+                leaf.copy_to_host_async()
+            if i + 1 < n_chunks:
+                nxt = pool.submit(put_chunk, i + 1)
+            if prev is not None:
+                fetches.append(pool.submit(fetch, *prev))
+            prev = (i, nb, r)
+        fetches.append(pool.submit(fetch, *prev))
+        for f in fetches:
+            f.result()                    # propagate worker exceptions
 
     return SolveResult(
         S=out_S.reshape(batch_shape + grid),
