@@ -109,7 +109,7 @@ def main():
     unit = "grid-point-sweeps/s"
     if tpu_down:
         unit += " (CPU fallback - TPU relay unavailable at bench time;" \
-            " last validated TPU figure 4.96e10, docs/BENCH.md)"
+            " last validated TPU figure 6.54e10, docs/BENCH.md)"
     print(json.dumps({
         "metric": "masked_poisson_sor_point_sweeps_per_s",
         "value": pts_per_s,
