@@ -52,7 +52,7 @@ from jax._src.pallas import core as pallas_core
 from .pallas_sor import _roll2, VMEM_BUDGET
 
 __all__ = ["sor_sweeps_window", "window_applicable", "window_plan",
-           "make_window_stepper"]
+           "make_window_stepper", "make_window_cheby_stepper"]
 
 
 def _round8(n):
@@ -246,9 +246,10 @@ def window_applicable(spec, S_shape, for_dispatch: bool = False) -> bool:
     return window_plan(spec, S_shape) is not None
 
 
-def _kernel(n_ref, W_ref, s_ref, out_ref, norm_ref=None, *, K, offsets,
+def _kernel(n_ref, *refs, K, offsets,
             tile, halo, ny, nx, extend_y, periodic_x, bih, dtype,
-            n_static=None, pad_lo=0, has_top=True, has_bot=True):
+            n_static=None, pad_lo=0, has_top=True, has_bot=True,
+            cheby=False, with_norm=False):
     """One grid program: k sweeps on an overlapping row window.
 
     ``ny`` is the (sub-)domain height this call sees.  For a chunk of a
@@ -258,7 +259,17 @@ def _kernel(n_ref, W_ref, s_ref, out_ref, norm_ref=None, *, K, offsets,
     position-independent (the red-black parity offset of a chunk is a
     multiple of the 8-aligned tile/halo, hence even), so every interior
     chunk shares one compiled kernel regardless of its row offset.
+
+    ``refs`` unpacks to ``([fac_ref,] W_ref, s_ref, out_ref[, norm_ref])``:
+    ``cheby`` adds an SMEM array of per-half-sweep Chebyshev factors
+    (``fac[2*i + color]`` scales half-sweep ``color`` of in-launch sweep
+    ``i`` — the weight planes then fold relax WITHOUT omega), ``with_norm``
+    adds the fused |S| column-sum output.
     """
+    i0 = 1 if cheby else 0
+    fac_ref = refs[0] if cheby else None
+    W_ref, s_ref, out_ref = refs[i0], refs[i0 + 1], refs[i0 + 2]
+    norm_ref = refs[i0 + 3] if with_norm else None
     win = tile + 2 * halo
     t = pl.program_id(1)          # grid = (batch, tiles)
     n_t = pl.num_programs(1)
@@ -283,7 +294,7 @@ def _kernel(n_ref, W_ref, s_ref, out_ref, norm_ref=None, *, K, offsets,
     which = ("both" if (has_top and has_bot)
              else ("top" if has_top else "bot"))
 
-    def one_sweep(_, S):
+    def one_sweep(it, S):
         # everything below reads the weight refs transiently per use:
         # hoisting value copies of the K+3 planes out of the loop doubles
         # live VMEM and sends Mosaic into spill territory at large tiles
@@ -318,6 +329,11 @@ def _kernel(n_ref, W_ref, s_ref, out_ref, norm_ref=None, *, K, offsets,
             # red/black parity in GLOBAL coordinates
             sel = ((parity % 2) == color).astype(dtype)
             r = W_ref[0, K + 2] * sel              # omega * relax * color
+            if fac_ref is not None:
+                # cyclic-Chebyshev: the per-half-sweep factor scales the
+                # relax plane (sel is exactly 0/1, so this association is
+                # bit-identical to the XLA path's w * (relax * color))
+                r = r * fac_ref[2 * it + color]
             S = S + r * (acc + W_ref[0, K] * S)
         return S
 
@@ -366,8 +382,9 @@ def _kernel(n_ref, W_ref, s_ref, out_ref, norm_ref=None, *, K, offsets,
         store(S[2 * halo:2 * halo + tile, :])
 
 
-def _kernel_inplace(n_ref, W_ref, s_ref, out_ref, *rest, K, offsets, tile,
-                    halo, ny, nx, extend_y, periodic_x, dtype, n_static):
+def _kernel_inplace(n_ref, *refs, K, offsets, tile,
+                    halo, ny, nx, extend_y, periodic_x, dtype, n_static,
+                    cheby=False, with_norm=False):
     """Shifted-load in-place variant for nearest-neighbor radius-1 stencils.
 
     ``pltpu.roll`` materializes a rotated copy per neighbor (8 full-array
@@ -378,13 +395,14 @@ def _kernel_inplace(n_ref, W_ref, s_ref, out_ref, *rest, K, offsets, tile,
     unchanged by the color's own write.  The interior sits at an aligned
     (8, 128) offset so only the +-1 neighbor reads are unaligned.
 
-    ``rest`` is ``(norm_ref, sc)`` when the launch carries the fused
-    convergence-norm output (see ``_kernel``'s store), else ``(sc,)``.
+    ``refs`` unpacks to ``([fac_ref,] W_ref, s_ref, out_ref[, norm_ref],
+    sc)`` — same ``cheby`` / ``with_norm`` conventions as ``_kernel``.
     """
-    if len(rest) == 2:
-        norm_ref, sc = rest
-    else:
-        norm_ref, sc = None, rest[0]
+    i0 = 1 if cheby else 0
+    fac_ref = refs[0] if cheby else None
+    W_ref, s_ref, out_ref = refs[i0], refs[i0 + 1], refs[i0 + 2]
+    norm_ref = refs[i0 + 3] if with_norm else None
+    sc = refs[-1]
     win = tile + 2 * halo
     OY, OX = 8, 128                   # aligned interior origin
     t = pl.program_id(1)              # grid = (batch, tiles)
@@ -435,7 +453,7 @@ def _kernel_inplace(n_ref, W_ref, s_ref, out_ref, *rest, K, offsets, tile,
         def _():
             refresh_wrap()
 
-    def one_sweep(_, carry):
+    def one_sweep(it, carry):
         extend_rows()
         for color in (0, 1):
             acc = W_ref[0, K + 1]
@@ -445,6 +463,8 @@ def _kernel_inplace(n_ref, W_ref, s_ref, out_ref, *rest, K, offsets, tile,
                                              OX + dx:OX + dx + nx]
             sel = ((parity % 2) == color).astype(dtype)
             r = W_ref[0, K + 2] * sel
+            if fac_ref is not None:
+                r = r * fac_ref[2 * it + color]
             Sv = sc[OY:OY + win, OX:OX + nx]
             sc[OY:OY + win, OX:OX + nx] = Sv + r * (acc + W_ref[K] * Sv)
             refresh_wrap()
@@ -593,7 +613,7 @@ def _window_chunk(spec, W, S, n, k_sweeps: int, tile: int,
                   interpret: bool = False, n_static=None,
                   out_rows=None, pad_lo: int = 0,
                   has_top: bool = True, has_bot: bool = True,
-                  with_norm: bool = False):
+                  with_norm: bool = False, fac=None):
     """One pallas launch running ``n`` (<= k_sweeps) full iterations.
 
     ``n_static`` (<= k_sweeps) unrolls the sweep loop statically — the
@@ -608,7 +628,12 @@ def _window_chunk(spec, W, S, n, k_sweeps: int, tile: int,
 
     ``with_norm`` adds a second output of |S| column-sum partials, shape
     (B, 8, nx) — the fused convergence-norm piece (sum over the last two
-    axes gives each slice's total |S| over this call's rows)."""
+    axes gives each slice's total |S| over this call's rows).
+
+    ``fac`` (cyclic Chebyshev) is a traced array of per-half-sweep factors
+    delivered to the kernel through SMEM; the ``W`` stack must then fold
+    relax WITHOUT omega.  Length 2*n_static for unrolled launches,
+    2*k_sweeps for dynamic counts."""
     B, ny, nx = S.shape
     out_rows = ny if out_rows is None else out_rows
     dtype = S.dtype
@@ -630,6 +655,7 @@ def _window_chunk(spec, W, S, n, k_sweeps: int, tile: int,
             extend_y=spec.bcs[-2] == "extend",
             periodic_x=spec.bcs[-1] == "periodic",
             dtype=dtype, n_static=n_static,
+            cheby=fac is not None, with_norm=with_norm,
         )
         scratch = [pltpu.VMEM((win + 16, nx + 256), dtype)]
     else:
@@ -642,6 +668,7 @@ def _window_chunk(spec, W, S, n, k_sweeps: int, tile: int,
             periodic_x=spec.bcs[-1] == "periodic",
             bih=spec.bih, dtype=dtype, n_static=n_static,
             pad_lo=pad_lo, has_top=has_top, has_bot=has_bot,
+            cheby=fac is not None, with_norm=with_norm,
         )
         scratch = []
 
@@ -672,25 +699,34 @@ def _window_chunk(spec, W, S, n, k_sweeps: int, tile: int,
         out_shape = [out_shape,
                      jax.ShapeDtypeStruct((B, 8 * (out_rows // tile), nx),
                                           dtype)]
+    in_specs = [pl.BlockSpec((1,), lambda b, t: (0,),
+                             memory_space=pltpu.SMEM)]
+    args = [nS]
+    if fac is not None:
+        fac = jnp.asarray(fac, dtype)
+        in_specs.append(pl.BlockSpec((fac.shape[0],), lambda b, t: (0,),
+                                     memory_space=pltpu.SMEM))
+        args.append(fac)
     # Mosaic requires all-or-none Element dims within a BlockSpec; the
     # non-windowed dims are full-size (or unit) Elements at their offset
+    in_specs += [
+        pl.BlockSpec((Element(1), Element(K + 3), Element(win),
+                      Element(nx)), wmap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((Element(1), Element(win), Element(nx)), smap,
+                     memory_space=pltpu.VMEM),
+    ]
+    args += [W, S]
     return pl.pallas_call(
         kern,
         grid=(B, out_rows // tile),
-        in_specs=[
-            pl.BlockSpec((1,), lambda b, t: (0,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((Element(1), Element(K + 3), Element(win),
-                          Element(nx)), wmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((Element(1), Element(win), Element(nx)), smap,
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(nS, W, S)
+    )(*args)
 
 
 class _RowChunks:
@@ -725,7 +761,7 @@ class _RowChunks:
     def join(self, chunks):
         return jnp.concatenate(chunks, axis=1)
 
-    def step(self, spec, chunks, n, n_static, with_norm=False):
+    def step(self, spec, chunks, n, n_static, with_norm=False, fac=None):
         C = len(chunks)
         h = self.halo
         out = []
@@ -742,7 +778,7 @@ class _RowChunks:
                 interpret=self.interpret, n_static=n_static,
                 out_rows=self.rows[c], pad_lo=0 if c == 0 else h,
                 has_top=(c == 0), has_bot=(c == C - 1),
-                with_norm=with_norm)
+                with_norm=with_norm, fac=fac)
             if with_norm:
                 out.append(r[0])
                 part = jnp.sum(r[1], axis=(1, 2))
@@ -765,10 +801,10 @@ class _OneCall:
     def join(self, S):
         return S
 
-    def step(self, spec, S, n, n_static, with_norm=False):
+    def step(self, spec, S, n, n_static, with_norm=False, fac=None):
         r = _window_chunk(spec, self.W, S, n, self.k, self.tile,
                           interpret=self.interpret, n_static=n_static,
-                          with_norm=with_norm)
+                          with_norm=with_norm, fac=fac)
         if with_norm:
             return r[0], jnp.sum(r[1], axis=(1, 2))
         return r
@@ -1030,5 +1066,111 @@ def make_window_stepper(spec, S, omega, check_every: int,
         st, nrm = ex.step(spec, st, n - (chunks - 1) * k, None,
                           with_norm=True)
         return st, nrm.reshape(batch_shape)
+
+    return split, join, step_full, step_dyn
+
+
+def make_window_cheby_stepper(spec, S, omega, check_every: int,
+                              interpret: bool = False):
+    """Checked-solve stepper for the cyclic-Chebyshev scheme on the
+    windowed kernel (round 2's scheme='cheby' forced the XLA roll path —
+    solver.py's note that the fused kernels "bake a constant omega into
+    their weight planes" stops being true here: the weight stack folds
+    relax WITHOUT omega, and the per-half-sweep factors of the Golub-Varga
+    recurrence ride into the kernel through SMEM, fac[2*i + color]).
+
+    Returns ``(split, join, step_full, step_dyn)`` or None (no plan /
+    batch groups).  Unlike the SOR stepper the steps also thread the
+    recurrence state:
+
+    - ``step_full(st, m, w) -> (st', m', w', sumabs)`` — check_every sweeps;
+    - ``step_dyn(st, m, w, n) -> (st', m', w', sumabs)`` — n (traced) sweeps;
+
+    where ``m`` (int32) counts half-sweeps done and ``w`` is the previous
+    factor.  ``sumabs`` is the batch-shaped total |S'| (XLA reduction over
+    the split chunks — one state read per check)."""
+    from ..solver import _cheby_next, rho2_from_omega
+
+    if S.ndim < 2:
+        return None
+    plan = window_plan(spec, S.shape)
+    if plan is None:
+        return None
+    B = int(np.prod(S.shape[:-2], dtype=np.int64))
+    if plan.b_chunk < B:
+        return None
+    tile, k, halo, y_chunk, _ = plan
+    dtype = S.dtype
+    ny, nx = S.shape[-2:]
+    batch_shape = S.shape[:-2]
+    rho2 = rho2_from_omega(jnp.asarray(omega, dtype)).astype(dtype)
+    # relax WITHOUT omega: the factor arrives per half-sweep
+    W = _stack_planes(spec, spec.relax.astype(dtype), ny, nx, dtype)
+
+    if y_chunk < ny:
+        ex = _RowChunks(W, ny, tile, k, halo, y_chunk, interpret)
+    else:
+        ex = None
+        if EDGE_SPLIT and not _no_cross_r1(spec):
+            rows = _edge_rows(spec, ny, tile, halo)
+            if rows is not None:
+                ex = _RowChunks(W, ny, tile, k, halo, ny, interpret,
+                                rows=rows)
+        if ex is None:
+            ex = _OneCall(W, tile, k, interpret)
+
+    def split(Sf):
+        return ex.split(Sf.reshape((B, ny, nx)))
+
+    def join(st):
+        return ex.join(st).reshape(S.shape)
+
+    def sumabs(st):
+        leaves = st if isinstance(st, tuple) else (st,)
+        tot = sum(jnp.sum(jnp.abs(c), axis=(1, 2)) for c in leaves)
+        return tot.reshape(batch_shape)
+
+    def gen(m, w, count):
+        """The next ``count`` factors of w(m+1) = 1/(1 - rho2*w(m)/4)."""
+        def body(c, _):
+            m, w = c
+            w2 = _cheby_next(m, w, rho2).astype(dtype)
+            return (m + 1, w2), w2
+        (m, w), fac = jax.lax.scan(body, (m, w), None, length=count)
+        return fac, m, w
+
+    def step_full(st, m, w):
+        full, rem = divmod(int(check_every), k)
+
+        def body(i, c):
+            st, m, w = c
+            fac, m, w = gen(m, w, 2 * k)
+            st = ex.step(spec, st, k, k, fac=fac)
+            return (st, m, w)
+
+        if full:
+            st, m, w = jax.lax.fori_loop(0, full, body, (st, m, w))
+        if rem:
+            fac, m, w = gen(m, w, 2 * rem)
+            st = ex.step(spec, st, rem, rem, fac=fac)
+        return st, m, w, sumabs(st)
+
+    def step_dyn(st, m, w, n):
+        n = jnp.asarray(n, jnp.int32)
+        chunks = (n + k - 1) // k
+
+        def body(i, c):
+            st, m, w = c
+            # generate a full 2k window of factors, run only the clamped
+            # count, and advance (m, w) by the half-sweeps actually run
+            fac, _, _ = gen(m, w, 2 * k)
+            kk = jnp.minimum(k, n - i * k)
+            st = ex.step(spec, st, kk, None, fac=fac)
+            steps = 2 * kk
+            return (st, m + steps, fac[steps - 1])
+
+        st, m, w = jax.lax.fori_loop(
+            0, chunks, body, (st, jnp.asarray(m, jnp.int32), w))
+        return st, m, w, sumabs(st)
 
     return split, join, step_full, step_dyn

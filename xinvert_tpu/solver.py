@@ -261,19 +261,34 @@ def _solve_impl(spec, S0, omega, tol, max_iters, check_every=1,
 
     sweeps_aux, init_aux = None, ()
     sweeps_norm = None                   # fused-norm stepper (window path)
+    sweeps_aux_norm = None               # cheby window stepper
     state_split = state_join = None      # split-state carry (window path)
     if scheme == "cheby":
-        # Chebyshev semi-iteration needs per-half-sweep factors; it runs on
-        # the XLA path (the fused kernels bake a constant omega into their
-        # weight planes) with (m, w) recurrence state in the loop carry
-        base_r, base_b = _color_relax(spec, jnp.asarray(1.0, dtype))
-        rho2 = rho2_from_omega(jnp.asarray(omega, dtype))
+        # Chebyshev semi-iteration needs per-half-sweep factors.  On the
+        # windowed-kernel path the factors ride into the kernel through
+        # SMEM (make_window_cheby_stepper, round 3); otherwise the XLA
+        # path runs with (m, w) recurrence state in the loop carry.
+        stepper = None
+        if kernel == "window" and tol_type != "residual":
+            from .ops.pallas_sor_window import make_window_cheby_stepper
+            stepper = make_window_cheby_stepper(spec, S0, omega,
+                                                check_every)
+        if stepper is not None:
+            state_split, state_join, cheb_full, cheb_dyn = stepper
 
-        def sweeps_aux(S, aux, k):
-            def it(_, c):
-                S, m, w = c
-                return _sweep_cheby(spec, S, m, w, rho2, base_r, base_b)
-            return jax.lax.fori_loop(0, k, it, (S, aux[0], aux[1]))
+            def sweeps_aux_norm(st, aux, k, full):
+                if full:
+                    return cheb_full(st, aux[0], aux[1])
+                return cheb_dyn(st, aux[0], aux[1], k)
+        else:
+            base_r, base_b = _color_relax(spec, jnp.asarray(1.0, dtype))
+            rho2 = rho2_from_omega(jnp.asarray(omega, dtype))
+
+            def sweeps_aux(S, aux, k):
+                def it(_, c):
+                    S, m, w = c
+                    return _sweep_cheby(spec, S, m, w, rho2, base_r, base_b)
+                return jax.lax.fori_loop(0, k, it, (S, aux[0], aux[1]))
 
         init_aux = (jnp.zeros((), jnp.int32), jnp.ones((), dtype))
     elif kernel == "vmem":
@@ -376,7 +391,11 @@ def _solve_impl(spec, S0, omega, tol, max_iters, check_every=1,
         # check_every, statically-unrolled kernels), False in the tail
         # (dynamic remainder count)
         sum_abs = None
-        if sweeps_aux is not None:
+        if sweeps_aux_norm is not None:
+            S_new, m_new, w_new, sum_abs = sweeps_aux_norm(
+                c["S"], c["aux"], k_eff, full)
+            aux_new = (m_new, w_new)
+        elif sweeps_aux is not None:
             S_new, m_new, w_new = sweeps_aux(c["S"], c["aux"], k_eff)
             aux_new = (m_new, w_new)
         elif sweeps_norm is not None:
@@ -541,7 +560,10 @@ def solve(spec: StencilSpec, S0, omega: Optional[float] = None,
         raise ValueError(f"unknown tol_type {tol_type!r}; "
                          "use 'change' or 'residual'")
     if scheme == "cheby":
-        kernel = None          # per-half-sweep factors: XLA path
+        # round 3: the windowed kernel takes per-half-sweep factors via
+        # SMEM; other kernels still bake a constant omega -> XLA path
+        k0 = _select_kernel(spec, S0) if use_pallas is None else None
+        kernel = "window" if k0 == "window" else None
     elif use_pallas is None:
         kernel = _select_kernel(spec, S0)
     elif use_pallas:
