@@ -100,3 +100,64 @@ def test_applicability_gates():
     assert not halo_window_applicable(spec, S0.shape, mesh_xy)
     with pytest.raises(ValueError):
         solve_fixed_halo_window(spec, S0, 1.5, 4, mesh=mesh_xy)
+
+
+def test_checked_solve_sharded_cap():
+    """solve_halo_window at tol=0 runs exactly mxLoop sweeps and matches
+    the single-device solve_fixed bit for bit (8-way rows)."""
+    spec, S0, grid = _poisson_problem(batch=0, ny=512, nx=128,
+                                      dtype=np.float64)
+    om = np.float64(grid.omega_opt)
+    from xinvert_tpu.parallel.halo_window import solve_halo_window
+    for N, ce in ((40, 8), (37, 8)):      # divisible + remainder window
+        ref = _solve_fixed_xla(spec, S0, om, N)
+        res = solve_halo_window(spec, S0, om, 0.0, N, check_every=ce,
+                                mesh=_mesh_y(8))
+        assert int(res.iters) == N, (N, ce, int(res.iters))
+        assert float(jnp.max(jnp.abs(res.S - ref))) == 0.0, (N, ce)
+        assert not bool(res.overflow)
+
+
+def test_checked_solve_sharded_converges_like_host():
+    """With a realistic tolerance the sharded checked solve stops within
+    one check window of the host solve and agrees on the state."""
+    from xinvert_tpu.solver import solve
+    from xinvert_tpu.parallel.halo_window import solve_halo_window
+    spec, S0, grid = _poisson_problem(batch=0, ny=256, nx=128,
+                                      dtype=np.float64)
+    om = np.float64(grid.omega_opt)
+    host = solve(spec, S0, om, tol=1e-7, max_iters=4000, check_every=8)
+    shrd = solve_halo_window(spec, S0, om, 1e-7, 4000, check_every=8,
+                             mesh=_mesh_y(4))
+    assert int(host.iters) < 4000 and int(shrd.iters) < 4000
+    assert abs(int(host.iters) - int(shrd.iters)) <= 8
+    np.testing.assert_allclose(np.asarray(shrd.S), np.asarray(host.S),
+                               rtol=1e-9, atol=1e-12)
+
+
+def test_checked_solve_sharded_batched_telemetry():
+    """('batch','y') mesh: per-element iters/rel telemetry survives the
+    batch sharding, elements stopping at different windows."""
+    from xinvert_tpu.solver import solve
+    from xinvert_tpu.parallel.halo_window import solve_halo_window
+    spec, S0, grid = _poisson_problem(batch=4, ny=256, nx=128,
+                                      dtype=np.float64)
+    # vary forcing structure so elements converge at different counts
+    import dataclasses
+    g = np.asarray(spec.g)
+    yy = np.sin(2 * np.pi * np.arange(g.shape[-2]) / g.shape[-2])
+    g = g.copy()
+    g[1] = yy[:, None] * np.ones_like(g[1])
+    g[3] = 0.0
+    g[3, g.shape[-2] // 2, g.shape[-1] // 2] = 1.0
+    spec = dataclasses.replace(spec, g=jnp.asarray(g))
+    mesh = Mesh(np.array(jax.devices()).reshape(2, 4), ("batch", "y"))
+    host = solve(spec, S0, om := np.float64(grid.omega_opt), tol=1e-6,
+                 max_iters=3000, check_every=8)
+    shrd = solve_halo_window(spec, S0, om, 1e-6, 3000, check_every=8,
+                             mesh=mesh)
+    assert shrd.iters.shape == host.iters.shape
+    assert np.all(np.abs(np.asarray(shrd.iters, np.int64)
+                         - np.asarray(host.iters, np.int64)) <= 8)
+    np.testing.assert_allclose(np.asarray(shrd.S), np.asarray(host.S),
+                               rtol=1e-8, atol=1e-11)

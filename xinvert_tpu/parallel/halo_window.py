@@ -43,7 +43,8 @@ except ImportError:                      # pragma: no cover - older jax
 from ..stencil import StencilSpec
 from .halo import _ring_halo, _traffic
 
-__all__ = ["solve_fixed_halo_window", "halo_window_applicable"]
+__all__ = ["solve_fixed_halo_window", "solve_halo_window",
+           "halo_window_applicable"]
 
 
 def _plan_for_block(spec, b_local, by, nx):
@@ -213,3 +214,221 @@ def solve_fixed_halo_window(spec: StencilSpec, S, omega, n_iters: int,
                        check_vma=False)
     out = mapped(W, S3)
     return out.reshape(S.shape)
+
+
+def solve_halo_window(spec: StencilSpec, S, omega, tol, max_iters: int,
+                      check_every: int = 32,
+                      mesh: Optional[Mesh] = None,
+                      interpret: Optional[bool] = None):
+    """Convergence-CHECKED sharded solve on the windowed-kernel executor.
+
+    The reference's stopping semantics (masked mean-|S| relative change,
+    overflow detection, mxLoop sweep cap — solver._solve_impl) running
+    entirely inside ``shard_map``: each device sweeps its row block with
+    the fused kernel, exchanges ppermute ghost rings every ``k`` sweeps,
+    and the convergence norm is a local |S| partial ``psum``-reduced over
+    the mesh 'y' axis.  SPMD details that differ from the host loop:
+
+    - the while predicate must be REPLICATED, so the body computes the
+      next-iteration ``go`` flag (with its collectives) into the carry and
+      the cond just reads it;
+    - the mxLoop remainder cannot hide behind a ``lax.cond`` (collectives
+      inside a conditional deadlock if any device diverged), so it always
+      runs — possibly with a zero sweep count (the kernel is a no-op
+      pass-through then) — and the freeze machinery discards it when no
+      remainder was due.
+
+    Returns a :class:`SolveResult`; telemetry (iters / rel_change /
+    overflow) is per batch element, like the host solve.  The stopping
+    decisions use the psum norm, whose summation order differs from the
+    host path's ``jnp.mean`` in the last ulp — iteration counts can shift
+    by one check window; at a fixed sweep cap (tol=0) the state is
+    bit-identical to ``solve_fixed``.
+    """
+    from ..solver import SolveResult
+
+    if spec.ndim != 2:
+        raise ValueError("halo-window executor supports 2-D problems")
+    if spec.bih:
+        raise ValueError("biharmonic problems: use solve_fixed_halo")
+    if mesh is None:
+        from .mesh import make_grid_mesh
+        mesh = make_grid_mesh()
+    if "x" in mesh.shape and mesh.shape["x"] != 1:
+        raise ValueError("the windowed kernel keeps x unsplit; use a mesh "
+                         "with x=1 (rows over 'y')")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    check_every = int(check_every)
+
+    from ..ops.pallas_sor_window import (
+        _stack_planes, _flatten_spec_batch, _window_chunk, _radius, _round8)
+
+    S = jnp.asarray(S)
+    batch_shape = S.shape[:-2]
+    ny, nx = S.shape[-2:]
+    B = int(np.prod(batch_shape, dtype=np.int64)) if batch_shape else 1
+    S3 = S.reshape((B, ny, nx))
+    spec = _flatten_spec_batch(spec, 2)
+
+    my_ = mesh.shape["y"]
+    mb = mesh.shape.get("batch", 1)
+    if ny % my_:
+        raise ValueError(f"rows {ny} not divisible by mesh y={my_}")
+    if B % mb:
+        raise ValueError(f"batch {B} not divisible by mesh batch={mb}")
+    by = ny // my_
+    plan = _plan_for_block(spec, B // mb, by, nx)
+    if plan is None:
+        raise ValueError(
+            f"no single-call window plan for the {B // mb}x{by}x{nx} "
+            "per-device block; adjust the mesh or use solve_fixed_halo")
+    tile, k = plan.tile, plan.k_sweeps
+    radius = _radius(spec.offsets)
+    h = _round8(2 * radius * k)
+
+    dtype = S.dtype
+    omega = jnp.asarray(omega, dtype)
+    tol = jnp.asarray(tol, dtype)
+    max_iters = jnp.asarray(max_iters, jnp.int32)
+    rel_pl = (omega * spec.relax).astype(dtype)
+    W = _stack_planes(spec, rel_pl, ny, nx, dtype)
+    bW = W.shape[0]
+    ncells = float(ny * nx)
+
+    batch_ax = "batch" if (mb > 1) else None
+    w_spec = P(batch_ax if bW > 1 else None, None, "y", None)
+    s_spec = P(batch_ax, "y", None)
+    t_spec = P(batch_ax)              # per-batch-element telemetry
+
+    import dataclasses
+    slim = dataclasses.replace(
+        spec,
+        w=jnp.zeros((len(spec.offsets), 1, 1), spec.w.dtype),
+        w0=jnp.zeros((1, 1), spec.w0.dtype),
+        g=jnp.zeros((1, 1), spec.g.dtype),
+        relax=jnp.zeros((1, 1), spec.relax.dtype),
+        active=jnp.zeros((1, 1), bool))
+
+    def local_solve(Wl, Sl):
+        iy = jax.lax.axis_index("y")
+        idx = jnp.where(iy == 0, 0, jnp.where(iy == my_ - 1, 2, 1))
+        bl = Sl.shape[0]                  # local batch block
+
+        if my_ > 1:
+            lo_w, hi_w = _ring_halo(Wl, "y", h, Wl.ndim - 2, my_)
+            Wp = jnp.concatenate([lo_w, Wl, hi_w], axis=Wl.ndim - 2)
+        else:
+            Wp = Wl
+
+        def step(Sl, n, n_static):
+            if my_ == 1:
+                return _window_chunk(slim, Wp, Sl, n, k, tile,
+                                     interpret=interpret, n_static=n_static)
+            lo, hi = _ring_halo(Sl, "y", h, 1, my_)
+            Sp = jnp.concatenate([lo, Sl, hi], axis=1)
+
+            def top(Sp):
+                return _window_chunk(
+                    slim, Wp[:, :, h:, :], Sp[:, h:, :], n, k, tile,
+                    interpret=interpret, n_static=n_static, out_rows=by,
+                    pad_lo=0, has_top=True, has_bot=False)
+
+            def mid(Sp):
+                return _window_chunk(
+                    slim, Wp, Sp, n, k, tile,
+                    interpret=interpret, n_static=n_static, out_rows=by,
+                    pad_lo=h, has_top=False, has_bot=False)
+
+            def bot(Sp):
+                return _window_chunk(
+                    slim, Wp[:, :, :by + h, :], Sp[:, :by + h, :],
+                    n, k, tile,
+                    interpret=interpret, n_static=n_static, out_rows=by,
+                    pad_lo=h, has_top=False, has_bot=True)
+
+            return jax.lax.switch(idx, (top, mid, bot), Sp)
+
+        def window(Sl, k_eff, full):
+            """k_eff sweeps (static check_every when full)."""
+            if full:
+                nfull, rem = divmod(check_every, k)
+                for _ in range(nfull):   # static unroll: launches per check
+                    Sl = step(Sl, k, k)
+                if rem:
+                    Sl = step(Sl, rem, rem)
+                return Sl
+            # dynamic remainder: ceil(k_eff/k) bounded by check_every//k+1
+            chunks = (k_eff + k - 1) // k
+            nmax = -(-check_every // k)
+
+            def body(i, s):
+                kk = jnp.clip(k_eff - i * k, 0, k)
+                return step(s, kk, None)
+
+            return jax.lax.fori_loop(0, jnp.minimum(chunks, nmax), body, Sl)
+
+        def advance(c, k_eff, full):
+            S_new = window(c["S"], k_eff, full)
+            part = jnp.sum(jnp.abs(S_new), axis=(1, 2))
+            norm = jax.lax.psum(part, "y") / jnp.asarray(ncells, dtype)
+            prev = c["norm_prev"]
+            rel = jnp.where(prev >= 0,
+                            jnp.abs(norm - prev)
+                            / jnp.where(prev > 0, prev, 1.0),
+                            jnp.ones_like(norm))
+            overflow = ~jnp.isfinite(norm)
+            if dtype == jnp.float64:
+                overflow = overflow | (norm > 1e100)
+            live = ~c["done"] & (k_eff > 0)
+            new_loop = jnp.where(live, c["loop"] + k_eff, c["loop"])
+            stop = overflow | (rel < tol) | (new_loop >= max_iters)
+            if spec.stop_on_zero_norm:
+                stop = stop | (norm == 0)
+            keep = ~live
+            out = dict(
+                S=jnp.where(keep.reshape((bl, 1, 1)), c["S"], S_new),
+                it=c["it"] + k_eff,
+                loop=new_loop,
+                norm_prev=jnp.where(keep, c["norm_prev"], norm),
+                rel=jnp.where(keep, c["rel"], rel),
+                overflow=jnp.where(keep, c["overflow"], overflow),
+                done=c["done"] | (live & stop),
+            )
+            # replicated go flag for the NEXT window (collectives stay in
+            # the body; the while cond must be collective-free)
+            any_live = jnp.any(~out["done"])
+            if mb > 1:
+                any_live = jax.lax.psum(
+                    any_live.astype(jnp.int32), "batch") > 0
+            out["go"] = any_live & (out["it"] + check_every <= max_iters)
+            return out
+
+        init = dict(
+            S=Sl,
+            it=jnp.zeros((), jnp.int32),
+            loop=jnp.zeros((bl,), jnp.int32),
+            norm_prev=jnp.full((bl,), -1.0, dtype),
+            rel=jnp.ones((bl,), dtype),
+            overflow=jnp.zeros((bl,), bool),
+            done=jnp.zeros((bl,), bool),
+            go=jnp.asarray(check_every, jnp.int32) <= max_iters,
+        )
+        out = jax.lax.while_loop(
+            lambda c: c["go"],
+            lambda c: advance(c, jnp.int32(check_every), True), init)
+        # mxLoop remainder: ALWAYS runs (k_eff may be 0 — the kernel is a
+        # pass-through then and `live` gates every update)
+        rem = jnp.maximum(max_iters - out["it"], 0)
+        out = advance(out, rem, False)
+        return (out["S"], out["loop"], out["rel"], out["overflow"])
+
+    mapped = shard_map(local_solve, mesh=mesh,
+                       in_specs=(w_spec, s_spec),
+                       out_specs=(s_spec, t_spec, t_spec, t_spec),
+                       check_vma=False)
+    Sout, loop, rel, ovf = mapped(W, S3)
+    return SolveResult(S=Sout.reshape(S.shape),
+                       iters=loop.reshape(batch_shape),
+                       rel_change=rel.reshape(batch_shape),
+                       overflow=ovf.reshape(batch_shape))
