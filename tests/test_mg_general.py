@@ -231,3 +231,32 @@ def test_upwind_row_sum_consistency():
     act = np.asarray(up.active)
     assert np.all((-np.asarray(up.w0))[act] >= (-np.asarray(cen.w0))[act]
                   - 1e-12)
+
+
+def test_mg_general2d_regionally_mixed_sign():
+    """Coefficient planes whose diffusion sign flips regionally (each
+    region is sign-definite elliptic — rows of the union system are just
+    negated) upwind with each region's own orientation; a single global
+    sign would orient the minority region downwind and the coarse smoother
+    could diverge there."""
+    from xinvert_tpu.mg import build_pyramid_general2d, solve_mg
+    ny, nx = 128, 128
+    rng = np.random.default_rng(31)
+    sgn = np.ones((ny, nx))
+    sgn[:, nx // 2:] = -1.0          # right half: equation times -1
+    A = C = sgn * 1.0
+    # fine-level Peclet 0.4 (centered level 0 smooths fine, like the
+    # reference families); doubled coarse spacings cross Pe > 1 by level 2
+    # so the coarse upwinding orientation is what is under test.  The old
+    # GLOBAL sign diverges here (measured res ~6e171 at 60 cycles).
+    D = sgn * 0.8
+    E = sgn * 0.48
+    F = sgn * -0.05
+    G = rng.normal(0, 1, (ny, nx))
+    Fdef = np.ones((ny, nx), bool)
+    pyr = build_pyramid_general2d(A, 0.0, C, D, E, F, G, Fdef,
+                                  (1.0, 1.0), ("fixed", "fixed"))
+    assert len(pyr) >= 4             # really exercises coarse operators
+    S, k, res, ok = solve_mg(pyr, tol=1e-6, max_cycles=60, accel="auto")
+    assert ok, (k, res)
+    assert k <= 30

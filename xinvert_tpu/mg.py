@@ -335,12 +335,16 @@ def build_pyramid_standard3d(A, B, C, F, Fdef, deltas, bcs,
     return _stamp_smoother(levels)
 
 
-def _upwind_sign(A, C) -> float:
-    """Sign normalisation for coarse-level upwinding: +-1 such that
-    s * (A, C) is the non-negative-diffusion convention (several reference
-    families, e.g. Stommel, carry globally NEGATIVE diffusion planes)."""
-    m = float(np.mean(np.asarray(A)) + np.mean(np.asarray(C)))
-    return 1.0 if m >= 0 else -1.0
+def _upwind_sign(A, C):
+    """PER-CELL sign normalisation for coarse-level upwinding: +-1 such
+    that s * (A, C) is locally the non-negative-diffusion convention.
+    Several reference families (e.g. Stommel) carry globally NEGATIVE
+    diffusion planes; a plane with regionally MIXED sign gets each
+    region's own orientation — a single global sign would upwind the
+    minority-sign region the destabilising (downwind) way and the coarse
+    smoother could diverge there."""
+    A, C = jnp.asarray(A), jnp.asarray(C)
+    return jnp.where(A + C >= 0, 1.0, -1.0).astype(A.dtype)
 
 
 def build_pyramid_general2d(A, B, C, D, E, F, G, Fdef, deltas, bcs,
@@ -364,7 +368,6 @@ def build_pyramid_general2d(A, B, C, D, E, F, G, Fdef, deltas, bcs,
     G = jnp.asarray(G)
     mask = jnp.asarray(Fdef).astype(bool)
     is_masked = not bool(np.all(np.asarray(Fdef)))
-    s = _upwind_sign(planes[0], planes[2])
 
     levels = []
     dy, dx = deltas
@@ -372,6 +375,9 @@ def build_pyramid_general2d(A, B, C, D, E, F, G, Fdef, deltas, bcs,
     lvl_shape = G.shape[-2:]
     Gl = G
     while True:
+        # per-level, per-cell sign: coarsening can move a mixed-sign
+        # plane's regional boundaries
+        s = _upwind_sign(planes[0], planes[2])
         spec = stencil.general_2d(*planes, Gl, mask, (dy, dx), cur_bcs,
                                   upwind=(0.0 if not levels else s))
         odd = tuple(n % 2 == 1 for n in lvl_shape)
@@ -415,7 +421,6 @@ def build_pyramid_general3d(A, B, C, D, E, F, G, H, Fdef, deltas, bcs,
     if mask.ndim == 2:
         mask = jnp.broadcast_to(mask[None], H.shape[-3:])
     is_masked = not bool(np.all(np.asarray(Fdef)))
-    s = _upwind_sign(planes[0], planes[2])
 
     levels = []
     delz, dely, delx = deltas
@@ -424,6 +429,8 @@ def build_pyramid_general3d(A, B, C, D, E, F, G, H, Fdef, deltas, bcs,
     nz = H.shape[-3]
     Hl = H
     while True:
+        # per-level, per-cell sign (see build_pyramid_general2d)
+        s = _upwind_sign(planes[0], planes[2])
         spec = stencil.general_3d(*planes, Hl, mask,
                                   (delz, dely, delx), cur_bcs,
                                   upwind=(0.0 if not levels else s))
@@ -698,10 +705,14 @@ def _solve_mg_krylov_jit(levels, S0, g0, tol, max_cycles, nu1, nu2,
         best = jnp.minimum(best, new_res)
         return (e_new, e_best, best, k + inner, stall)
 
-    big = jnp.asarray(jnp.inf, S0.dtype)
+    # seed `best` with S0's own residual (e = 0), not inf: members that
+    # already satisfy the tolerance (e.g. the converged majority of a
+    # batched auto rescue, solve_mg) then skip the loop entirely instead
+    # of burning a free 8-iteration BiCGStab chunk each
+    res0 = (jnp.max(jnp.abs(b)) / g_scale).astype(S0.dtype)
     e0 = jnp.zeros_like(S0)
     _, e, res, k, _ = jax.lax.while_loop(
-        cond, body, (e0, e0, big, jnp.asarray(0), jnp.asarray(0)))
+        cond, body, (e0, e0, res0, jnp.asarray(0), jnp.asarray(0)))
     # report V-cycle-equivalents (2 per iteration: the preconditioner pair)
     return S0 + jnp.where(act, e, 0.0), 2 * k, res
 

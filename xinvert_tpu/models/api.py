@@ -466,6 +466,28 @@ def invert_StommelMunk_mg(curl, dims, coords="lat-lon", icbc=None,
                       nu1=3, nu2=3)
 
 
+def _general_mg_build(coeffs_fn, ndim):
+    """Shared build closure for the damped advective general-family MG
+    entries: coefficients -> upwind-coarsened pyramid -> the forcing folded
+    as g = -G*dx^2 (stencil.general_2d/3d's sign/scale convention), batched
+    forcing deferred via g0."""
+    def build(vals, Fdef_c, grid, mPr):
+        from ..mg import (build_pyramid_general2d, build_pyramid_general3d)
+        co = coeffs_fn(jnp.asarray(vals), jnp.asarray(Fdef_c), grid, mPr)
+        *AtoG, G = co
+        builder = (build_pyramid_general2d if ndim == 2
+                   else build_pyramid_general3d)
+        pyr = builder(*AtoG, jnp.zeros(grid.shape), Fdef_c,
+                      grid.deltas, grid.bcs)
+        g0 = jnp.where(pyr[0].spec.active,
+                       -G * grid.deltas[-1] ** 2, 0.0)
+        if jnp.ndim(g0) == ndim:
+            pyr[0] = _mg_with_g(pyr[0], g0)
+            g0 = None
+        return pyr, g0
+    return build
+
+
 def invert_GillMatsuno_mg(Q, dims, coords="lat-lon", icbc=None,
                           mParams=None, iParams=None, tol: float = 1e-6,
                           max_cycles: int = 40):
@@ -475,25 +497,12 @@ def invert_GillMatsuno_mg(Q, dims, coords="lat-lon", icbc=None,
     general-2D family the reference iterates 355-600 sweeps to only ~1e-5,
     apps.py:1609 / notebook 07); V-cycles with upwind-stabilised coarse
     operators reach a 1e-6 RESIDUAL in ~15 cycles."""
-    from ..mg import build_pyramid_general2d
-
-    def build(vals, Fdef_c, grid, mPr):
-        A, B, C, D, E, Fc, G = problems.gillmatsuno_coeffs(
-            jnp.asarray(vals), jnp.asarray(Fdef_c), grid, mPr)
-        pyr = build_pyramid_general2d(
-            A, B, C, D, E, Fc, jnp.zeros(grid.shape), Fdef_c,
-            grid.deltas, grid.bcs)
-        g0 = jnp.where(pyr[0].spec.active,
-                       -G * grid.deltas[-1] ** 2, 0.0)
-        if jnp.ndim(g0) == 2:
-            pyr[0] = _mg_with_g(pyr[0], g0)
-            g0 = None
-        return pyr, g0
-
     return _invert_mg(Q, dims, coords, icbc,
                       ["f0", "beta", "epsilon", "Phi", "g", "Omega",
                        "Rearth"],
-                      mParams, iParams, 2, build, tol, max_cycles)
+                      mParams, iParams, 2,
+                      _general_mg_build(problems.gillmatsuno_coeffs, 2),
+                      tol, max_cycles)
 
 
 def invert_Stommel_mg(curl, dims, coords="lat-lon", icbc=None,
@@ -505,24 +514,11 @@ def invert_Stommel_mg(curl, dims, coords="lat-lon", icbc=None,
     coarse levels upwind the beta term so smoothing stays stable while the
     converged answer remains the fine centered discretisation
     (apps.py:1712)."""
-    from ..mg import build_pyramid_general2d
-
-    def build(vals, Fdef_c, grid, mPr):
-        A, B, C, D, E, Fc, G = problems.stommel_coeffs(
-            jnp.asarray(vals), jnp.asarray(Fdef_c), grid, mPr)
-        pyr = build_pyramid_general2d(
-            A, B, C, D, E, Fc, jnp.zeros(grid.shape), Fdef_c,
-            grid.deltas, grid.bcs)
-        g0 = jnp.where(pyr[0].spec.active,
-                       -G * grid.deltas[-1] ** 2, 0.0)
-        if jnp.ndim(g0) == 2:
-            pyr[0] = _mg_with_g(pyr[0], g0)
-            g0 = None
-        return pyr, g0
-
     return _invert_mg(curl, dims, coords, icbc,
                       ["beta", "R", "D", "rho0", "g", "Omega", "Rearth"],
-                      mParams, iParams, 2, build, tol, max_cycles)
+                      mParams, iParams, 2,
+                      _general_mg_build(problems.stommel_coeffs, 2),
+                      tol, max_cycles)
 
 
 def invert_StommelArons_mg(Q, dims, coords="lat-lon", icbc=None,
@@ -531,24 +527,11 @@ def invert_StommelArons_mg(Q, dims, coords="lat-lon", icbc=None,
     """Stommel-Arons abyssal circulation via multigrid (TPU-native
     extension; same coefficients as :func:`invert_StommelArons`,
     apps.py:1839)."""
-    from ..mg import build_pyramid_general2d
-
-    def build(vals, Fdef_c, grid, mPr):
-        A, B, C, D, E, Fc, G = problems.stommelarons_coeffs(
-            jnp.asarray(vals), jnp.asarray(Fdef_c), grid, mPr)
-        pyr = build_pyramid_general2d(
-            A, B, C, D, E, Fc, jnp.zeros(grid.shape), Fdef_c,
-            grid.deltas, grid.bcs)
-        g0 = jnp.where(pyr[0].spec.active,
-                       -G * grid.deltas[-1] ** 2, 0.0)
-        if jnp.ndim(g0) == 2:
-            pyr[0] = _mg_with_g(pyr[0], g0)
-            g0 = None
-        return pyr, g0
-
     return _invert_mg(Q, dims, coords, icbc,
                       ["f0", "beta", "epsilon", "g", "Omega", "Rearth"],
-                      mParams, iParams, 2, build, tol, max_cycles)
+                      mParams, iParams, 2,
+                      _general_mg_build(problems.stommelarons_coeffs, 2),
+                      tol, max_cycles)
 
 
 def invert_3DOcean_mg(F, dims, coords="lat-lon", icbc=None,
@@ -558,27 +541,13 @@ def invert_3DOcean_mg(F, dims, coords="lat-lon", icbc=None,
     extension; same coefficients as :func:`invert_3DOcean`, apps.py:2055).
     z-line smoothing handles the k/N^2 vertical stiffness; coarse levels
     upwind the advective terms."""
-    from ..mg import build_pyramid_general3d
-
     _check_N2(mParams)
-
-    def build(vals, Fdef_c, grid, mPr):
-        A, B, C, D, E, Fc, G, H = problems.ocean3d_coeffs(
-            jnp.asarray(vals), jnp.asarray(Fdef_c), grid, mPr)
-        pyr = build_pyramid_general3d(
-            A, B, C, D, E, Fc, G, jnp.zeros(grid.shape), Fdef_c,
-            grid.deltas, grid.bcs)
-        g0 = jnp.where(pyr[0].spec.active,
-                       -H * grid.deltas[-1] ** 2, 0.0)
-        if jnp.ndim(g0) == 3:
-            pyr[0] = _mg_with_g(pyr[0], g0)
-            g0 = None
-        return pyr, g0
-
     return _invert_mg(F, dims, coords, icbc,
                       ["f0", "beta", "epsilon", "N2", "k", "g", "Omega",
                        "Rearth"],
-                      mParams, iParams, 3, build, tol, max_cycles)
+                      mParams, iParams, 3,
+                      _general_mg_build(problems.ocean3d_coeffs, 3),
+                      tol, max_cycles)
 
 
 def invert_RefState(PV, dims, coords="z-lat", icbc=None,

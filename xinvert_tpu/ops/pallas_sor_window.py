@@ -466,7 +466,7 @@ def _kernel_inplace(n_ref, *refs, K, offsets, tile,
             if fac_ref is not None:
                 r = r * fac_ref[2 * it + color]
             Sv = sc[OY:OY + win, OX:OX + nx]
-            sc[OY:OY + win, OX:OX + nx] = Sv + r * (acc + W_ref[K] * Sv)
+            sc[OY:OY + win, OX:OX + nx] = Sv + r * (acc + W_ref[0, K] * Sv)
             refresh_wrap()
         return carry
 
@@ -836,6 +836,24 @@ def _edge_rows(spec, ny, tile, halo):
     return [e, ny - 2 * e, e]
 
 
+def _make_executor(spec, W, ny, tile, k, halo, y_chunk, interpret,
+                   edge_split=True):
+    """The executor-selection rule shared by the fixed path and the
+    checked-solve steppers: row chunks when the result must split into
+    multiple calls, else the edge-split [top, mid, bot] variant (interior
+    programs carry no extend conditionals) when eligible, else one call.
+    Keeping this in ONE place guarantees the fixed and checked paths run
+    the same executor on the same problem."""
+    if y_chunk < ny:
+        return _RowChunks(W, ny, tile, k, halo, y_chunk, interpret)
+    if edge_split and EDGE_SPLIT and not _no_cross_r1(spec):
+        rows = _edge_rows(spec, ny, tile, halo)
+        if rows is not None:
+            return _RowChunks(W, ny, tile, k, halo, ny, interpret,
+                              rows=rows)
+    return _OneCall(W, tile, k, interpret)
+
+
 def _run_group(spec, S, omega, n_sweeps, plan, interpret, fold):
     """Solve one batch group: n_sweeps iterations on (B, ny, nx)."""
     tile, k, halo, y_chunk, _ = plan
@@ -846,14 +864,9 @@ def _run_group(spec, S, omega, n_sweeps, plan, interpret, fold):
     static_n = isinstance(n_sweeps, (int, np.integer))
 
     def make_ex(Wx):
-        if y_chunk < ny:
-            return _RowChunks(Wx, ny, tile, k, halo, y_chunk, interpret)
-        if EDGE_SPLIT and static_n and not _no_cross_r1(spec):
-            rows = _edge_rows(spec, ny, tile, halo)
-            if rows is not None:
-                return _RowChunks(Wx, ny, tile, k, halo, ny, interpret,
-                                  rows=rows)
-        return _OneCall(Wx, tile, k, interpret)
+        # dynamic counts skip the edge split (its chunk kernels unroll)
+        return _make_executor(spec, Wx, ny, tile, k, halo, y_chunk,
+                              interpret, edge_split=static_n)
 
     if isinstance(n_sweeps, (int, np.integer)):
         # static count: chunks run the fully unrolled kernel.  For
@@ -1018,17 +1031,7 @@ def make_window_stepper(spec, S, omega, check_every: int,
     rel = (jnp.asarray(omega, dtype) * spec.relax).astype(dtype)
     W = _stack_planes(spec, rel, ny, nx, dtype)
 
-    if y_chunk < ny:
-        ex = _RowChunks(W, ny, tile, k, halo, y_chunk, interpret)
-    else:
-        ex = None
-        if EDGE_SPLIT and not _no_cross_r1(spec):
-            rows = _edge_rows(spec, ny, tile, halo)
-            if rows is not None:
-                ex = _RowChunks(W, ny, tile, k, halo, ny, interpret,
-                                rows=rows)
-        if ex is None:
-            ex = _OneCall(W, tile, k, interpret)
+    ex = _make_executor(spec, W, ny, tile, k, halo, y_chunk, interpret)
     zero = jnp.zeros((B,), dtype)
 
     def split(Sf):
@@ -1107,17 +1110,7 @@ def make_window_cheby_stepper(spec, S, omega, check_every: int,
     # relax WITHOUT omega: the factor arrives per half-sweep
     W = _stack_planes(spec, spec.relax.astype(dtype), ny, nx, dtype)
 
-    if y_chunk < ny:
-        ex = _RowChunks(W, ny, tile, k, halo, y_chunk, interpret)
-    else:
-        ex = None
-        if EDGE_SPLIT and not _no_cross_r1(spec):
-            rows = _edge_rows(spec, ny, tile, halo)
-            if rows is not None:
-                ex = _RowChunks(W, ny, tile, k, halo, ny, interpret,
-                                rows=rows)
-        if ex is None:
-            ex = _OneCall(W, tile, k, interpret)
+    ex = _make_executor(spec, W, ny, tile, k, halo, y_chunk, interpret)
 
     def split(Sf):
         return ex.split(Sf.reshape((B, ny, nx)))

@@ -23,13 +23,17 @@ the 8-aligned tile so interior devices share one compiled kernel).  The
 result is bit-identical to the single-device ``solve_fixed`` for any device
 count (tests/test_parallel_window.py).
 
+Two executors share the machinery: :func:`solve_fixed_halo_window` (blind
+fixed-iteration sweeps) and :func:`solve_halo_window` (the reference's full
+convergence-checked stopping semantics running inside ``shard_map``).
+
 On non-TPU backends the kernel runs in Pallas interpret mode (pure-JAX
 semantics — the CPU-mesh validation path); on a real multi-chip TPU slice
 the same code compiles through Mosaic per device.
 """
 from __future__ import annotations
 
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import numpy as np
 import jax
@@ -78,34 +82,38 @@ def halo_window_applicable(spec, S_shape, mesh: Mesh) -> bool:
     return _plan_for_block(spec, B // mb, ny // my_, nx) is not None
 
 
-def solve_fixed_halo_window(spec: StencilSpec, S, omega, n_iters: int,
-                            mesh: Optional[Mesh] = None,
-                            interpret: Optional[bool] = None):
-    """Fixed-iteration sharded solve: windowed Pallas kernel per device,
-    explicit ppermute ghost-zone exchange every ``k_sweeps`` iterations.
+class _Setup(NamedTuple):
+    """Host-side prep shared by the fixed and checked sharded solvers."""
+    S3: jnp.ndarray          # (B, ny, nx) flattened state
+    slim: StencilSpec        # metadata-only spec (dummy data planes)
+    W: jnp.ndarray           # stacked coefficient planes (global rows)
+    tile: int
+    k: int
+    h: int                   # ghost-ring width == kernel-internal halo
+    by: int                  # rows per device
+    my_: int
+    mb: int
+    batch_shape: tuple
+    w_spec: P
+    s_spec: P
+    batch_ax: Optional[str]
+    interpret: bool
 
-    Bit-identical to single-device ``solve_fixed`` (the ghost cone argument
-    is the row-chunk executor's, with chunks living on different devices).
-    ``n_iters`` must be a static int.  Rows shard over the mesh 'y' axis
-    (x unsplit — it rides inside the kernel), flattened batch dims over
-    'batch' when the mesh has one.
-    """
+
+def _setup(spec, S, omega, mesh, interpret, caller):
+    """Validate the decomposition and build the loop-invariant operands."""
     if spec.ndim != 2:
-        raise ValueError("halo-window executor supports 2-D problems")
+        raise ValueError(f"{caller} supports 2-D problems")
     if spec.bih:
         raise ValueError("biharmonic problems: use solve_fixed_halo")
-    if mesh is None:
-        from .mesh import make_grid_mesh
-        mesh = make_grid_mesh()
     if "x" in mesh.shape and mesh.shape["x"] != 1:
         raise ValueError("the windowed kernel keeps x unsplit; use a mesh "
                          "with x=1 (rows over 'y') or solve_fixed_halo")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    n_iters = int(n_iters)
 
     from ..ops.pallas_sor_window import (
-        _stack_planes, _flatten_spec_batch, _window_chunk, _radius, _round8)
+        _stack_planes, _flatten_spec_batch, _radius, _round8)
 
     S = jnp.asarray(S)
     batch_shape = S.shape[:-2]
@@ -127,12 +135,10 @@ def solve_fixed_halo_window(spec: StencilSpec, S, omega, n_iters: int,
             f"no single-call window plan for the {B // mb}x{by}x{nx} "
             "per-device block; adjust the mesh or use solve_fixed_halo")
     tile, k = plan.tile, plan.k_sweeps
-    radius = _radius(spec.offsets)
-    h = _round8(2 * radius * k)   # == the kernel's internal halo for this k
+    h = _round8(2 * _radius(spec.offsets) * k)
 
     dtype = S.dtype
-    omega = jnp.asarray(omega, dtype)
-    rel = (omega * spec.relax).astype(dtype)
+    rel = (jnp.asarray(omega, dtype) * spec.relax).astype(dtype)
     W = _stack_planes(spec, rel, ny, nx, dtype)
     bW = W.shape[0]
 
@@ -153,53 +159,92 @@ def solve_fixed_halo_window(spec: StencilSpec, S, omega, n_iters: int,
         relax=jnp.zeros((1, 1), spec.relax.dtype),
         active=jnp.zeros((1, 1), bool))
 
+    return _Setup(S3, slim, W, tile, k, h, by, my_, mb, batch_shape,
+                  w_spec, s_spec, batch_ax, interpret)
+
+
+def _pad_weights(su: _Setup, Wl):
+    """Ghost-ring pad of the local weight stack (once per solve)."""
+    if su.my_ == 1:
+        return Wl
+    lo_w, hi_w = _ring_halo(Wl, "y", su.h, Wl.ndim - 2, su.my_)
+    return jnp.concatenate([lo_w, Wl, hi_w], axis=Wl.ndim - 2)
+
+
+def _device_step(su: _Setup, Wp):
+    """step(Sl, n, n_static): n sweeps on the device's block — ppermute
+    ghost rings + one position-independent kernel launch (top / interior /
+    bottom selected by the device's row index)."""
+    from ..ops.pallas_sor_window import _window_chunk
+
+    slim, tile, k, h, by, my_ = (su.slim, su.tile, su.k, su.h, su.by,
+                                 su.my_)
+    interpret = su.interpret
+    iy = jax.lax.axis_index("y")
+    idx = jnp.where(iy == 0, 0, jnp.where(iy == my_ - 1, 2, 1))
+
+    def step(Sl, n, n_static):
+        if my_ == 1:
+            return _window_chunk(slim, Wp, Sl, n, k, tile,
+                                 interpret=interpret, n_static=n_static)
+        lo, hi = _ring_halo(Sl, "y", h, 1, my_)
+        Sp = jnp.concatenate([lo, Sl, hi], axis=1)
+
+        def top(Sp):
+            return _window_chunk(
+                slim, Wp[:, :, h:, :], Sp[:, h:, :], n, k, tile,
+                interpret=interpret, n_static=n_static, out_rows=by,
+                pad_lo=0, has_top=True, has_bot=False)
+
+        def mid(Sp):
+            return _window_chunk(
+                slim, Wp, Sp, n, k, tile,
+                interpret=interpret, n_static=n_static, out_rows=by,
+                pad_lo=h, has_top=False, has_bot=False)
+
+        def bot(Sp):
+            return _window_chunk(
+                slim, Wp[:, :, :by + h, :], Sp[:, :by + h, :],
+                n, k, tile,
+                interpret=interpret, n_static=n_static, out_rows=by,
+                pad_lo=h, has_top=False, has_bot=True)
+
+        return jax.lax.switch(idx, (top, mid, bot), Sp)
+
+    return step
+
+
+def solve_fixed_halo_window(spec: StencilSpec, S, omega, n_iters: int,
+                            mesh: Optional[Mesh] = None,
+                            interpret: Optional[bool] = None):
+    """Fixed-iteration sharded solve: windowed Pallas kernel per device,
+    explicit ppermute ghost-zone exchange every ``k_sweeps`` iterations.
+
+    Bit-identical to single-device ``solve_fixed`` (the ghost cone argument
+    is the row-chunk executor's, with chunks living on different devices).
+    ``n_iters`` must be a static int.  Rows shard over the mesh 'y' axis
+    (x unsplit — it rides inside the kernel), flattened batch dims over
+    'batch' when the mesh has one.
+    """
+    if mesh is None:
+        from .mesh import make_grid_mesh
+        mesh = make_grid_mesh()
+    su = _setup(spec, S, omega, mesh, interpret, "solve_fixed_halo_window")
+    S = jnp.asarray(S)
+    n_iters = int(n_iters)
+    k = su.k
     full, rem = divmod(n_iters, k)
     _traffic["bytes"] = 0
 
     def local_step(Wl, Sl):
-        iy = jax.lax.axis_index("y")
-        idx = jnp.where(iy == 0, 0, jnp.where(iy == my_ - 1, 2, 1))
-
-        # weights padded once per solve (loop-invariant)
-        if my_ > 1:
-            lo_w, hi_w = _ring_halo(Wl, "y", h, Wl.ndim - 2, my_)
-            Wp = jnp.concatenate([lo_w, Wl, hi_w], axis=Wl.ndim - 2)
-        else:
-            Wp = Wl
+        Wp = _pad_weights(su, Wl)
         setup = _traffic["bytes"]
         _traffic["bytes"] = 0
+        step = _device_step(su, Wp)
 
-        def step(Sl, n_static):
-            if my_ == 1:
-                return _window_chunk(slim, Wp, Sl, n_static, k, tile,
-                                     interpret=interpret, n_static=n_static)
-            lo, hi = _ring_halo(Sl, "y", h, 1, my_)
-            Sp = jnp.concatenate([lo, Sl, hi], axis=1)
-
-            def top(Sp):
-                return _window_chunk(
-                    slim, Wp[:, :, h:, :], Sp[:, h:, :], n_static, k, tile,
-                    interpret=interpret, n_static=n_static, out_rows=by,
-                    pad_lo=0, has_top=True, has_bot=False)
-
-            def mid(Sp):
-                return _window_chunk(
-                    slim, Wp, Sp, n_static, k, tile,
-                    interpret=interpret, n_static=n_static, out_rows=by,
-                    pad_lo=h, has_top=False, has_bot=False)
-
-            def bot(Sp):
-                return _window_chunk(
-                    slim, Wp[:, :, :by + h, :], Sp[:, :by + h, :],
-                    n_static, k, tile,
-                    interpret=interpret, n_static=n_static, out_rows=by,
-                    pad_lo=h, has_top=False, has_bot=True)
-
-            return jax.lax.switch(idx, (top, mid, bot), Sp)
-
-        Sl = jax.lax.fori_loop(0, full, lambda i, s: step(s, k), Sl)
+        Sl = jax.lax.fori_loop(0, full, lambda i, s: step(s, k, k), Sl)
         if rem:
-            Sl = step(Sl, rem)
+            Sl = step(Sl, rem, rem)
         # per-iteration accounting: the fori body traced once moved one
         # exchange of 2 rings; amortise over k and record the W setup
         if n_iters:
@@ -210,9 +255,9 @@ def solve_fixed_halo_window(spec: StencilSpec, S, omega, n_iters: int,
     # check_vma=False: pallas_call's out ShapeDtypeStruct carries no
     # varying-mesh-axes annotation, which the vma checker insists on
     mapped = shard_map(local_step, mesh=mesh,
-                       in_specs=(w_spec, s_spec), out_specs=s_spec,
+                       in_specs=(su.w_spec, su.s_spec), out_specs=su.s_spec,
                        check_vma=False)
-    out = mapped(W, S3)
+    out = mapped(su.W, su.S3)
     return out.reshape(S.shape)
 
 
@@ -247,107 +292,24 @@ def solve_halo_window(spec: StencilSpec, S, omega, tol, max_iters: int,
     """
     from ..solver import SolveResult
 
-    if spec.ndim != 2:
-        raise ValueError("halo-window executor supports 2-D problems")
-    if spec.bih:
-        raise ValueError("biharmonic problems: use solve_fixed_halo")
     if mesh is None:
         from .mesh import make_grid_mesh
         mesh = make_grid_mesh()
-    if "x" in mesh.shape and mesh.shape["x"] != 1:
-        raise ValueError("the windowed kernel keeps x unsplit; use a mesh "
-                         "with x=1 (rows over 'y')")
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    check_every = int(check_every)
-
-    from ..ops.pallas_sor_window import (
-        _stack_planes, _flatten_spec_batch, _window_chunk, _radius, _round8)
-
+    su = _setup(spec, S, omega, mesh, interpret, "solve_halo_window")
     S = jnp.asarray(S)
-    batch_shape = S.shape[:-2]
-    ny, nx = S.shape[-2:]
-    B = int(np.prod(batch_shape, dtype=np.int64)) if batch_shape else 1
-    S3 = S.reshape((B, ny, nx))
-    spec = _flatten_spec_batch(spec, 2)
-
-    my_ = mesh.shape["y"]
-    mb = mesh.shape.get("batch", 1)
-    if ny % my_:
-        raise ValueError(f"rows {ny} not divisible by mesh y={my_}")
-    if B % mb:
-        raise ValueError(f"batch {B} not divisible by mesh batch={mb}")
-    by = ny // my_
-    plan = _plan_for_block(spec, B // mb, by, nx)
-    if plan is None:
-        raise ValueError(
-            f"no single-call window plan for the {B // mb}x{by}x{nx} "
-            "per-device block; adjust the mesh or use solve_fixed_halo")
-    tile, k = plan.tile, plan.k_sweeps
-    radius = _radius(spec.offsets)
-    h = _round8(2 * radius * k)
-
+    check_every = int(check_every)
     dtype = S.dtype
-    omega = jnp.asarray(omega, dtype)
     tol = jnp.asarray(tol, dtype)
     max_iters = jnp.asarray(max_iters, jnp.int32)
-    rel_pl = (omega * spec.relax).astype(dtype)
-    W = _stack_planes(spec, rel_pl, ny, nx, dtype)
-    bW = W.shape[0]
-    ncells = float(ny * nx)
-
-    batch_ax = "batch" if (mb > 1) else None
-    w_spec = P(batch_ax if bW > 1 else None, None, "y", None)
-    s_spec = P(batch_ax, "y", None)
-    t_spec = P(batch_ax)              # per-batch-element telemetry
-
-    import dataclasses
-    slim = dataclasses.replace(
-        spec,
-        w=jnp.zeros((len(spec.offsets), 1, 1), spec.w.dtype),
-        w0=jnp.zeros((1, 1), spec.w0.dtype),
-        g=jnp.zeros((1, 1), spec.g.dtype),
-        relax=jnp.zeros((1, 1), spec.relax.dtype),
-        active=jnp.zeros((1, 1), bool))
+    ncells = float(np.prod(S.shape[-2:], dtype=np.int64))
+    k, mb = su.k, su.mb
+    stop_on_zero = spec.stop_on_zero_norm
+    t_spec = P(su.batch_ax)           # per-batch-element telemetry
 
     def local_solve(Wl, Sl):
-        iy = jax.lax.axis_index("y")
-        idx = jnp.where(iy == 0, 0, jnp.where(iy == my_ - 1, 2, 1))
-        bl = Sl.shape[0]                  # local batch block
-
-        if my_ > 1:
-            lo_w, hi_w = _ring_halo(Wl, "y", h, Wl.ndim - 2, my_)
-            Wp = jnp.concatenate([lo_w, Wl, hi_w], axis=Wl.ndim - 2)
-        else:
-            Wp = Wl
-
-        def step(Sl, n, n_static):
-            if my_ == 1:
-                return _window_chunk(slim, Wp, Sl, n, k, tile,
-                                     interpret=interpret, n_static=n_static)
-            lo, hi = _ring_halo(Sl, "y", h, 1, my_)
-            Sp = jnp.concatenate([lo, Sl, hi], axis=1)
-
-            def top(Sp):
-                return _window_chunk(
-                    slim, Wp[:, :, h:, :], Sp[:, h:, :], n, k, tile,
-                    interpret=interpret, n_static=n_static, out_rows=by,
-                    pad_lo=0, has_top=True, has_bot=False)
-
-            def mid(Sp):
-                return _window_chunk(
-                    slim, Wp, Sp, n, k, tile,
-                    interpret=interpret, n_static=n_static, out_rows=by,
-                    pad_lo=h, has_top=False, has_bot=False)
-
-            def bot(Sp):
-                return _window_chunk(
-                    slim, Wp[:, :, :by + h, :], Sp[:, :by + h, :],
-                    n, k, tile,
-                    interpret=interpret, n_static=n_static, out_rows=by,
-                    pad_lo=h, has_top=False, has_bot=True)
-
-            return jax.lax.switch(idx, (top, mid, bot), Sp)
+        Wp = _pad_weights(su, Wl)
+        step = _device_step(su, Wp)
+        bl = Sl.shape[0]              # local batch block
 
         def window(Sl, k_eff, full):
             """k_eff sweeps (static check_every when full)."""
@@ -358,7 +320,7 @@ def solve_halo_window(spec: StencilSpec, S, omega, tol, max_iters: int,
                 if rem:
                     Sl = step(Sl, rem, rem)
                 return Sl
-            # dynamic remainder: ceil(k_eff/k) bounded by check_every//k+1
+            # dynamic remainder: ceil(k_eff/k) launches, clamped counts
             chunks = (k_eff + k - 1) // k
             nmax = -(-check_every // k)
 
@@ -383,7 +345,7 @@ def solve_halo_window(spec: StencilSpec, S, omega, tol, max_iters: int,
             live = ~c["done"] & (k_eff > 0)
             new_loop = jnp.where(live, c["loop"] + k_eff, c["loop"])
             stop = overflow | (rel < tol) | (new_loop >= max_iters)
-            if spec.stop_on_zero_norm:
+            if stop_on_zero:
                 stop = stop | (norm == 0)
             keep = ~live
             out = dict(
@@ -424,11 +386,11 @@ def solve_halo_window(spec: StencilSpec, S, omega, tol, max_iters: int,
         return (out["S"], out["loop"], out["rel"], out["overflow"])
 
     mapped = shard_map(local_solve, mesh=mesh,
-                       in_specs=(w_spec, s_spec),
-                       out_specs=(s_spec, t_spec, t_spec, t_spec),
+                       in_specs=(su.w_spec, su.s_spec),
+                       out_specs=(su.s_spec, t_spec, t_spec, t_spec),
                        check_vma=False)
-    Sout, loop, rel, ovf = mapped(W, S3)
+    Sout, loop, rel, ovf = mapped(su.W, su.S3)
     return SolveResult(S=Sout.reshape(S.shape),
-                       iters=loop.reshape(batch_shape),
-                       rel_change=rel.reshape(batch_shape),
-                       overflow=ovf.reshape(batch_shape))
+                       iters=loop.reshape(su.batch_shape),
+                       rel_change=rel.reshape(su.batch_shape),
+                       overflow=ovf.reshape(su.batch_shape))

@@ -237,12 +237,24 @@ def _upwind_terms(coef, s, scale):
     return pos * scale, -neg * scale, -s * jnp.abs(coef) * scale
 
 
-def general_2d(A, B, C, D, E, F, G, Fdef, deltas, bcs, upwind: float = 0.0):
+def _upwind_on(upwind) -> bool:
+    """True when ``upwind`` requests the upwinded discretisation: a nonzero
+    scalar (+-1 global convention) or a per-cell sign plane (arrays are
+    always 'on' — plain truthiness would raise on them)."""
+    if upwind is None:
+        return False
+    if isinstance(upwind, (int, float)):
+        return upwind != 0
+    return True
+
+
+def general_2d(A, B, C, D, E, F, G, Fdef, deltas, bcs, upwind=0.0):
     r"""A Syy + B Syx + C Sxx + D Sy + E Sx + F S = G  (numbas.py:988-1201).
 
     ``upwind`` (0 = centered first derivatives, reference parity) selects
     first-order upwinding of the D/E advection terms with sign
-    normalisation ``upwind = +-1`` (the sign making the diffusion terms
+    normalisation ``upwind = +-1`` or a per-cell +-1 plane (the sign
+    making the diffusion terms
     non-negative); used for multigrid COARSE operators, where doubled
     spacings push the cell Peclet number past centered-difference
     stability.
@@ -256,7 +268,7 @@ def general_2d(A, B, C, D, E, F, G, Fdef, deltas, bcs, upwind: float = 0.0):
     dtype = jnp.result_type(A, C, G)
 
     w0 = -2.0 * (A * rsq + C) + F * dxsq
-    if upwind:
+    if _upwind_on(upwind):
         dyp, dym, dy0 = _upwind_terms(D, upwind, ratio * delx)
         exp, exm, ex0 = _upwind_terms(E, upwind, delx)
         weights = {
@@ -362,7 +374,7 @@ def standard_3d(A, B, C, F, Fdef, deltas, bcs):
 
 
 def general_3d(A, B, C, D, E, F, G, H, Fdef, deltas, bcs,
-               upwind: float = 0.0):
+               upwind=0.0):
     r"""A Szz + B Syy + C Sxx + D Sz + E Sy + F Sx + G S = H
     (numbas.py:746-984).  ``upwind`` as in :func:`general_2d`."""
     delz, dely, delx = deltas
@@ -375,7 +387,7 @@ def general_3d(A, B, C, D, E, F, G, H, Fdef, deltas, bcs,
     dtype = jnp.result_type(A, C, H)
 
     w0 = -2.0 * (A * r2sq + B * r1sq + C) + G * dxsq
-    if upwind:
+    if _upwind_on(upwind):
         dzp, dzm, dz0 = _upwind_terms(D, upwind, r2 * delx)
         dyp, dym, dy0 = _upwind_terms(E, upwind, r1 * delx)
         dxp, dxm, dx0 = _upwind_terms(F, upwind, delx)
