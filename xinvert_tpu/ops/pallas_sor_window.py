@@ -122,12 +122,14 @@ WINDOW_COMPILER_OPTS = {"xla_tpu_scoped_vmem_limit_kib": str(_SCOPED_VMEM_KIB)}
 _RESULT_CAP = 64 * 1024 * 1024      # result bytes; leaves room for buffers
 
 
-# the in-place shifted-load kernel variant is bit-exact but has not yet
-# shown a clean-device win over the statically-unrolled roll kernel
-# (first hardware runs measured ~1.5 s per 100 sweeps against the roll
-# kernel's 7.9 ms — likely misaligned scratch stores); keep it gated off
-# until profiled
-INPLACE_KERNEL = False
+# the in-place shifted-load kernel variant for no-cross radius-1 stencils.
+# Round 2's pathological timing (~1.5 s per 100 sweeps) traced to the
+# center-weight read indexing the size-1 leading block dim out of bounds
+# (W_ref[K] for W_ref[0, K]); after the fix it is bit-equal on the v5e and
+# ~3% faster than the roll kernel at 2048^2 (tools/tpu_inplace_probe.py:
+# 56.6 vs 58.2 ms / 500 sweeps) — within relay jitter, so it stays off by
+# default; flip with XINVERT_INPLACE=1 for A/B runs
+INPLACE_KERNEL = __import__("os").environ.get("XINVERT_INPLACE") == "1"
 
 
 def _no_cross_r1(spec) -> bool:
