@@ -502,7 +502,22 @@ def build_pyramid_bih2d(coeffs, J, Fdef, deltas, bcs,
 
 # ---------------------------------------------------------------- smoothers
 
-def _smooth(level: MGLevel, S, n):
+def _smooth(level: MGLevel, S, n, kernels: bool = False):
+    """n red-black SOR sweeps — the point smoother.  With ``kernels``
+    (TPU f32, top-level jit carrying the scoped-VMEM option) the sweeps
+    dispatch the same fused Pallas kernels the SOR driver uses (they ARE
+    n red-black sweeps, bit-identical): at 2048^2 the fine-level smoothing
+    is the bulk of a V-cycle's wall time and the windowed kernel runs it
+    ~6x faster than the XLA rolls."""
+    if kernels and n:
+        from .solver import _select_kernel
+        k = _select_kernel(level.spec, S)
+        if k == "vmem":
+            from .ops.pallas_sor import sor_sweeps_pallas
+            return sor_sweeps_pallas(level.spec, S, level.omega, n)
+        if k == "window":
+            from .ops.pallas_sor_window import sor_sweeps_window
+            return sor_sweeps_window(level.spec, S, level.omega, n)
     rr, rb = _color_relax(level.spec, level.omega)
     return jax.lax.fori_loop(
         0, n, lambda i, s: _sweep_with(level.spec, s, rr, rb), S)
@@ -603,13 +618,14 @@ def _residual(spec, S):
 
 def _vcycle(levels: List[MGLevel], lvl: int, S, g_override,
             nu1: int, nu2: int, coarse_iters: int, alpha: float = 1.0,
-            smoother: str = "point"):
+            smoother: str = "point", kernels: bool = False):
     if smoother in _SMOOTH_AXES:
         axes = _SMOOTH_AXES[smoother]
         def sm(level, S, n):
             return _smooth_line(level, S, n, axes)
     else:
-        sm = _smooth
+        def sm(level, S, n):
+            return _smooth(level, S, n, kernels)
     level = levels[lvl]
     spec = level.spec
     if g_override is not None:
@@ -631,7 +647,7 @@ def _vcycle(levels: List[MGLevel], lvl: int, S, g_override,
     g_c = (-16.0 if spec.bih else -4.0) * r_c
     e0 = jnp.zeros_like(levels[lvl + 1].spec.w0)
     e = _vcycle(levels, lvl + 1, e0, g_c, nu1, nu2, coarse_iters, alpha,
-                smoother)
+                smoother, kernels)
     corr = prolong(e, spec.w0.shape[-2:], level.odd, bcs2)
     # alpha < 1 damps the coarse-grid correction: with re-discretised
     # (non-Galerkin) coarse operators and irregular masks, the undamped
@@ -641,9 +657,10 @@ def _vcycle(levels: List[MGLevel], lvl: int, S, g_override,
 
 
 @partial(jax.jit, static_argnames=("max_cycles", "nu1", "nu2",
-                                   "coarse_iters", "alpha", "smoother"))
+                                   "coarse_iters", "alpha", "smoother",
+                                   "kernels"))
 def _solve_mg_krylov_jit(levels, S0, g0, tol, max_cycles, nu1, nu2,
-                         coarse_iters, alpha, smoother):
+                         coarse_iters, alpha, smoother, kernels=False):
     """V-cycle-preconditioned BiCGStab on the folded system.
 
     Plain coarse-grid correction fails on advection-dominated operators
@@ -673,7 +690,7 @@ def _solve_mg_krylov_jit(levels, S0, g0, tol, max_cycles, nu1, nu2,
     def precond(r):
         return _vcycle(levels, 0, jnp.zeros_like(r),
                        jnp.where(act, -r, 0.0), nu1, nu2, coarse_iters,
-                       alpha, smoother)
+                       alpha, smoother, kernels)
 
     b = jnp.where(act, -(_neighbor_sum(spec_l, S0) + spec.w0 * S0
                          + spec.g), 0.0)
@@ -718,9 +735,10 @@ def _solve_mg_krylov_jit(levels, S0, g0, tol, max_cycles, nu1, nu2,
 
 
 @partial(jax.jit, static_argnames=("max_cycles", "nu1", "nu2",
-                                   "coarse_iters", "alpha", "smoother"))
+                                   "coarse_iters", "alpha", "smoother",
+                                   "kernels"))
 def _solve_mg_jit(levels, S0, g0, tol, max_cycles, nu1, nu2, coarse_iters,
-                  alpha, smoother):
+                  alpha, smoother, kernels=False):
     spec = levels[0].spec
     if g0 is not None:
         spec = dataclasses.replace(spec, g=jnp.where(spec.active, g0, 0.0))
@@ -741,7 +759,7 @@ def _solve_mg_jit(levels, S0, g0, tol, max_cycles, nu1, nu2, coarse_iters,
     def body(c):
         S, k, res, stall = c
         S = _vcycle(levels, 0, S, spec.g, nu1, nu2, coarse_iters, alpha,
-                    smoother)
+                    smoother, kernels)
         new_res = jnp.max(jnp.abs(_residual(spec, S))) / g_scale
         stall = jnp.where(new_res <= 0.9 * res, 0, stall + 1)
         return (S, k + 1, new_res, stall)
@@ -750,6 +768,24 @@ def _solve_mg_jit(levels, S0, g0, tol, max_cycles, nu1, nu2, coarse_iters,
     S, k, res, _ = jax.lax.while_loop(
         cond, body, (S0, jnp.asarray(0), big, jnp.asarray(0)))
     return S, k, res
+
+
+_MG_JIT_TPU = {}
+
+
+def _mg_jit_tpu(krylov: bool):
+    """Variant of the solve jits carrying the windowed kernel's raised
+    scoped-VMEM compiler option (legal on top-level jits only; the plain
+    module-level jits stay option-free for nested/CPU use)."""
+    if krylov not in _MG_JIT_TPU:
+        from .ops.pallas_sor_window import WINDOW_COMPILER_OPTS
+        impl = (_solve_mg_krylov_jit if krylov else _solve_mg_jit).__wrapped__
+        _MG_JIT_TPU[krylov] = partial(
+            jax.jit, static_argnames=("max_cycles", "nu1", "nu2",
+                                      "coarse_iters", "alpha", "smoother",
+                                      "kernels"),
+            compiler_options=WINDOW_COMPILER_OPTS)(impl)
+    return _MG_JIT_TPU[krylov]
 
 
 def solve_mg(levels: List[MGLevel], S0=None, tol: float = 1e-6,
@@ -799,36 +835,45 @@ def solve_mg(levels: List[MGLevel], S0=None, tol: float = 1e-6,
         S0 = jnp.zeros(spec.w0.shape[-nd:], spec.w0.dtype)
     S0 = jnp.asarray(S0)
 
-    def run(fn, S0_, g0_):
+    batched = S0.ndim > nd
+    # fused-kernel smoothing: TPU f32, unbatched (pallas under vmap is
+    # untested here), point smoother only (_smooth gates per level anyway)
+    use_kernels = (not batched and jax.default_backend() == "tpu"
+                   and S0.dtype == jnp.float32)
+
+    def run(krylov, S0_, g0_):
+        if use_kernels:
+            fn = _mg_jit_tpu(krylov)
+        else:
+            fn = _solve_mg_krylov_jit if krylov else _solve_mg_jit
         return fn(tuple(levels), S0_, g0_, jnp.asarray(tol, S0.dtype),
                   max_cycles, nu1, nu2, coarse_iters, float(alpha),
-                  str(smoother))
+                  str(smoother), kernels=use_kernels)
 
-    batched = S0.ndim > nd
     if batched:
         S0 = S0.reshape((-1,) + S0.shape[-nd:])
         if g0 is None:
             raise ValueError("batched solve_mg needs a batched g0")
         g0 = jnp.asarray(g0).reshape((-1,) + S0.shape[1:])
         stages = (
-            [(_solve_mg_jit, 0)] if accel is None else
-            [(_solve_mg_krylov_jit, 0)] if accel == "bicgstab" else
-            [(_solve_mg_jit, 0), (_solve_mg_krylov_jit, 1)])
+            [(False, 0)] if accel is None else
+            [(True, 0)] if accel == "bicgstab" else
+            [(False, 0), (True, 1)])
         S, k_tot, res_f = S0, 0, float("inf")
-        for fn, rescue in stages:
+        for krylov, rescue in stages:
             if rescue and res_f < tol:
                 break
-            S, k, res = jax.vmap(lambda s, g, fn=fn: run(fn, s, g))(S, g0)
+            S, k, res = jax.vmap(
+                lambda s, g, kr=krylov: run(kr, s, g))(S, g0)
             k_tot += int(jnp.max(k))
             res_f = float(jnp.max(res))
         return S, k_tot, res_f, res_f < tol
     if g0 is not None:
         g0 = jnp.asarray(g0)
-    S, k, res = run(_solve_mg_krylov_jit if accel == "bicgstab"
-                    else _solve_mg_jit, S0, g0)
+    S, k, res = run(accel == "bicgstab", S0, g0)
     k_tot, res_f = int(k), float(res)
     if accel == "auto" and res_f >= tol:
-        S, k, res = run(_solve_mg_krylov_jit, S, g0)
+        S, k, res = run(True, S, g0)
         k_tot += int(k)
         res_f = float(res)
     return S, k_tot, res_f, res_f < tol
