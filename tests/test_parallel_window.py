@@ -161,3 +161,45 @@ def test_checked_solve_sharded_batched_telemetry():
                          - np.asarray(host.iters, np.int64)) <= 8)
     np.testing.assert_allclose(np.asarray(shrd.S), np.asarray(host.S),
                                rtol=1e-8, atol=1e-11)
+
+
+def test_mesh_iparam_api_routing():
+    """iParams['mesh'] routes invert_* through the sharded executors: the
+    halo-window path when the decomposition qualifies, the GSPMD path
+    otherwise — both matching the single-device inversion."""
+    from xinvert_tpu import invert_Poisson, invert_StommelMunk
+    from xinvert_tpu.field import Field
+
+    ny, nx = 512, 128
+    lat = np.linspace(-80, 80, ny)
+    lon = np.linspace(0, 360 - 360 / nx, nx)
+    rng = np.random.default_rng(3)
+    vor = rng.normal(0, 1e-5, (ny, nx))
+    F = Field(vor, ("lat", "lon"), {"lat": lat, "lon": lon}, name="vor")
+    iP = {"BCs": ["extend", "periodic"], "undef": np.nan, "mxLoop": 400,
+          "tolerance": 1e-11, "printInfo": False}
+    ref = invert_Poisson(F, dims=["lat", "lon"], iParams=iP)
+    got = invert_Poisson(F, dims=["lat", "lon"],
+                         iParams={**iP, "mesh": _mesh_y(4)})
+    # halo-window branch: psum norm may shift termination by one window,
+    # but at the mxLoop cap the iterates are bit-identical
+    assert np.array_equal(got.values, ref.values, equal_nan=True)
+
+    # biharmonic is not halo-window-eligible -> GSPMD fallback, and the
+    # partial ('y',) mesh lifts to ('batch','y','x') internally
+    ny2, nx2 = 64, 64
+    xc = np.arange(nx2) * 5e4
+    yc = np.arange(ny2) * 5e4
+    curl = Field(rng.normal(0, 1e-7, (ny2, nx2)), ("yc", "xc"),
+                 {"yc": yc, "xc": xc}, name="curl")
+    iP2 = {"BCs": ["fixed", "fixed"], "undef": np.nan, "mxLoop": 200,
+           "tolerance": 1e-11, "printInfo": False, "optArg": 1.0}
+    ref2 = invert_StommelMunk(curl, dims=["yc", "xc"], coords="cartesian",
+                              mParams={"A4": 5e3, "R": 0.0}, iParams=iP2)
+    got2 = invert_StommelMunk(curl, dims=["yc", "xc"], coords="cartesian",
+                              mParams={"A4": 5e3, "R": 0.0},
+                              iParams={**iP2, "mesh": _mesh_y(4)})
+    # GSPMD partitions the convergence-norm reduction, so the stopping
+    # decision (and hence the iterate) can differ in the last ulps
+    np.testing.assert_allclose(got2.values, ref2.values,
+                               rtol=1e-7, atol=1e-3)

@@ -282,6 +282,33 @@ def _invert(problem_key, F, dims, coords, icbc, valid_mp, mParams, iParams,
                              check_every=_auto_check_every(iParams, iP),
                              scheme=iP.get("scheme", "sor"),
                              tol_type=iP.get("tolType", "change"))
+    if res is None and iP.get("mesh") is not None:
+        # multi-device: explicit halo-window executor (per-device fused
+        # kernels + ppermute ghost rings, reference stopping semantics)
+        # when the decomposition qualifies, else the GSPMD-sharded solve
+        mesh = iP["mesh"]
+        from ..parallel.halo_window import (halo_window_applicable,
+                                            solve_halo_window)
+        S0j = jnp.asarray(S0)
+        if (iP.get("scheme", "sor") == "sor"
+                and iP.get("tolType", "change") == "change"
+                and halo_window_applicable(spec, S0j.shape, mesh)):
+            res = solve_halo_window(
+                spec, S0j, omega, iP["tolerance"], iP["mxLoop"],
+                check_every=_auto_check_every(iParams, iP), mesh=mesh)
+        else:
+            from ..parallel.mesh import solve_sharded
+            if any(ax not in mesh.shape for ax in ("batch", "y", "x")):
+                # the GSPMD pspecs name all three axes; lift a partial
+                # mesh (e.g. a ('y',) row mesh) with size-1 axes
+                from jax.sharding import Mesh as _Mesh
+                devs = np.asarray(mesh.devices).reshape(
+                    (mesh.shape.get("batch", 1), mesh.shape.get("y", 1),
+                     mesh.shape.get("x", 1)))
+                mesh = _Mesh(devs, ("batch", "y", "x"))
+            res = solve_sharded(spec, S0j, mesh=mesh, omega=omega,
+                                tol=iP["tolerance"],
+                                max_iters=iP["mxLoop"])
     if res is None:
         res = solve(spec, jnp.asarray(S0), omega=omega,
                     tol=iP["tolerance"], max_iters=iP["mxLoop"],

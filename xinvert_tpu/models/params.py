@@ -45,6 +45,10 @@ default_iParams = {
                          # (non-core) dims through the device this many
                          # slices at a time (stream.solve_streamed), for
                          # batches larger than HBM; None -> resident solve
+    "mesh": None,        # TPU-native extension: a jax.sharding.Mesh ->
+                         # solve sharded over it (the explicit halo-window
+                         # executor when the decomposition qualifies, else
+                         # the GSPMD path); None -> single-device solve
 }
 
 default_mParams = {
