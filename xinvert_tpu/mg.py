@@ -835,11 +835,23 @@ def solve_mg(levels: List[MGLevel], S0=None, tol: float = 1e-6,
         S0 = jnp.zeros(spec.w0.shape[-nd:], spec.w0.dtype)
     S0 = jnp.asarray(S0)
 
+    def _one_device(*arrays):
+        # pallas_call has no SPMD partitioning rule outside shard_map:
+        # GSPMD-sharded operands (solve_mg_sharded) must keep the
+        # partitionable XLA sweeps
+        for a in arrays:
+            sh = getattr(a, "sharding", None)
+            if sh is not None and len(getattr(sh, "device_set", ())) > 1:
+                return False
+        return True
+
     batched = S0.ndim > nd
     # fused-kernel smoothing: TPU f32, unbatched (pallas under vmap is
-    # untested here), point smoother only (_smooth gates per level anyway)
+    # untested here), single-device operands, point smoother only
+    # (_smooth gates per level anyway)
     use_kernels = (not batched and jax.default_backend() == "tpu"
-                   and S0.dtype == jnp.float32)
+                   and S0.dtype == jnp.float32
+                   and _one_device(S0, levels[0].spec.w0))
 
     def run(krylov, S0_, g0_):
         if use_kernels:

@@ -287,6 +287,11 @@ def _invert(problem_key, F, dims, coords, icbc, valid_mp, mParams, iParams,
         # kernels + ppermute ghost rings, reference stopping semantics)
         # when the decomposition qualifies, else the GSPMD-sharded solve
         mesh = iP["mesh"]
+        if not set(mesh.shape) <= {"batch", "y", "x"}:
+            raise ValueError(
+                "iParams['mesh'] axes must be named 'batch'/'y'/'x' "
+                f"(got {tuple(mesh.shape)}): non-core dims shard over "
+                "'batch', the core grid over ('y', 'x')")
         from ..parallel.halo_window import (halo_window_applicable,
                                             solve_halo_window)
         S0j = jnp.asarray(S0)
@@ -300,15 +305,26 @@ def _invert(problem_key, F, dims, coords, icbc, valid_mp, mParams, iParams,
             from ..parallel.mesh import solve_sharded
             if any(ax not in mesh.shape for ax in ("batch", "y", "x")):
                 # the GSPMD pspecs name all three axes; lift a partial
-                # mesh (e.g. a ('y',) row mesh) with size-1 axes
+                # mesh (e.g. a ('y',) row mesh) with size-1 axes,
+                # TRANSPOSING the existing axes into canonical
+                # (batch, y, x) order so each device keeps the mesh
+                # coordinate the user laid out (a plain reshape would
+                # scramble e.g. a ('y', 'batch') mesh's placement)
                 from jax.sharding import Mesh as _Mesh
-                devs = np.asarray(mesh.devices).reshape(
+                order = [ax for ax in ("batch", "y", "x")
+                         if ax in mesh.shape]
+                perm = [mesh.axis_names.index(ax) for ax in order]
+                devs = np.transpose(np.asarray(mesh.devices), perm)
+                devs = devs.reshape(
                     (mesh.shape.get("batch", 1), mesh.shape.get("y", 1),
                      mesh.shape.get("x", 1)))
                 mesh = _Mesh(devs, ("batch", "y", "x"))
             res = solve_sharded(spec, S0j, mesh=mesh, omega=omega,
                                 tol=iP["tolerance"],
-                                max_iters=iP["mxLoop"])
+                                max_iters=iP["mxLoop"],
+                                check_every=_auto_check_every(iParams, iP),
+                                scheme=iP.get("scheme", "sor"),
+                                tol_type=iP.get("tolType", "change"))
     if res is None:
         res = solve(spec, jnp.asarray(S0), omega=omega,
                     tol=iP["tolerance"], max_iters=iP["mxLoop"],

@@ -40,6 +40,7 @@ compiles — that matters through the slow remote-compile relay.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import numpy as np
@@ -129,7 +130,7 @@ _RESULT_CAP = 64 * 1024 * 1024      # result bytes; leaves room for buffers
 # ~3% faster than the roll kernel at 2048^2 (tools/tpu_inplace_probe.py:
 # 56.6 vs 58.2 ms / 500 sweeps) — within relay jitter, so it stays off by
 # default; flip with XINVERT_INPLACE=1 for A/B runs
-INPLACE_KERNEL = __import__("os").environ.get("XINVERT_INPLACE") == "1"
+INPLACE_KERNEL = os.environ.get("XINVERT_INPLACE") == "1"
 
 
 def _no_cross_r1(spec) -> bool:

@@ -71,6 +71,8 @@ def halo_window_applicable(spec, S_shape, mesh: Mesh) -> bool:
     """True when the sharded windowed-kernel path applies to this problem."""
     if spec.ndim != 2 or spec.bih:
         return False
+    if "y" not in mesh.shape:
+        return False
     if "x" in mesh.shape and mesh.shape["x"] != 1:
         return False
     my_ = mesh.shape["y"]

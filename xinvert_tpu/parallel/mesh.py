@@ -115,10 +115,13 @@ def shard_problem(spec: StencilSpec, S0, mesh: Mesh):
 
 def solve_sharded(spec: StencilSpec, S0, mesh: Optional[Mesh] = None,
                   omega: Optional[float] = None, tol: float = 1e-8,
-                  max_iters: int = 5000) -> SolveResult:
+                  max_iters: int = 5000, check_every: int = 1,
+                  scheme: str = "sor",
+                  tol_type: str = "change") -> SolveResult:
     """Convergence-checked solve with the problem sharded over `mesh`.
 
-    Identical semantics to :func:`xinvert_tpu.solver.solve`; only placement
+    Identical semantics to :func:`xinvert_tpu.solver.solve` (including the
+    ``check_every`` / ``scheme`` / ``tol_type`` extensions); only placement
     differs.  The jitted driver inherits the input shardings — GSPMD inserts
     halo exchanges for the stencil shifts and a global reduction for the
     norm/termination test.
@@ -126,7 +129,9 @@ def solve_sharded(spec: StencilSpec, S0, mesh: Optional[Mesh] = None,
     if mesh is None:
         mesh = make_grid_mesh()
     spec_sh, S0_sh = shard_problem(spec, S0, mesh)
-    return solve(spec_sh, S0_sh, omega=omega, tol=tol, max_iters=max_iters)
+    return solve(spec_sh, S0_sh, omega=omega, tol=tol, max_iters=max_iters,
+                 check_every=check_every, scheme=scheme, tol_type=tol_type,
+                 use_pallas=False)
 
 
 def _fit_pspec(p: P, shape, mesh: Mesh) -> P:
