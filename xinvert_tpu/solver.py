@@ -233,6 +233,13 @@ def _select_kernel(spec, S):
     2-D grids, else the XLA roll path (None)."""
     if jax.default_backend() != "tpu" or S.dtype != jnp.float32:
         return None
+    for a in (S, spec.w0):
+        # pallas_call has no SPMD partitioning rule outside shard_map:
+        # GSPMD-sharded operands keep the partitionable XLA sweeps (the
+        # sharded kernel path is parallel/halo_window.py)
+        sh = getattr(a, "sharding", None)
+        if sh is not None and len(getattr(sh, "device_set", ())) > 1:
+            return None
     from .ops.pallas_sor import pallas_applicable
     if pallas_applicable(spec, jnp.shape(S)):
         return "vmem"
