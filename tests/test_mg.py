@@ -318,3 +318,23 @@ def test_smoother_stamped_and_jit_composable():
     assert conv
     np.testing.assert_allclose(np.asarray(S), np.asarray(S_ref),
                                rtol=1e-10, atol=1e-12)
+
+
+def test_fmg_nested_iteration():
+    """fmg=True warm-starts the V-cycle loop from a coarsest-first cascade:
+    same tolerance reached, fewer main-loop cycles (masked cartesian
+    Poisson; measured 49 -> 42 at 512^2 f32 on CPU)."""
+    ny, nx = 128, 128
+    rng = np.random.default_rng(5)
+    A = np.ones((ny, nx))
+    F = rng.normal(0, 1, (ny, nx)) * 1e-9
+    Fdef = np.ones((ny, nx), bool)
+    Fdef[ny // 3:ny // 2, nx // 4:nx // 2] = False
+    pyr = build_pyramid_standard2d(A, 0.0, A, jnp.asarray(F), Fdef,
+                                   (1.0e5, 1.0e5), ("fixed", "fixed"))
+    S0, k0, res0, ok0 = solve_mg(pyr, tol=1e-8, max_cycles=80)
+    S1, k1, res1, ok1 = solve_mg(pyr, tol=1e-8, max_cycles=80, fmg=True)
+    assert ok0 and ok1
+    assert k1 <= k0, (k1, k0)
+    # both satisfy the residual tolerance on the same equation
+    assert res1 < 1e-8 and res0 < 1e-8

@@ -658,9 +658,10 @@ def _vcycle(levels: List[MGLevel], lvl: int, S, g_override,
 
 @partial(jax.jit, static_argnames=("max_cycles", "nu1", "nu2",
                                    "coarse_iters", "alpha", "smoother",
-                                   "kernels"))
+                                   "kernels", "fmg"))
 def _solve_mg_krylov_jit(levels, S0, g0, tol, max_cycles, nu1, nu2,
-                         coarse_iters, alpha, smoother, kernels=False):
+                         coarse_iters, alpha, smoother, kernels=False,
+                         fmg=False):
     """V-cycle-preconditioned BiCGStab on the folded system.
 
     Plain coarse-grid correction fails on advection-dominated operators
@@ -670,7 +671,9 @@ def _solve_mg_krylov_jit(levels, S0, g0, tol, max_cycles, nu1, nu2,
     fast convergence (measured: Stommel-Arons 36x72 stalls at 3e-1 plain,
     reaches 3e-8 Krylov-wrapped).  Solves for the CORRECTION e with
     A e = r(S0), inactive cells pinned at zero, so icbc Dirichlet data in
-    S0 rides through untouched."""
+    S0 rides through untouched.  ``fmg`` is accepted for uniform plumbing
+    but ignored: the Krylov stage runs as a RESCUE from an already-warm
+    iterate."""
     from jax.scipy.sparse.linalg import bicgstab
 
     spec = levels[0].spec
@@ -734,14 +737,47 @@ def _solve_mg_krylov_jit(levels, S0, g0, tol, max_cycles, nu1, nu2,
     return S0 + jnp.where(act, e, 0.0), 2 * k, res
 
 
+def _fmg_init(levels, spec, S0, nu1, nu2, coarse_iters, alpha, smoother,
+              kernels):
+    """Full-multigrid (nested-iteration) initial guess.
+
+    The original equation's forcing restricts down the hierarchy (the
+    folded g carries the level's dx^2, so each coarsening multiplies by 4
+    — 16 for the biharmonic family), the coarsest level is smoothed to
+    convergence, and the solution prolongs up with one V-cycle per level.
+    The returned state replaces S0 on active cells (Dirichlet/icbc data on
+    inactive cells rides through), warm-starting the main V-cycle loop —
+    nested iteration starts the loop O(discretisation error) from the
+    solution instead of O(1)."""
+    gs = [spec.g]
+    for l in range(len(levels) - 1):
+        lv, nxt = levels[l], levels[l + 1]
+        scale = 16.0 if lv.spec.bih else 4.0
+        gc = scale * restrict(gs[-1], lv.odd, lv.spec.bcs[-2:])
+        gs.append(jnp.where(nxt.spec.active, gc, 0.0))
+    e = jnp.zeros_like(levels[-1].spec.w0)
+    e = _vcycle(levels, len(levels) - 1, e, gs[-1], nu1, nu2,
+                coarse_iters, alpha, smoother, kernels)
+    for l in range(len(levels) - 2, -1, -1):
+        lv = levels[l]
+        e = prolong(e, lv.spec.w0.shape[-2:], lv.odd, lv.spec.bcs[-2:])
+        e = jnp.where(lv.spec.active, e, 0.0)
+        e = _vcycle(levels, l, e, gs[l], nu1, nu2, coarse_iters, alpha,
+                    smoother, kernels)
+    return jnp.where(spec.active, e, S0)
+
+
 @partial(jax.jit, static_argnames=("max_cycles", "nu1", "nu2",
                                    "coarse_iters", "alpha", "smoother",
-                                   "kernels"))
+                                   "kernels", "fmg"))
 def _solve_mg_jit(levels, S0, g0, tol, max_cycles, nu1, nu2, coarse_iters,
-                  alpha, smoother, kernels=False):
+                  alpha, smoother, kernels=False, fmg=False):
     spec = levels[0].spec
     if g0 is not None:
         spec = dataclasses.replace(spec, g=jnp.where(spec.active, g0, 0.0))
+    if fmg and len(levels) > 1:
+        S0 = _fmg_init(levels, spec, S0, nu1, nu2, coarse_iters, alpha,
+                       smoother, kernels)
     # dtype-aware floor: 1e-300 flushes to 0 in f32 (the TPU dtype) and an
     # all-zero forcing would then report res = 0/0 = nan
     g_scale = jnp.maximum(jnp.max(jnp.abs(spec.g)),
@@ -783,7 +819,7 @@ def _mg_jit_tpu(krylov: bool):
         _MG_JIT_TPU[krylov] = partial(
             jax.jit, static_argnames=("max_cycles", "nu1", "nu2",
                                       "coarse_iters", "alpha", "smoother",
-                                      "kernels"),
+                                      "kernels", "fmg"),
             compiler_options=WINDOW_COMPILER_OPTS)(impl)
     return _MG_JIT_TPU[krylov]
 
@@ -792,7 +828,7 @@ def solve_mg(levels: List[MGLevel], S0=None, tol: float = 1e-6,
              max_cycles: int = 50, nu1: int = 2, nu2: int = 2,
              coarse_iters: int = 60, alpha: Optional[float] = None,
              smoother: Optional[str] = None, g0=None,
-             accel: Optional[str] = "auto"):
+             accel: Optional[str] = "auto", fmg: bool = False):
     """V-cycle to a RESIDUAL tolerance (relative to max |g|).
 
     Note the convergence criterion differs from the SOR driver's
@@ -860,7 +896,8 @@ def solve_mg(levels: List[MGLevel], S0=None, tol: float = 1e-6,
             fn = _solve_mg_krylov_jit if krylov else _solve_mg_jit
         return fn(tuple(levels), S0_, g0_, jnp.asarray(tol, S0.dtype),
                   max_cycles, nu1, nu2, coarse_iters, float(alpha),
-                  str(smoother), kernels=use_kernels)
+                  str(smoother), kernels=use_kernels,
+                  fmg=bool(fmg) and not krylov)
 
     if batched:
         S0 = S0.reshape((-1,) + S0.shape[-nd:])
