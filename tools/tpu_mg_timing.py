@@ -40,16 +40,17 @@ def main():
     print(f"pyramid: {len(pyr)} levels")
     S0 = jnp.zeros((ny, nx), jnp.float32)
 
-    def t_mg():
+    def t_mg(fmg=False):
         t0 = time.perf_counter()
-        S, k, res, ok = solve_mg(pyr, tol=1e-6, max_cycles=80)
+        S, k, res, ok = solve_mg(pyr, tol=1e-6, max_cycles=80, fmg=fmg)
         float(jnp.sum(jnp.abs(S)))
         return time.perf_counter() - t0, k, res, ok
 
-    _, k, res, ok = t_mg()                      # compile
-    tmg = float(np.median([t_mg()[0] for _ in range(3)]))
-    print(f"MG to 1e-6: {tmg*1e3:.1f} ms, {k} cycles, res {res:.2e}, "
-          f"ok={ok}")
+    for fmg in (False, True):
+        _, k, res, ok = t_mg(fmg)               # compile
+        tmg = float(np.median([t_mg(fmg)[0] for _ in range(3)]))
+        print(f"MG{' (fmg)' if fmg else ''} to 1e-6: {tmg*1e3:.1f} ms, "
+              f"{k} cycles, res {res:.2e}, ok={ok}")
 
     def t_sor():
         t0 = time.perf_counter()
