@@ -396,9 +396,14 @@ def _invert_mg(F, dims, coords, icbc, valid_mp, mParams, iParams, ndim,
     levels, g0 = build_levels(vals, Fdef_c, grid, mPr)
     S0 = _init_state(vals, Fdef, icbc, grid, ft,
                      warm=bool(iP.get("warmStart", False)))
+    # fmg: full-multigrid nested iteration warm-starts the V-cycle loop
+    # from a coarsest-first cascade — strictly an initial guess (same
+    # residual tolerance, fewer main-loop cycles); disabled with an icbc
+    # warm start, which already provides the initial state
+    warm = bool(iP.get("warmStart", False)) and icbc is not None
     S, cycles, res, converged = solve_mg(
         levels, S0=jnp.asarray(S0), g0=g0 if batch else None,
-        tol=tol, max_cycles=max_cycles, **mg_kw)
+        tol=tol, max_cycles=max_cycles, fmg=not warm, **mg_kw)
     S = np.asarray(S).reshape(vals.shape)
     global LAST_SOLVE
     LAST_SOLVE = SolveResult(S=S, iters=np.asarray(cycles),
