@@ -124,17 +124,35 @@ def test_stepper_row_chunked(monkeypatch):
                                    rtol=1e-6)
 
 
-def test_stepper_none_on_batch_groups(monkeypatch):
-    """Batch-group plans (per-group weight slicing) decline the stepper —
-    the solver falls back to the per-call path."""
+def test_stepper_batch_groups(monkeypatch):
+    """Batch-group plans carry the full array state with per-group
+    prebuilt specs/W/executors — bit-exact vs the per-call path, per-slice
+    norms (round 3 extension: these solves previously fell back to the
+    W-rebuild-per-check path)."""
     monkeypatch.setattr(win, "_RESULT_CAP", 128 * 1024)
     monkeypatch.setattr(win, "_CHUNK_TARGET", 128 * 1024)
     ny, nx, B = 64, 128, 5
-    spec = _spec(ny, nx, ("extend", "periodic"))
+    rng = np.random.default_rng(41)
+    A = np.abs(rng.normal(1, 0.1, (ny, nx))) + 0.5
+    F = rng.normal(0, 1, (B, ny, nx))           # per-slice forcing
+    Fdef = np.ones((ny, nx), bool)
+    Fdef[11:21, 31:61] = False
+    spec = stencil.standard_2d(jnp.asarray(A), 0.0, jnp.asarray(A),
+                               jnp.asarray(F), jnp.asarray(Fdef),
+                               (1.3, 1.0), ("extend", "periodic"))
     S0 = jnp.zeros((B, ny, nx))
     plan = win.window_plan(spec, (B, ny, nx))
     assert plan is not None and plan.b_chunk < B
-    assert _mk(spec, S0, 1.4, 8, interpret=True) is None
+    step_full, step_dyn = _mk(spec, S0, 1.4, 8, interpret=True)
+    for S1, sa, n in [step_full(S0) + (8,),
+                      step_dyn(S0, jnp.asarray(5, jnp.int32)) + (5,)]:
+        ref = win.sor_sweeps_window(spec, S0, 1.4, jnp.asarray(n),
+                                    interpret=True)
+        assert np.array_equal(np.asarray(S1), np.asarray(ref)), n
+        assert sa.shape == (B,)
+        np.testing.assert_allclose(
+            np.asarray(sa), np.asarray(jnp.sum(jnp.abs(S1), axis=(1, 2))),
+            rtol=1e-6)
 
 
 def _route_solver_through_interpret(monkeypatch):

@@ -1003,8 +1003,7 @@ def make_window_stepper(spec, S, omega, check_every: int,
     the masked-mean-|S| convergence norm into the kernel's tile write-back
     (SURVEY §7.1 item 2), so a check costs only its kernel launches.
 
-    Returns ``(split, join, step_full, step_dyn)`` or None when the plan
-    needs batch groups (the caller falls back to the per-call path):
+    Returns ``(split, join, step_full, step_dyn)`` or None (no plan):
 
     - ``split(S) -> st`` / ``join(st) -> S`` — convert between the
       caller's array and the executor's state representation (a tuple of
@@ -1018,24 +1017,31 @@ def make_window_stepper(spec, S, omega, check_every: int,
       via the SMEM-count kernel (runs once per solve, at the mxLoop clamp);
 
     ``sumabs`` is the batch-shaped total |S'| over the core cells
-    (divide by ny*nx for the reference's absNorm mean)."""
+    (divide by ny*nx for the reference's absNorm mean).
+
+    Batch-group plans (b_chunk < B: many moderate slices) carry the FULL
+    flattened array as the state, slicing per-group views each window —
+    ~2 state passes per check window, sub-1% at group scale — with every
+    group's sliced spec / W stack / executor prebuilt once."""
     if S.ndim < 2:
         return None
     plan = window_plan(spec, S.shape)
     if plan is None:
         return None
     B = int(np.prod(S.shape[:-2], dtype=np.int64))
-    if plan.b_chunk < B:
-        return None
-    tile, k, halo, y_chunk, _ = plan
+    tile, k, halo, y_chunk, b_chunk = plan
     dtype = S.dtype
     ny, nx = S.shape[-2:]
     batch_shape = S.shape[:-2]
+
+    if b_chunk < B:
+        return _make_group_stepper(spec, S, omega, check_every, interpret,
+                                   plan)
+
     rel = (jnp.asarray(omega, dtype) * spec.relax).astype(dtype)
     W = _stack_planes(spec, rel, ny, nx, dtype)
 
     ex = _make_executor(spec, W, ny, tile, k, halo, y_chunk, interpret)
-    zero = jnp.zeros((B,), dtype)
 
     def split(Sf):
         return ex.split(Sf.reshape((B, ny, nx)))
@@ -1048,30 +1054,89 @@ def make_window_stepper(spec, S, omega, check_every: int,
     # kernel variant measured ~8.5% slower per launch than the plain one
     # (tools/tpu_stepper_probe.py), so earlier launches stay plain
     def step_full(st):
-        full, rem = divmod(int(check_every), k)
-        if rem == 0:
-            if full > 1:
-                st = jax.lax.fori_loop(
-                    0, full - 1, lambda i, s: ex.step(spec, s, k, k), st)
-            st, nrm = ex.step(spec, st, k, k, with_norm=True)
-        else:
-            if full:
-                st = jax.lax.fori_loop(
-                    0, full, lambda i, s: ex.step(spec, s, k, k), st)
-            st, nrm = ex.step(spec, st, rem, rem, with_norm=True)
+        st, nrm = _window_steps_full(ex, spec, st, check_every, k)
         return st, nrm.reshape(batch_shape)
 
     def step_dyn(st, n):
-        # n traced, >= 1: the first ceil(n/k)-1 chunks are exactly k sweeps
-        # (plain), the final chunk n-(chunks-1)*k in [1, k] carries the norm
-        n = jnp.asarray(n, jnp.int32)
-        chunks = (n + k - 1) // k
-        st = jax.lax.fori_loop(
-            0, chunks - 1,
-            lambda i, s: ex.step(spec, s, jnp.int32(k), None), st)
-        st, nrm = ex.step(spec, st, n - (chunks - 1) * k, None,
-                          with_norm=True)
+        st, nrm = _window_steps_dyn(ex, spec, st, n, k)
         return st, nrm.reshape(batch_shape)
+
+    return split, join, step_full, step_dyn
+
+
+def _window_steps_full(ex, spec, st, check_every, k):
+    """check_every sweeps on executor state; norm on the final launch."""
+    full, rem = divmod(int(check_every), k)
+    if rem == 0:
+        if full > 1:
+            st = jax.lax.fori_loop(
+                0, full - 1, lambda i, s: ex.step(spec, s, k, k), st)
+        return ex.step(spec, st, k, k, with_norm=True)
+    if full:
+        st = jax.lax.fori_loop(
+            0, full, lambda i, s: ex.step(spec, s, k, k), st)
+    return ex.step(spec, st, rem, rem, with_norm=True)
+
+
+def _window_steps_dyn(ex, spec, st, n, k):
+    """n (traced, >= 1) sweeps: ceil(n/k)-1 plain k-sweep chunks, the final
+    clamped chunk carries the norm."""
+    n = jnp.asarray(n, jnp.int32)
+    chunks = (n + k - 1) // k
+    st = jax.lax.fori_loop(
+        0, chunks - 1, lambda i, s: ex.step(spec, s, jnp.int32(k), None),
+        st)
+    return ex.step(spec, st, n - (chunks - 1) * k, None, with_norm=True)
+
+
+def _make_group_stepper(spec, S, omega, check_every, interpret, plan):
+    """Batch-group variant of :func:`make_window_stepper` (see there)."""
+    import dataclasses
+
+    tile, k, halo, y_chunk, b_chunk = plan
+    dtype = S.dtype
+    ny, nx = S.shape[-2:]
+    B = int(np.prod(S.shape[:-2], dtype=np.int64))
+    batch_shape = S.shape[:-2]
+    spec_f = _flatten_spec_batch(spec, 2)
+
+    groups = []
+    for b0 in range(0, B, b_chunk):
+        nb = min(b_chunk, B - b0)
+        gspec = dataclasses.replace(
+            spec_f,
+            w=_bsl(spec_f.w, b0, nb, 1, 3), w0=_bsl(spec_f.w0, b0, nb, 0, 2),
+            g=_bsl(spec_f.g, b0, nb, 0, 2),
+            relax=_bsl(spec_f.relax, b0, nb, 0, 2),
+            active=_bsl(spec_f.active, b0, nb, 0, 2))
+        rel = (jnp.asarray(omega, dtype) * gspec.relax).astype(dtype)
+        Wg = _stack_planes(gspec, rel, ny, nx, dtype)
+        ex = _make_executor(gspec, Wg, ny, tile, k, halo, y_chunk, interpret)
+        groups.append((b0, nb, gspec, ex))
+
+    def split(Sf):
+        return Sf.reshape((B, ny, nx))
+
+    def join(st):
+        return st.reshape(S.shape)
+
+    def _run(st, stepper):
+        outs, sums = [], []
+        for b0, nb, gspec, ex in groups:
+            sg = ex.split(jax.lax.slice_in_dim(st, b0, b0 + nb, axis=0))
+            sg, nrm = stepper(ex, gspec, sg)
+            outs.append(ex.join(sg))
+            sums.append(nrm)
+        return (jnp.concatenate(outs, axis=0),
+                jnp.concatenate(sums, axis=0).reshape(batch_shape))
+
+    def step_full(st):
+        return _run(st, lambda ex, gs, sg: _window_steps_full(
+            ex, gs, sg, check_every, k))
+
+    def step_dyn(st, n):
+        return _run(st, lambda ex, gs, sg: _window_steps_dyn(
+            ex, gs, sg, n, k))
 
     return split, join, step_full, step_dyn
 
