@@ -35,7 +35,7 @@ def _mk(spec, S0, omega, check):
     r = win.make_window_cheby_stepper(spec, S0, omega, check,
                                       interpret=True)
     assert r is not None
-    split, join, sf, sd = r
+    split, join, sf, sd = r.split, r.join, r.step_full, r.step_dyn
 
     def step_full(S, m, w):
         st, m, w, sa = sf(split(S), m, w)

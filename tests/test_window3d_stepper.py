@@ -31,7 +31,7 @@ def _mk(spec, S0, omega, check, **kw):
     r = w3.make_window3d_stepper(spec, S0, omega, check, **kw)
     if r is None:
         return None
-    split, join, sf, sd = r
+    split, join, sf, sd = r.split, r.join, r.step_full, r.step_dyn
 
     def step_full(S):
         st, sa = sf(split(S))

@@ -55,6 +55,7 @@ from jax.experimental.pallas import tpu as pltpu
 from jax._src.pallas import core as pallas_core
 
 from .pallas_sor_window import (WINDOW_COMPILER_OPTS, _SCOPED_VMEM_KIB,
+                                WindowStepper,
                                 _RESULT_CAP, _CHUNK_TARGET, _MAX_CHUNKS,
                                 _radius)
 from .pallas_sor3d import _roll3, pallas3d_applicable
@@ -696,4 +697,4 @@ def make_window3d_stepper(spec, S, omega, check_every: int,
             st)
         return st, sumabs(st)
 
-    return split, join, step_full, step_dyn
+    return WindowStepper(split, join, step_full, step_dyn)

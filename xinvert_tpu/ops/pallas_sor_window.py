@@ -990,6 +990,20 @@ def sor_sweeps_window(spec, S, omega, n_sweeps, interpret: bool = False):
     return fn(spec, S, omega, n_sweeps, interpret=interpret)
 
 
+class WindowStepper(NamedTuple):
+    """Checked-solve stepper bundle (see :func:`make_window_stepper`).
+
+    ``freeze(st_old, st_new, done) -> st`` is set when the state
+    representation needs custom per-batch-element freezing (batch-group
+    tuples, whose leaves slice the batch axis); None means the caller's
+    generic tree_map-where applies."""
+    split: object
+    join: object
+    step_full: object
+    step_dyn: object
+    freeze: object = None
+
+
 def make_window_stepper(spec, S, omega, check_every: int,
                         interpret: bool = False):
     """Pre-built stepper for CHECKED solves (the solver's while-loop body).
@@ -1061,7 +1075,7 @@ def make_window_stepper(spec, S, omega, check_every: int,
         st, nrm = _window_steps_dyn(ex, spec, st, n, k)
         return st, nrm.reshape(batch_shape)
 
-    return split, join, step_full, step_dyn
+    return WindowStepper(split, join, step_full, step_dyn)
 
 
 def _window_steps_full(ex, spec, st, check_every, k):
@@ -1115,19 +1129,23 @@ def _make_group_stepper(spec, S, omega, check_every, interpret, plan):
         groups.append((b0, nb, gspec, ex))
 
     def split(Sf):
-        return Sf.reshape((B, ny, nx))
+        Sf = Sf.reshape((B, ny, nx))
+        return tuple(
+            ex.split(jax.lax.slice_in_dim(Sf, b0, b0 + nb, axis=0))
+            for b0, nb, gspec, ex in groups)
 
     def join(st):
-        return st.reshape(S.shape)
+        return jnp.concatenate(
+            [ex.join(sg) for sg, (b0, nb, gspec, ex) in zip(st, groups)],
+            axis=0).reshape(S.shape)
 
     def _run(st, stepper):
         outs, sums = [], []
-        for b0, nb, gspec, ex in groups:
-            sg = ex.split(jax.lax.slice_in_dim(st, b0, b0 + nb, axis=0))
+        for sg, (b0, nb, gspec, ex) in zip(st, groups):
             sg, nrm = stepper(ex, gspec, sg)
-            outs.append(ex.join(sg))
+            outs.append(sg)
             sums.append(nrm)
-        return (jnp.concatenate(outs, axis=0),
+        return (tuple(outs),
                 jnp.concatenate(sums, axis=0).reshape(batch_shape))
 
     def step_full(st):
@@ -1138,7 +1156,16 @@ def _make_group_stepper(spec, S, omega, check_every, interpret, plan):
         return _run(st, lambda ex, gs, sg: _window_steps_dyn(
             ex, gs, sg, n, k))
 
-    return split, join, step_full, step_dyn
+    def freeze(st_old, st_new, done):
+        done = done.reshape((B,))
+        out = []
+        for so, sn, (b0, nb, gspec, ex) in zip(st_old, st_new, groups):
+            d = jax.lax.slice_in_dim(done, b0, b0 + nb)[:, None, None]
+            out.append(jax.tree_util.tree_map(
+                lambda o, n_: jnp.where(d, o, n_), so, sn))
+        return tuple(out)
+
+    return WindowStepper(split, join, step_full, step_dyn, freeze)
 
 
 def make_window_cheby_stepper(spec, S, omega, check_every: int,
@@ -1234,4 +1261,4 @@ def make_window_cheby_stepper(spec, S, omega, check_every: int,
             0, chunks, body, (st, jnp.asarray(m, jnp.int32), w))
         return st, m, w, sumabs(st)
 
-    return split, join, step_full, step_dyn
+    return WindowStepper(split, join, step_full, step_dyn)
