@@ -204,6 +204,37 @@ def test_checked_solve_fused_norm_converges(monkeypatch):
                                rtol=2e-5, atol=1e-7)
 
 
+def test_checked_solve_batch_group_freeze(monkeypatch):
+    """Batch-GROUP plans (b_chunk < B) in the full convergence loop: the
+    stepper's custom `freeze` re-slices `done` per group tuple (round 4:
+    solver.frz_state consumes WindowStepper.freeze).  Elements converging
+    at very different times must freeze bit-correctly."""
+    _route_solver_through_interpret(monkeypatch)
+    monkeypatch.setattr(win, "_RESULT_CAP", 128 * 1024)
+    monkeypatch.setattr(win, "_CHUNK_TARGET", 128 * 1024)
+    ny, nx, B = 64, 144, 5     # unique shape: fresh trace under the patch
+    rng = np.random.default_rng(33)
+    A = np.abs(rng.normal(1, 0.1, (ny, nx))) + 0.5
+    # very different forcing scales -> very different convergence times
+    F = np.stack([10.0 ** (i - 2) * rng.normal(0, 1, (ny, nx))
+                  for i in range(B)])
+    spec = stencil.standard_2d(jnp.asarray(A), 0.0, jnp.asarray(A),
+                               jnp.asarray(F), jnp.ones((ny, nx), bool),
+                               (1.3, 1.0), ("extend", "periodic"))
+    S0 = jnp.zeros((B, ny, nx))
+    plan = win.window_plan(spec, (B, ny, nx))
+    assert plan is not None and plan.b_chunk < B
+    args = (jnp.asarray(1.6, S0.dtype), jnp.asarray(1e-6, S0.dtype),
+            jnp.asarray(3000, jnp.int32))
+    got = solver._solve_jit(spec, S0, *args, check_every=8, kernel="window",
+                            scheme="sor", tol_type="change")
+    ref = solver._solve_jit(spec, S0, *args, check_every=8, kernel=None,
+                            scheme="sor", tol_type="change")
+    assert np.all(np.abs(np.asarray(got.iters) - np.asarray(ref.iters)) <= 8)
+    np.testing.assert_allclose(np.asarray(got.S), np.asarray(ref.S),
+                               rtol=2e-5, atol=1e-7)
+
+
 def test_checked_solve_fused_norm_batched_freeze(monkeypatch):
     """Batch elements converging at different times freeze correctly in
     the split-state carry (tree_map where over chunk leaves)."""

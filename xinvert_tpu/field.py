@@ -71,8 +71,18 @@ class Field:
         cs = ", ".join(f"{d}:{n}" for d, n in zip(self.dims, self.shape))
         return f"<Field {self.name or ''} ({cs}) dtype={self.dtype}>\n{self.values!r}"
 
-    def copy(self):
-        return Field(self.values.copy(), self.dims, dict(self.coords), self.name, dict(self.attrs))
+    def copy(self, deep=True, data=None):
+        """xarray-style copy; ``data`` replaces the values (same shape)."""
+        if data is not None:
+            data = np.asarray(data)
+            if data.shape != self.shape:
+                raise ValueError(
+                    f"replacement data shape {data.shape} != {self.shape}")
+            return Field(data, self.dims, dict(self.coords), self.name,
+                         dict(self.attrs))
+        vals = self.values.copy() if deep else self.values
+        return Field(vals, self.dims, dict(self.coords), self.name,
+                     dict(self.attrs))
 
     def rename(self, name):
         return Field(self.values, self.dims, self.coords, name, self.attrs)

@@ -270,6 +270,7 @@ def _solve_impl(spec, S0, omega, tol, max_iters, check_every=1,
     sweeps_norm = None                   # fused-norm stepper (window path)
     sweeps_aux_norm = None               # cheby window stepper
     state_split = state_join = None      # split-state carry (window path)
+    state_freeze = None                  # custom per-batch freeze (groups)
     if scheme == "cheby":
         # Chebyshev semi-iteration needs per-half-sweep factors.  On the
         # windowed-kernel path the factors ride into the kernel through
@@ -281,7 +282,9 @@ def _solve_impl(spec, S0, omega, tol, max_iters, check_every=1,
             stepper = make_window_cheby_stepper(spec, S0, omega,
                                                 check_every)
         if stepper is not None:
-            state_split, state_join, cheb_full, cheb_dyn = stepper
+            state_split, state_join = stepper.split, stepper.join
+            state_freeze = stepper.freeze
+            cheb_full, cheb_dyn = stepper.step_full, stepper.step_dyn
 
             def sweeps_aux_norm(st, aux, k, full):
                 if full:
@@ -324,7 +327,9 @@ def _solve_impl(spec, S0, omega, tol, max_iters, check_every=1,
             # executors never pay per-check join/split copies — a check
             # costs only its kernel launches (round-2 per-check cost was
             # dominated by rebuilding the W stack every check)
-            state_split, state_join, step_full, step_dyn = stepper
+            state_split, state_join = stepper.split, stepper.join
+            state_freeze = stepper.freeze
+            step_full, step_dyn = stepper.step_full, stepper.step_dyn
 
             def sweeps_norm(st, k, full):
                 # `full` is static: the hot while body always runs the
@@ -349,7 +354,9 @@ def _solve_impl(spec, S0, omega, tol, max_iters, check_every=1,
             # volume built once, split-state carry; the norm is an XLA
             # reduction over the chunks (a few MiB per check for the
             # omega-class volumes)
-            state_split, state_join, step_full, step_dyn = stepper
+            state_split, state_join = stepper.split, stepper.join
+            state_freeze = stepper.freeze
+            step_full, step_dyn = stepper.step_full, stepper.step_dyn
 
             def sweeps_norm(st, k, full):
                 return step_full(st) if full else step_dyn(st, k)
@@ -458,6 +465,11 @@ def _solve_impl(spec, S0, omega, tol, max_iters, check_every=1,
                 return jnp.where(done, old, new)
 
             def frz_state(old, new):
+                # batch-group states are per-group tuples whose leaves
+                # slice the batch axis — the stepper supplies its own
+                # freeze that re-slices `done` per group
+                if state_freeze is not None:
+                    return state_freeze(old, new, c["done"])
                 # split-state leaves are (B_flat, rows, nx); plain state is
                 # batch_shape + core — one tree_map covers both
                 if state_split is not None:
