@@ -41,7 +41,9 @@ import jax.numpy as jnp
 
 from xinvert_tpu import stencil
 from xinvert_tpu.lexico import (solve_fixed_lexicographic,
-                                solve_fixed_lexicographic_3d)
+                                solve_fixed_lexicographic_1d,
+                                solve_fixed_lexicographic_3d,
+                                solve_fixed_lexicographic_bih)
 
 REF_NUMBAS = "/root/reference/xinvert/numbas.py"
 
@@ -204,6 +206,165 @@ def test_standard_3d_matches_reference_kernel(ref):
             spec, jnp.zeros(shape), omega, m + 1))
         np.testing.assert_allclose(ours, Sref, rtol=1e-12, atol=1e-12,
                                    err_msg=f"m={m}")
+
+
+@pytest.mark.parametrize("bcx", ["fixed", "extend", "periodic"])
+def test_standard_1d_matches_reference_kernel(ref, bcx):
+    """d/dx(A Sx) + B S = F (invert_standard_1D, numbas.py:633) —
+    per-iteration parity for all three x BCs, completing the direct-drive
+    matrix for the 1-D family."""
+    nx = 17
+    delx = 1.0e5
+    omega = 1.4
+    rng = np.random.default_rng(23)
+    A = np.abs(rng.normal(1.0, 0.1, nx)) + 0.5
+    B = -np.abs(rng.normal(1e-10, 1e-11, nx))
+    F = rng.normal(0.0, 1.0, nx)
+    spec = stencil.standard_1d(jnp.asarray(A), jnp.asarray(B),
+                               jnp.asarray(F), jnp.ones(nx, bool),
+                               (delx,), (bcx,))
+    for m in (1, 5):
+        Sref = np.zeros(nx)
+        flags = np.zeros(3)
+        ref.invert_standard_1D(Sref, A, B, F, nx, delx, bcx, delx ** 2,
+                               omega, UNDEF, flags, m, 0.0)
+        ours = np.asarray(solve_fixed_lexicographic_1d(
+            spec, jnp.zeros(nx), omega, m + 1))
+        np.testing.assert_allclose(ours, Sref, rtol=1e-12, atol=1e-12,
+                                   err_msg=f"m={m} bcx={bcx}")
+        assert flags[2] == m
+
+
+@pytest.mark.parametrize("bcs", [
+    ("fixed", "fixed", "fixed"),
+    ("fixed", "extend", "periodic"),
+])
+def test_general_3d_matches_reference_kernel(ref, bcs):
+    """A S_zz + B S_yy + C S_xx + D S_z + E S_y + F S_x + G S = H
+    (invert_general_3D, numbas.py:746) — per-iteration parity, completing
+    the direct-drive matrix for the 3-D general family."""
+    nz, ny, nx = 6, 8, 10
+    delz, dely, delx = 5e3, 1.1e5, 1.0e5
+    omega = 1.1
+    rng = np.random.default_rng(13)
+    shape = (nz, ny, nx)
+    A = np.abs(rng.normal(1.0, 0.1, shape)) + 0.5
+    B = np.abs(rng.normal(1.0, 0.1, shape)) + 0.5
+    C = np.abs(rng.normal(1.0, 0.1, shape)) + 0.5
+    D = rng.normal(0.0, 1e-6, shape)
+    E = rng.normal(0.0, 1e-6, shape)
+    F = rng.normal(0.0, 1e-6, shape)
+    G = -np.abs(rng.normal(1e-10, 1e-11, shape))
+    H = rng.normal(0.0, 1.0, shape)
+    spec = stencil.general_3d(*map(jnp.asarray, (A, B, C, D, E, F, G, H)),
+                              jnp.ones(shape, bool), (delz, dely, delx), bcs)
+    r2, r1 = delx / delz, delx / dely
+    for m in (1, 3):
+        Sref = np.zeros(shape)
+        flags = np.zeros(3)
+        ref.invert_general_3D(Sref, A, B, C, D, E, F, G, H, nz, ny, nx,
+                              delz, dely, delx, bcs[0], bcs[1], bcs[2],
+                              delx ** 2, r2, r1, r2 ** 2, r1 ** 2, omega,
+                              UNDEF, flags, m, 0.0)
+        ours = np.asarray(solve_fixed_lexicographic_3d(
+            spec, jnp.zeros(shape), omega, m + 1))
+        np.testing.assert_allclose(ours, Sref, rtol=1e-12, atol=1e-12,
+                                   err_msg=f"m={m} bcs={bcs}")
+        assert flags[2] == m
+
+
+def _coeffs_bih(ny, nx, seed=17, b_east_zero=False):
+    rng = np.random.default_rng(seed)
+    A = np.abs(rng.normal(1.0, 0.1, (ny, nx))) + 0.5
+    B = rng.normal(0.0, 0.1, (ny, nx))
+    if b_east_zero:
+        B[:, -2:] = 0.0     # the reference's stale-index east stanzas
+        # (numbas.py:1495-1497, :1526-1528) scale with B on those columns
+    C = np.abs(rng.normal(1.0, 0.1, (ny, nx))) + 0.5
+    D = -np.abs(rng.normal(1.0, 0.1, (ny, nx))) * 1e-10
+    E = rng.normal(0.0, 1e-11, (ny, nx))
+    F = -np.abs(rng.normal(1.0, 0.1, (ny, nx))) * 1e-10
+    G = rng.normal(0.0, 1e-16, (ny, nx))
+    H = rng.normal(0.0, 1e-16, (ny, nx))
+    I = np.abs(rng.normal(1.0, 0.1, (ny, nx))) * 1e-20
+    J = rng.normal(0.0, 1.0, (ny, nx))
+    return A, B, C, D, E, F, G, H, I, J
+
+
+def _drive_bih(ref, coeffs, bcs, omega, m, dely=1.1e5, delx=1.0e5):
+    A, B, C, D, E, F, G, H, I, J = coeffs
+    ny, nx = A.shape
+    ratio = delx / dely
+    Sref = np.zeros((ny, nx))
+    flags = np.zeros(3)
+    ref.invert_general_bih_2D(Sref, A, B, C, D, E, F, G, H, I, J, ny, nx,
+                              dely, delx, bcs[0], bcs[1], delx ** 4,
+                              delx ** 3, delx ** 2, ratio, ratio ** 4,
+                              ratio / 4.0, ratio ** 2, omega, UNDEF, flags,
+                              m, 0.0)
+    return Sref, flags
+
+
+@pytest.mark.parametrize("bcs,b_east_zero", [
+    (("fixed", "fixed"), False),
+    (("extend", "fixed"), False),
+    (("fixed", "periodic"), True),
+    (("extend", "periodic"), True),
+])
+def test_general_bih_2d_matches_reference_kernel(ref, bcs, b_east_zero):
+    """The 13/17-point biharmonic family (invert_general_bih_2D,
+    numbas.py:1205) — per-iteration parity wherever the reference is
+    self-consistent: everywhere for fixed x (the periodic stanzas do not
+    run), and for periodic x when B vanishes on the east columns, where the
+    reference's stale-index B-cross reads (numbas.py:1495-1497) are scaled
+    away (test_reference_bih_east_stanza_stale_index demonstrates the
+    defect is real)."""
+    ny, nx = 12, 14
+    omega = 1.0
+    coeffs = _coeffs_bih(ny, nx, b_east_zero=b_east_zero)
+    spec = stencil.general_2d_bih(*map(jnp.asarray, coeffs),
+                                  jnp.ones((ny, nx), bool), (1.1e5, 1.0e5),
+                                  bcs)
+    for m in (1, 4):
+        Sref, flags = _drive_bih(ref, coeffs, bcs, omega, m)
+        ours = np.asarray(solve_fixed_lexicographic_bih(
+            spec, jnp.zeros((ny, nx)), omega, m + 1))
+        scale = max(np.abs(Sref).max(), 1e-300)
+        np.testing.assert_allclose(ours / scale, Sref / scale,
+                                   rtol=0, atol=1e-12,
+                                   err_msg=f"m={m} bcs={bcs}")
+        assert flags[2] == m
+
+
+def test_reference_bih_east_stanza_stale_index(ref):
+    """Demonstrate the reference's east periodic stanzas read a STALE loop
+    index for the B-cross term (numbas.py:1495-1497 and :1526-1528 use
+    ``S[j+-2, i-4]`` / ``S[j+-2, i-3]`` with ``i`` left at xc-3 by the
+    inner loop — columns xc-7 / xc-6 instead of the intended -4 / -3).
+    With B nonzero on the east columns the reference kernel deviates from
+    the intended symmetric form, and the deviation originates at the east
+    columns."""
+    ny, nx = 12, 14
+    omega = 1.0
+    bcs = ("fixed", "periodic")
+    coeffs = _coeffs_bih(ny, nx, b_east_zero=False)
+    B = coeffs[1]
+    assert np.abs(B[:, -2:]).max() > 0
+    spec = stencil.general_2d_bih(*map(jnp.asarray, coeffs),
+                                  jnp.ones((ny, nx), bool), (1.1e5, 1.0e5),
+                                  bcs)
+    # ONE reference sweep (mxLoop=0 -> 1 sweep; module doc) vs one of ours:
+    # within a single sweep the stale reads corrupt only the east columns
+    # of each row (later rows then read those corrupted values, so deeper
+    # runs spread the error westward)
+    Sref, _ = _drive_bih(ref, coeffs, bcs, omega, 0)
+    ours = np.asarray(solve_fixed_lexicographic_bih(
+        spec, jnp.zeros((ny, nx)), omega, 1))
+    err = np.abs(ours - Sref)
+    scale = np.abs(Sref).max()
+    assert err[:, -2:].max() > 1e-9 * scale, "stale-index defect not observed"
+    assert err[:, -2:].max() >= err[:, :-2].max(), (
+        "east columns should carry the deviation")
 
 
 def test_reference_west_stanza_typo(ref):

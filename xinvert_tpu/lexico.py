@@ -33,7 +33,8 @@ import jax.numpy as jnp
 
 from .solver import _apply_extend
 
-__all__ = ["solve_fixed_lexicographic", "solve_fixed_lexicographic_3d"]
+__all__ = ["solve_fixed_lexicographic", "solve_fixed_lexicographic_1d",
+           "solve_fixed_lexicographic_3d", "solve_fixed_lexicographic_bih"]
 
 
 def _w_at(spec, k, j):
@@ -138,6 +139,165 @@ def solve_fixed_lexicographic(spec, S, omega, n_iters: int):
         return Scur
 
     return jax.lax.fori_loop(0, n_iters, one_iter_dyn, jnp.asarray(S))
+
+
+@partial(jax.jit, static_argnames=("n_iters",))
+def solve_fixed_lexicographic_1d(spec, S, omega, n_iters: int):
+    """Reference-ordered sweeps for the 1-D family (invert_standard_1D,
+    /root/reference/xinvert/numbas.py:633): extend pre-pass, then the
+    periodic west stanza (old east value), the in-place interior recurrence
+    (i = 1..nx-2), and the periodic east stanza (new values).  Unbatched
+    1-D states (a parity tool)."""
+    if spec.ndim != 1:
+        raise ValueError("1-D specs only")
+    if jnp.ndim(S) != 1:
+        raise ValueError("unbatched 1-D state required")
+    offs = {tuple(o): k for k, o in enumerate(spec.offsets)}
+    kxp, kxm = offs.get((1,)), offs.get((-1,))
+    periodic = spec.bcs[-1] == "periodic"
+    nx = spec.w0.shape[-1]
+    omega = jnp.asarray(omega, S.dtype)
+
+    def one_iter(_, row_old):
+        row_old = _apply_extend(spec, row_old)
+        r = omega * spec.relax
+        w0 = spec.w0
+        wxp = spec.w[kxp] if kxp is not None else 0.0
+        wxm = spec.w[kxm] if kxm is not None else 0.0
+        if periodic:
+            accw = spec.g[0] + wxp[0] * row_old[1] + wxm[0] * row_old[nx - 1]
+            row_w = row_old.at[0].add(r[0] * (accw + w0[0] * row_old[0]))
+        else:
+            row_w = row_old
+        base = row_w + r * (spec.g + wxp * jnp.roll(row_w, -1)
+                            + w0 * row_w)
+        A = r * wxm if kxm is not None else jnp.zeros_like(row_w)
+        Aseg = A[1:nx - 1]
+        Bseg = base[1:nx - 1]
+        Bseg = Bseg.at[0].add(Aseg[0] * row_w[0])
+        Aseg = Aseg.at[0].set(0.0)
+        row_new = row_w.at[1:nx - 1].set(_scan_linear(Aseg, Bseg))
+        if periodic:
+            acce = spec.g[nx - 1] + wxp[nx - 1] * row_new[0] \
+                + wxm[nx - 1] * row_new[nx - 2]
+            row_new = row_new.at[nx - 1].add(
+                r[nx - 1] * (acce + w0[nx - 1] * row_new[nx - 1]))
+        return row_new
+
+    return jax.lax.fori_loop(0, n_iters, one_iter, jnp.asarray(S))
+
+
+def _scan_affine2(A1, A2, B, y1, y0):
+    """Second-order linear recurrence y_i = A1_i y_{i-1} + A2_i y_{i-2} + B_i
+    (i = 0..n-1 of the supplied arrays) with seeds (y1, y0) = (y_{-1}, y_{-2}),
+    via an associative scan of affine 2x2 maps on the state (y_i, y_{i-1})."""
+    m11, m12 = A1, A2
+    m21 = jnp.ones_like(A1)
+    m22 = jnp.zeros_like(A1)
+    v1, v2 = B, jnp.zeros_like(B)
+    # fold the seed into element 0: s_0 = M_0 (y1, y0) + b_0, M_0 <- 0
+    v1 = v1.at[..., 0].add(A1[..., 0] * y1 + A2[..., 0] * y0)
+    v2 = v2.at[..., 0].add(y1)
+    m11 = m11.at[..., 0].set(0.0)
+    m12 = m12.at[..., 0].set(0.0)
+    m21 = m21.at[..., 0].set(0.0)
+
+    def combine(l, r):
+        l11, l12, l21, l22, lv1, lv2 = l
+        r11, r12, r21, r22, rv1, rv2 = r
+        return (r11 * l11 + r12 * l21, r11 * l12 + r12 * l22,
+                r21 * l11 + r22 * l21, r21 * l12 + r22 * l22,
+                r11 * lv1 + r12 * lv2 + rv1,
+                r21 * lv1 + r22 * lv2 + rv2)
+
+    out = jax.lax.associative_scan(combine, (m11, m12, m21, m22, v1, v2),
+                                   axis=-1)
+    return out[4]
+
+
+@partial(jax.jit, static_argnames=("n_iters",))
+def solve_fixed_lexicographic_bih(spec, S, omega, n_iters: int):
+    """Reference-ordered sweeps for the biharmonic family
+    (invert_general_bih_2D, /root/reference/xinvert/numbas.py:1205).
+
+    Stanza order replicated exactly: extend pre-pass, then per row
+    (j = 2..ny-3) west columns 0 and 1, the interior in-place update
+    (i = 2..nx-3), east columns nx-2 and nx-1 (periodic x only).  The
+    within-row update reads the already-updated i-1 AND i-2 — a
+    second-order linear recurrence, evaluated in O(log nx) with an affine
+    2x2 associative scan.
+
+    East periodic stanzas implement the INTENDED symmetric discretization;
+    the reference's own east stanzas read a stale loop index for the
+    B-cross term (``S[j+-2, i-4]`` with i left at xc-3, numbas.py:1495-1497
+    and :1526-1528), so exact per-iteration parity with the reference holds
+    when B vanishes on the east columns (tests/test_reference_direct.py
+    demonstrates the stale-index deviation is real).  Unbatched 2-D specs
+    only (a parity tool — the red-black engine is the throughput path)."""
+    if spec.ndim != 2 or not spec.bih:
+        raise ValueError("bih executor: 2-D biharmonic specs only")
+    if jnp.ndim(S) != 2:
+        raise ValueError("unbatched 2-D state required")
+    offs = {tuple(o): k for k, o in enumerate(spec.offsets)}
+    periodic = spec.bcs[-1] == "periodic"
+    ny, nx = spec.w0.shape[-2:]
+    omega = jnp.asarray(omega, S.dtype)
+
+    def row_slice(a, j):
+        return jax.lax.dynamic_slice_in_dim(a, j, 1, a.ndim - 2)[..., 0, :]
+
+    def sweep_row(Scur, j):
+        row_old = row_slice(Scur, j)
+        ctx = row_slice(spec.g, j)
+        for k, off in enumerate(spec.offsets):
+            dy, dx = off
+            if dy == 0:
+                continue
+            rr = row_slice(Scur, j + dy)
+            if dx:
+                rr = jnp.roll(rr, -dx, -1)
+            ctx = ctx + row_slice(spec.w[k], j) * rr
+        r = omega * row_slice(spec.relax, j)
+        w0j = row_slice(spec.w0, j)
+        wx = {dx: (row_slice(spec.w[offs[(0, dx)]], j)
+                   if (0, dx) in offs else jnp.zeros_like(row_old))
+              for dx in (-2, -1, 1, 2)}
+
+        def gs_at(rowv, i):
+            # one in-place GS update at STATIC column i (wrap via % nx)
+            acc = ctx[i] + w0j[i] * rowv[i]
+            for dx in (-2, -1, 1, 2):
+                acc = acc + wx[dx][i] * rowv[(i + dx) % nx]
+            return rowv.at[i].add(r[i] * acc)
+
+        rowv = row_old
+        if periodic:
+            rowv = gs_at(rowv, 0)
+            rowv = gs_at(rowv, 1)
+        # interior i in [2, nx-2): y_i = A1 y_{i-1} + A2 y_{i-2} + B_i with
+        # B_i folding the old east-side neighbors (i+1, i+2 not yet updated)
+        base = rowv + r * (ctx + wx[1] * jnp.roll(rowv, -1, -1)
+                           + wx[2] * jnp.roll(rowv, -2, -1) + w0j * rowv)
+        sl = slice(2, nx - 2)
+        interior = _scan_affine2((r * wx[-1])[sl], (r * wx[-2])[sl],
+                                 base[sl], rowv[1], rowv[0])
+        rowv = rowv.at[sl].set(interior)
+        if periodic:
+            rowv = gs_at(rowv, nx - 2)
+            rowv = gs_at(rowv, nx - 1)
+        return jax.lax.dynamic_update_slice_in_dim(
+            Scur, rowv[None, :], j, Scur.ndim - 2)
+
+    def one_iter(_, Scur):
+        Scur = _apply_extend(spec, Scur)
+
+        def body(Sc, j):
+            return sweep_row(Sc, j), None
+
+        Scur, _ = jax.lax.scan(body, Scur, jnp.arange(2, ny - 2))
+        return Scur
+
+    return jax.lax.fori_loop(0, n_iters, one_iter, jnp.asarray(S))
 
 
 @partial(jax.jit, static_argnames=("n_iters",))
