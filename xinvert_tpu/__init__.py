@@ -30,6 +30,7 @@ from .mg import (                                               # noqa: F401
     solve_mg,
 )
 from .lexico import solve_fixed_lexicographic                   # noqa: F401
+from .refine import solve_refined, RefineResult                 # noqa: F401
 from .core import (                                             # noqa: F401
     inv_standard1D, inv_standard2D, inv_standard2D_test, inv_standard3D,
     inv_general2D, inv_general2D_bih, inv_general3D,

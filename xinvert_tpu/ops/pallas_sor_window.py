@@ -252,6 +252,7 @@ def window_applicable(spec, S_shape, for_dispatch: bool = False) -> bool:
 def _kernel(n_ref, *refs, K, offsets,
             tile, halo, ny, nx, extend_y, periodic_x, bih, dtype,
             n_static=None, pad_lo=0, has_top=True, has_bot=True,
+            pad_x=0, clamp_w=None, clamp_e=None,
             cheby=False, with_norm=False):
     """One grid program: k sweeps on an overlapping row window.
 
@@ -263,17 +264,32 @@ def _kernel(n_ref, *refs, K, offsets,
     multiple of the 8-aligned tile/halo, hence even), so every interior
     chunk shares one compiled kernel regardless of its row offset.
 
+    ``pad_x`` (x-split domains, parallel/halo_window.py): the block carries
+    ``pad_x`` ghost COLUMNS on each side; only the owned columns are
+    written back.  x-periodicity is then the caller's ghost exchange, so
+    in-kernel x wrap handling is off, and the extend-row corner clamps
+    move to ``clamp_w`` / ``clamp_e`` — LOCAL column indices of the true
+    domain west/east edges (or -1 when this block touches neither).  The
+    128-aligned ``pad_x`` is even, so red-black parity needs no offset.
+
     ``refs`` unpacks to ``([fac_ref,] W_ref, s_ref, out_ref[, norm_ref])``:
     ``cheby`` adds an SMEM array of per-half-sweep Chebyshev factors
     (``fac[2*i + color]`` scales half-sweep ``color`` of in-launch sweep
     ``i`` — the weight planes then fold relax WITHOUT omega), ``with_norm``
     adds the fused |S| column-sum output.
     """
+    # x-split blocks (pad_x > 0) must name their true-edge columns
+    # explicitly; the unsplit defaults are the block's own edge columns
+    if clamp_w is None:
+        clamp_w = -1 if (periodic_x or pad_x) else 0
+    if clamp_e is None:
+        clamp_e = -1 if (periodic_x or pad_x) else nx - 1
     i0 = 1 if cheby else 0
     fac_ref = refs[0] if cheby else None
     W_ref, s_ref, out_ref = refs[i0], refs[i0 + 1], refs[i0 + 2]
     norm_ref = refs[i0 + 3] if with_norm else None
     win = tile + 2 * halo
+    nxo = nx - 2 * pad_x          # owned columns
     t = pl.program_id(1)          # grid = (batch, tiles)
     n_t = pl.num_programs(1)
     start = jnp.clip(pad_lo + t * tile - halo, 0, ny - win)
@@ -288,11 +304,14 @@ def _kernel(n_ref, *refs, K, offsets,
     col1 = jax.lax.broadcasted_iota(jnp.int32, (1, nx), 1)
 
     def _fix_row(r):
-        """Corner clamp of a single extended row (non-periodic x)."""
-        if periodic_x:
-            return r
-        out = jnp.where(col1 == 0, pltpu.roll(r, nx - 1, 1), r)
-        return jnp.where(col1 == nx - 1, pltpu.roll(r, 1, 1), out)
+        """Corner clamp of a single extended row at the true domain west /
+        east edge columns (skipped when periodic or off-block)."""
+        out = r
+        if clamp_w >= 0:
+            out = jnp.where(col1 == clamp_w, pltpu.roll(r, nx - 1, 1), out)
+        if clamp_e >= 0:
+            out = jnp.where(col1 == clamp_e, pltpu.roll(r, 1, 1), out)
+        return out
 
     which = ("both" if (has_top and has_bot)
              else ("top" if has_top else "bot"))
@@ -357,20 +376,22 @@ def _kernel(n_ref, *refs, K, offsets,
     last = is_bot
 
     def store(owned):
+        if pad_x:
+            owned = owned[:, pad_x:pad_x + nxo]
         out_ref[0] = owned
         if norm_ref is not None:
             # fused convergence-norm partial (SURVEY §7.1 item 2): the
             # owned tile is live in VMEM, so its |S| column sums cost one
-            # VPU reduction; each tile writes its own independent (8, nx)
+            # VPU reduction; each tile writes its own independent (8, nxo)
             # block (no cross-tile accumulator: a revisited block's
             # read-modify-write chain serialised the output pipeline).
-            # The (1, nx) column sum is broadcast over the 8 sublanes
+            # The (1, nxo) column sum is broadcast over the 8 sublanes
             # (Mosaic's minimum f32 block height) pre-divided by 8 (exact
             # in binary fp), so the host-side sum over all blocks is the
             # true total.
             norm_ref[0] = jnp.broadcast_to(
                 jnp.sum(jnp.abs(owned), axis=0, keepdims=True) / 8.0,
-                (8, nx))
+                (8, nxo))
 
     @pl.when(jnp.logical_and(~first, ~last))
     def _():
@@ -611,11 +632,13 @@ def _stack_planes(spec, rel, ny, nx, dtype):
 @functools.partial(jax.jit,
                    static_argnames=("k_sweeps", "tile", "interpret",
                                     "n_static", "out_rows", "pad_lo",
-                                    "has_top", "has_bot", "with_norm"))
+                                    "has_top", "has_bot", "pad_x",
+                                    "clamp_w", "clamp_e", "with_norm"))
 def _window_chunk(spec, W, S, n, k_sweeps: int, tile: int,
                   interpret: bool = False, n_static=None,
                   out_rows=None, pad_lo: int = 0,
                   has_top: bool = True, has_bot: bool = True,
+                  pad_x: int = 0, clamp_w=None, clamp_e=None,
                   with_norm: bool = False, fac=None):
     """One pallas launch running ``n`` (<= k_sweeps) full iterations.
 
@@ -628,6 +651,13 @@ def _window_chunk(spec, W, S, n, k_sweeps: int, tile: int,
     chunk's rows plus its one-sided neighbor pads (``pad_lo`` below, the
     rest above), ``out_rows`` are the rows this call owns and writes, and
     ``has_top`` / ``has_bot`` mark true domain boundaries.
+
+    For an x-SPLIT block (sharded executor), ``pad_x`` ghost columns ride
+    each side of ``S``/``W``; only the owned ``nx - 2*pad_x`` columns are
+    written, in-kernel x wrap is disabled (the caller's ghost exchange
+    carries periodicity), and ``clamp_w`` / ``clamp_e`` give the LOCAL
+    column indices of true domain west/east edges for the extend-row
+    corner clamps (-1: not on this block).
 
     ``with_norm`` adds a second output of |S| column-sum partials, shape
     (B, 8, nx) — the fused convergence-norm piece (sum over the last two
@@ -647,8 +677,10 @@ def _window_chunk(spec, W, S, n, k_sweeps: int, tile: int,
     bW = W.shape[0]
 
     win = tile + 2 * halo
+    nxo = nx - 2 * pad_x
     inplace = (_no_cross_r1(spec) and has_top and has_bot and pad_lo == 0
-               and out_rows == ny)
+               and out_rows == ny and pad_x == 0
+               and clamp_w is None and clamp_e is None)
     if inplace:
         kern = functools.partial(
             _kernel_inplace,
@@ -668,9 +700,12 @@ def _window_chunk(spec, W, S, n, k_sweeps: int, tile: int,
             offsets=tuple(tuple(int(x) for x in o) for o in spec.offsets),
             tile=tile, halo=halo, ny=ny, nx=nx,
             extend_y=spec.bcs[-2] == "extend",
-            periodic_x=spec.bcs[-1] == "periodic",
+            # x-split blocks (pad_x > 0) carry periodicity in their ghost
+            # columns; in-kernel wrap must then be off
+            periodic_x=(spec.bcs[-1] == "periodic" and pad_x == 0),
             bih=spec.bih, dtype=dtype, n_static=n_static,
             pad_lo=pad_lo, has_top=has_top, has_bot=has_bot,
+            pad_x=pad_x, clamp_w=clamp_w, clamp_e=clamp_e,
             cheby=fac is not None, with_norm=with_norm,
         )
         scratch = []
@@ -690,17 +725,17 @@ def _window_chunk(spec, W, S, n, k_sweeps: int, tile: int,
 
     nS = jnp.reshape(jnp.asarray(n, jnp.int32), (1,))
     Element = pallas_core.Element
-    out_specs = pl.BlockSpec((1, tile, nx), lambda b, t: (b, t, 0),
+    out_specs = pl.BlockSpec((1, tile, nxo), lambda b, t: (b, t, 0),
                              memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((B, out_rows, nx), dtype)
+    out_shape = jax.ShapeDtypeStruct((B, out_rows, nxo), dtype)
     if with_norm:
-        # independent (8, nx) block per tile program: tiny extra HBM write
+        # independent (8, nxo) block per tile program: tiny extra HBM write
         # (8 rows per tile), summed host-side with the chunk joins
         out_specs = [out_specs,
-                     pl.BlockSpec((1, 8, nx), lambda b, t: (b, t, 0),
+                     pl.BlockSpec((1, 8, nxo), lambda b, t: (b, t, 0),
                                   memory_space=pltpu.VMEM)]
         out_shape = [out_shape,
-                     jax.ShapeDtypeStruct((B, 8 * (out_rows // tile), nx),
+                     jax.ShapeDtypeStruct((B, 8 * (out_rows // tile), nxo),
                                           dtype)]
     in_specs = [pl.BlockSpec((1,), lambda b, t: (0,),
                              memory_space=pltpu.SMEM)]
