@@ -95,11 +95,15 @@ def test_applicability_gates():
     spec2, S2, _ = _poisson_problem(batch=0, ny=296, nx=128,
                                     dtype=np.float64)
     assert not halo_window_applicable(spec2, S2.shape, _mesh_y(8))
-    # x must stay unsplit
+    # x blocks must be 128-lane aligned (nx=128 over mx=2 -> bx=64)
     mesh_xy = Mesh(np.array(jax.devices()).reshape(4, 2), ("y", "x"))
     assert not halo_window_applicable(spec, S0.shape, mesh_xy)
     with pytest.raises(ValueError):
         solve_fixed_halo_window(spec, S0, 1.5, 4, mesh=mesh_xy)
+    # 128-aligned x blocks on the same mesh DO qualify
+    spec3, S3, _ = _poisson_problem(batch=0, ny=512, nx=256,
+                                    dtype=np.float64)
+    assert halo_window_applicable(spec3, S3.shape, mesh_xy)
 
 
 def test_checked_solve_sharded_cap():
@@ -203,3 +207,89 @@ def test_mesh_iparam_api_routing():
     # decision (and hence the iterate) can differ in the last ulps
     np.testing.assert_allclose(got2.values, ref2.values,
                                rtol=1e-7, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# round 4: 2-D ('y','x') meshes — x-split devices with ghost columns
+# ---------------------------------------------------------------------------
+
+def _prob2d(ny, nx, bcs, cross=False, mask=True, seed=0, B=0):
+    from xinvert_tpu import stencil
+    rng = np.random.default_rng(seed)
+    A = np.abs(rng.normal(1, 0.1, (ny, nx))) + 0.5
+    Bc = rng.normal(0, 0.2, (ny, nx)) if cross else 0.0
+    C = np.abs(rng.normal(1, 0.1, (ny, nx))) + 0.5
+    F = rng.normal(0, 1, ((B,) if B else ()) + (ny, nx))
+    Fdef = np.ones((ny, nx), bool)
+    if mask:
+        Fdef[ny // 3:ny // 2, nx // 4:nx // 2] = False
+    spec = stencil.standard_2d(
+        jnp.asarray(A), Bc if not cross else jnp.asarray(Bc),
+        jnp.asarray(C), jnp.asarray(F), jnp.asarray(Fdef), (1.3, 1.0), bcs)
+    return spec, jnp.zeros(((B,) if B else ()) + (ny, nx))
+
+
+@pytest.mark.parametrize("my,mx,bcs,cross", [
+    (2, 4, ("extend", "periodic"), False),
+    (4, 2, ("fixed", "fixed"), False),
+    (1, 4, ("extend", "periodic"), False),
+    (2, 4, ("fixed", "periodic"), True),    # cross terms across the seam
+])
+def test_bit_exact_2d_mesh(my, mx, bcs, cross):
+    """x-split devices (ghost columns, kernel wrap off, write-back of the
+    owned columns only) reproduce the single-device iterate bit for bit,
+    including periodic x riding the ring wrap and cross-stencil corners
+    through the x-then-y pad order."""
+    ny, nx = 64 * my, 128 * mx
+    spec, S0 = _prob2d(ny, nx, bcs, cross=cross)
+    mesh = Mesh(np.array(jax.devices()[:my * mx]).reshape(my, mx),
+                ("y", "x"))
+    assert halo_window_applicable(spec, S0.shape, mesh)
+    for n_iters in (1, 9):
+        ref = _solve_fixed_xla(spec, S0, 1.5, n_iters)
+        out = solve_fixed_halo_window(spec, S0, 1.5, n_iters, mesh=mesh)
+        assert float(jnp.max(jnp.abs(out - ref))) == 0.0, n_iters
+
+
+def test_bit_exact_2d_mesh_corner_clamps():
+    """(extend, fixed) + cross terms: the extended rows' corner clamps must
+    fire ONLY on the true west/east edge devices (clamp_w/clamp_e kernel
+    variants) — the case that would silently corrupt corners if clamps
+    followed local block edges."""
+    ny, nx = 128, 512
+    spec, S0 = _prob2d(ny, nx, ("extend", "fixed"), cross=True, seed=11)
+    mesh = Mesh(np.array(jax.devices()).reshape(2, 4), ("y", "x"))
+    assert halo_window_applicable(spec, S0.shape, mesh)
+    ref = _solve_fixed_xla(spec, S0, 1.4, 8)
+    out = solve_fixed_halo_window(spec, S0, 1.4, 8, mesh=mesh)
+    assert float(jnp.max(jnp.abs(out - ref))) == 0.0
+
+
+def test_checked_solve_2d_mesh():
+    """The convergence-checked sharded solve on a ('y','x') mesh: psum over
+    both spatial axes, bit-exact at the mxLoop cap."""
+    from xinvert_tpu.parallel.halo_window import solve_halo_window
+    ny, nx = 128, 512
+    spec, S0 = _prob2d(ny, nx, ("extend", "periodic"), seed=5)
+    mesh = Mesh(np.array(jax.devices()).reshape(2, 4), ("y", "x"))
+    for N, ce in ((12, 4), (11, 4)):
+        ref = _solve_fixed_xla(spec, S0, 1.5, N)
+        res = solve_halo_window(spec, S0, 1.5, 0.0, N, check_every=ce,
+                                mesh=mesh)
+        assert int(res.iters) == N
+        assert float(jnp.max(jnp.abs(res.S - ref))) == 0.0, (N, ce)
+
+
+def test_bit_exact_3axis_mesh():
+    """('batch','y','x'): all three decompositions at once."""
+    from xinvert_tpu.parallel.halo_window import solve_halo_window
+    spec, S0 = _prob2d(128, 256, ("extend", "periodic"), B=4, seed=3)
+    mesh = Mesh(np.array(jax.devices()).reshape(2, 2, 2),
+                ("batch", "y", "x"))
+    assert halo_window_applicable(spec, S0.shape, mesh)
+    ref = _solve_fixed_xla(spec, S0, 1.4, 7)
+    out = solve_fixed_halo_window(spec, S0, 1.4, 7, mesh=mesh)
+    assert float(jnp.max(jnp.abs(out - ref))) == 0.0
+    res = solve_halo_window(spec, S0, 1.4, 0.0, 7, check_every=3, mesh=mesh)
+    assert np.all(np.asarray(res.iters) == 7)
+    assert float(jnp.max(jnp.abs(res.S - ref))) == 0.0

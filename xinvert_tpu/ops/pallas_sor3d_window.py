@@ -174,7 +174,7 @@ def window3d_applicable(spec, S_shape, for_dispatch: bool = False) -> bool:
 def _kernel(n_ref, goff_ref, W_ref, s_ref, out_ref, *, K, offsets, tile,
             halo, nzp, nz, ny, nx, extend_mode, periodic_x, dtype,
             n_static=None, unroll=False, pad_lo=0, has_top=True,
-            has_bot=True):
+            has_bot=True, pad_row=0, has_ytop=True, has_ybot=True):
     """One grid program: k sweeps on an overlapping (win, ny, nx) window.
 
     ``nz`` is the TRUE extent of the windowed axis (the pad levels above it
@@ -188,6 +188,12 @@ def _kernel(n_ref, goff_ref, W_ref, s_ref, out_ref, *, K, offsets, tile,
     a runtime SMEM scalar, so every interior chunk shares one compiled
     kernel regardless of its level offset.
 
+    For a y-SPLIT block (sharded executor, parallel/halo_window3d.py),
+    ``pad_row`` ghost ROWS ride each side of axis -2; only the owned rows
+    are written back, and ``has_ytop`` / ``has_ybot`` say whether the
+    block touches the true y boundaries (the "row" extend pre-pass fires
+    only there, at the pad-offset row indices).
+
     ``extend_mode`` selects the extend-BC pre-pass layout:
       - "row": extend along axis -2 gated on windowed-axis interior — the
         direct layout, where the windowed axis is z and rows are y
@@ -197,6 +203,9 @@ def _kernel(n_ref, goff_ref, W_ref, s_ref, out_ref, *, K, offsets, tile,
         axis is y and rows are z;
       - None: no extend pre-pass."""
     win = tile + 2 * halo
+    nyo = ny - 2 * pad_row        # owned rows
+    ext_top_row = pad_row if has_ytop else -1
+    ext_bot_row = pad_row + nyo - 1 if has_ybot else -1
     t = pl.program_id(1)          # grid = (batch, tiles)
     start = jnp.clip(pad_lo + t * tile - halo, 0, nzp - win)
 
@@ -221,11 +230,18 @@ def _kernel(n_ref, goff_ref, W_ref, s_ref, out_ref, *, K, offsets, tile,
         if extend_mode == "row":
             # y-boundary rows copy the nearest interior row on interior-z
             # levels (numbas.py:87-115); globally conditioned, so every
-            # window applies it identically
-            S = jnp.where(jnp.logical_and(row == 0, interior_z),
-                          _fix_row(S[:, 1:2, :]), S)
-            S = jnp.where(jnp.logical_and(row == ny - 1, interior_z),
-                          _fix_row(S[:, ny - 2:ny - 1, :]), S)
+            # window applies it identically.  Only true y-boundary rows
+            # extend (a y-split block's pad rows are neighbor data).
+            if ext_top_row >= 0:
+                S = jnp.where(jnp.logical_and(row == ext_top_row,
+                                              interior_z),
+                              _fix_row(S[:, ext_top_row + 1:
+                                         ext_top_row + 2, :]), S)
+            if ext_bot_row >= 0:
+                S = jnp.where(jnp.logical_and(row == ext_bot_row,
+                                              interior_z),
+                              _fix_row(S[:, ext_bot_row - 1:
+                                         ext_bot_row, :]), S)
         elif extend_mode == "win":
             # permuted layout: the windowed axis is y, rows are z.  The
             # boundary PLANES (global windowed index 0 / nz-1) copy the
@@ -266,17 +282,20 @@ def _kernel(n_ref, goff_ref, W_ref, s_ref, out_ref, *, K, offsets, tile,
     first = jnp.logical_and(t == 0, has_top)
     last = jnp.logical_and(t == n_t - 1, has_bot)
 
+    def _own(block):
+        return block[:, pad_row:pad_row + nyo, :] if pad_row else block
+
     @pl.when(jnp.logical_and(~first, ~last))
     def _():
-        out_ref[0] = S[halo:halo + tile]
+        out_ref[0] = _own(S[halo:halo + tile])
 
     @pl.when(first)
     def _():
-        out_ref[0] = S[0:tile]
+        out_ref[0] = _own(S[0:tile])
 
     @pl.when(jnp.logical_and(last, ~first))
     def _():
-        out_ref[0] = S[2 * halo:2 * halo + tile]
+        out_ref[0] = _own(S[2 * halo:2 * halo + tile])
 
 
 def _stack_planes3(spec, rel, nz, ny, nx, dtype, nzp=None):

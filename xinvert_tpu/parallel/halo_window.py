@@ -12,16 +12,20 @@ iterations with ``lax.ppermute`` ring shifts, so per-device compute stays at
 kernel speed and the wire carries one ring of width ``2 * radius * k`` per k
 iterations (the same dependence-cone width the kernel uses internally).
 
-Decomposition: rows over the mesh 'y' axis, x unsplit (the kernel keeps x
-resident and handles periodic wrap internally), batch over 'batch'.  Each
-device's step assembles its block plus ``halo`` neighbor rows — exactly what
-the single-host row-chunk executor (`pallas_sor_window._RowChunks`) feeds a
-chunk call — and dispatches one of three position-independent kernel
-variants (top / interior / bottom, selected by ``lax.switch`` on the
-device's row index; the red-black parity offset of a block is a multiple of
-the 8-aligned tile so interior devices share one compiled kernel).  The
-result is bit-identical to the single-device ``solve_fixed`` for any device
-count (tests/test_parallel_window.py).
+Decomposition: rows over the mesh 'y' axis, columns over 'x' (round 4 —
+each x-split device carries 128-lane-aligned ghost COLUMNS; the kernel
+writes only its owned columns and global x-periodicity rides the ring
+wrap), batch over 'batch'.  Each device's step assembles its block plus
+``halo`` neighbor rows/columns — exactly what the single-host row-chunk
+executor (`pallas_sor_window._RowChunks`) feeds a chunk call — and
+dispatches one of a handful of position-independent kernel variants
+(top / interior / bottom rows crossed with west / interior / east columns
+where extend-row corner clamps demand it, selected by ``lax.switch`` on
+the device's mesh position; the red-black parity offset of a block is a
+multiple of the 8-aligned tile / 128-aligned column block so interior
+devices share one compiled kernel).  The result is bit-identical to the
+single-device ``solve_fixed`` for any device count
+(tests/test_parallel_window.py).
 
 Two executors share the machinery: :func:`solve_fixed_halo_window` (blind
 fixed-iteration sweeps) and :func:`solve_halo_window` (the reference's full
@@ -51,11 +55,13 @@ __all__ = ["solve_fixed_halo_window", "solve_halo_window",
            "halo_window_applicable"]
 
 
-def _plan_for_block(spec, b_local, by, nx):
+def _plan_for_block(spec, b_local, by, nx_local):
     """The per-device window plan, or None when the composition does not
-    apply (block too small / too large for one kernel call per step)."""
+    apply (block too small / too large for one kernel call per step).
+    ``nx_local`` includes any x ghost columns (the kernel keeps the full
+    local width resident per window)."""
     from ..ops.pallas_sor_window import window_plan
-    plan = window_plan(spec, (b_local, by, nx))
+    plan = window_plan(spec, (b_local, by, nx_local))
     if plan is None:
         return None
     if plan.y_chunk < by or plan.b_chunk < b_local:
@@ -67,21 +73,56 @@ def _plan_for_block(spec, b_local, by, nx):
     return plan
 
 
-def halo_window_applicable(spec, S_shape, mesh: Mesh) -> bool:
-    """True when the sharded windowed-kernel path applies to this problem."""
+def _x_ghost(spec, k_sweeps: int) -> int:
+    """x ghost-column width: the k-sweep dependence cone, 128-lane aligned
+    (slices at lane-tile offsets keep Mosaic on the fast path)."""
+    from ..ops.pallas_sor_window import _radius
+    return -(-2 * _radius(spec.offsets) * k_sweeps // 128) * 128
+
+
+def _mesh_extents(spec, S_shape, mesh: Mesh):
+    """(my, mx, mb, by, bx, hx) for this decomposition, or None when the
+    sharded windowed path does not apply."""
     if spec.ndim != 2 or spec.bih:
-        return False
+        return None
     if "y" not in mesh.shape:
-        return False
-    if "x" in mesh.shape and mesh.shape["x"] != 1:
-        return False
+        return None
     my_ = mesh.shape["y"]
+    mx = mesh.shape.get("x", 1)
     mb = mesh.shape.get("batch", 1)
     ny, nx = S_shape[-2:]
     B = int(np.prod(S_shape[:-2], dtype=np.int64)) if len(S_shape) > 2 else 1
-    if ny % my_ or B % mb:
+    if ny % my_ or B % mb or nx % mx:
+        return None
+    by, bx = ny // my_, nx // mx
+    if mx > 1 and bx % 128:
+        # lane-tile aligned column blocks only (ghost slicing + parity)
+        return None
+    # k_sweeps comes from the plan; the plan needs nx_local, which needs
+    # the ghost width, which depends on k.  k <= 4 always (window_plan
+    # tries 4, 2, 1), and the ghost width is radius-driven; use the k=4
+    # upper bound so the ghost never undershoots the planned k.
+    hx = _x_ghost(spec, 4) if mx > 1 else 0
+    if mx > 1 and hx > bx:
+        # the ghost exchange slices hx columns from the NEIGHBOR's block
+        return None
+    return my_, mx, mb, by, bx, hx
+
+
+def halo_window_applicable(spec, S_shape, mesh: Mesh) -> bool:
+    """True when the sharded windowed-kernel path applies to this problem.
+
+    Round 4: ('y', 'x') 2-D meshes are supported — rows ring-exchange over
+    'y' as before, and x-split devices carry 128-aligned ghost COLUMNS
+    (periodic x rides the ring wrap; extend-row corner clamps follow the
+    true domain edges).  Blocks must divide evenly with x blocks a
+    multiple of 128 lanes."""
+    ext = _mesh_extents(spec, S_shape, mesh)
+    if ext is None:
         return False
-    return _plan_for_block(spec, B // mb, ny // my_, nx) is not None
+    my_, mx, mb, by, bx, hx = ext
+    B = int(np.prod(S_shape[:-2], dtype=np.int64)) if len(S_shape) > 2 else 1
+    return _plan_for_block(spec, B // mb, by, bx + 2 * hx) is not None
 
 
 class _Setup(NamedTuple):
@@ -91,9 +132,12 @@ class _Setup(NamedTuple):
     W: jnp.ndarray           # stacked coefficient planes (global rows)
     tile: int
     k: int
-    h: int                   # ghost-ring width == kernel-internal halo
+    h: int                   # y ghost-ring width == kernel-internal halo
+    hx: int                  # x ghost-column width (0 on x-unsplit meshes)
     by: int                  # rows per device
+    bx: int                  # columns per device
     my_: int
+    mx: int
     mb: int
     batch_shape: tuple
     w_spec: P
@@ -108,9 +152,6 @@ def _setup(spec, S, omega, mesh, interpret, caller):
         raise ValueError(f"{caller} supports 2-D problems")
     if spec.bih:
         raise ValueError("biharmonic problems: use solve_fixed_halo")
-    if "x" in mesh.shape and mesh.shape["x"] != 1:
-        raise ValueError("the windowed kernel keeps x unsplit; use a mesh "
-                         "with x=1 (rows over 'y') or solve_fixed_halo")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -124,18 +165,19 @@ def _setup(spec, S, omega, mesh, interpret, caller):
     S3 = S.reshape((B, ny, nx))
     spec = _flatten_spec_batch(spec, 2)
 
-    my_ = mesh.shape["y"]
-    mb = mesh.shape.get("batch", 1)
-    if ny % my_:
-        raise ValueError(f"rows {ny} not divisible by mesh y={my_}")
-    if B % mb:
-        raise ValueError(f"batch {B} not divisible by mesh batch={mb}")
-    by = ny // my_
-    plan = _plan_for_block(spec, B // mb, by, nx)
+    ext = _mesh_extents(spec, (B, ny, nx), mesh)
+    if ext is None:
+        raise ValueError(
+            f"{caller}: mesh {dict(mesh.shape)} does not decompose the "
+            f"{B}x{ny}x{nx} problem (blocks must divide evenly, x blocks "
+            "a multiple of 128); use solve_fixed_halo")
+    my_, mx, mb, by, bx, hx = ext
+    plan = _plan_for_block(spec, B // mb, by, bx + 2 * hx)
     if plan is None:
         raise ValueError(
-            f"no single-call window plan for the {B // mb}x{by}x{nx} "
-            "per-device block; adjust the mesh or use solve_fixed_halo")
+            f"no single-call window plan for the {B // mb}x{by}x"
+            f"{bx + 2 * hx} per-device block; adjust the mesh or use "
+            "solve_fixed_halo")
     tile, k = plan.tile, plan.k_sweeps
     h = _round8(2 * _radius(spec.offsets) * k)
 
@@ -145,8 +187,9 @@ def _setup(spec, S, omega, mesh, interpret, caller):
     bW = W.shape[0]
 
     batch_ax = "batch" if (mb > 1) else None
-    w_spec = P(batch_ax if bW > 1 else None, None, "y", None)
-    s_spec = P(batch_ax, "y", None)
+    x_ax = "x" if mx > 1 else None
+    w_spec = P(batch_ax if bW > 1 else None, None, "y", x_ax)
+    s_spec = P(batch_ax, "y", x_ax)
 
     # spec arrays ride along only for static metadata (offsets/bcs) inside
     # _window_chunk; replace the data planes with dim-1 dummies so shard_map
@@ -161,57 +204,97 @@ def _setup(spec, S, omega, mesh, interpret, caller):
         relax=jnp.zeros((1, 1), spec.relax.dtype),
         active=jnp.zeros((1, 1), bool))
 
-    return _Setup(S3, slim, W, tile, k, h, by, my_, mb, batch_shape,
-                  w_spec, s_spec, batch_ax, interpret)
+    return _Setup(S3, slim, W, tile, k, h, hx, by, bx, my_, mx, mb,
+                  batch_shape, w_spec, s_spec, batch_ax, interpret)
 
 
 def _pad_weights(su: _Setup, Wl):
-    """Ghost-ring pad of the local weight stack (once per solve)."""
-    if su.my_ == 1:
-        return Wl
-    lo_w, hi_w = _ring_halo(Wl, "y", su.h, Wl.ndim - 2, su.my_)
-    return jnp.concatenate([lo_w, Wl, hi_w], axis=Wl.ndim - 2)
+    """Ghost-ring pad of the local weight stack (once per solve): ghost
+    COLUMNS first, then ghost rows of the column-padded stack — the row
+    exchange then carries the corner blocks diagonal neighbors own."""
+    if su.mx > 1:
+        lo, hi = _ring_halo(Wl, "x", su.hx, Wl.ndim - 1, su.mx)
+        Wl = jnp.concatenate([lo, Wl, hi], axis=Wl.ndim - 1)
+    if su.my_ > 1:
+        lo_w, hi_w = _ring_halo(Wl, "y", su.h, Wl.ndim - 2, su.my_)
+        Wl = jnp.concatenate([lo_w, Wl, hi_w], axis=Wl.ndim - 2)
+    return Wl
 
 
 def _device_step(su: _Setup, Wp):
     """step(Sl, n, n_static): n sweeps on the device's block — ppermute
-    ghost rings + one position-independent kernel launch (top / interior /
-    bottom selected by the device's row index)."""
+    ghost rings (columns first, then rows of the column-padded block so
+    corners ride along) + one position-independent kernel launch.  The
+    launch variant is selected by the device's mesh position: top /
+    interior / bottom rows, crossed with west / interior / east columns
+    when the extend-row corner clamps depend on the x position (extend-y
+    with globally non-periodic x)."""
     from ..ops.pallas_sor_window import _window_chunk
 
-    slim, tile, k, h, by, my_ = (su.slim, su.tile, su.k, su.h, su.by,
-                                 su.my_)
+    slim, tile, k, h, hx, by, bx, my_, mx = (
+        su.slim, su.tile, su.k, su.h, su.hx, su.by, su.bx, su.my_, su.mx)
     interpret = su.interpret
-    iy = jax.lax.axis_index("y")
-    idx = jnp.where(iy == 0, 0, jnp.where(iy == my_ - 1, 2, 1))
+
+    # x-variant clamps only matter when extend rows need corner fixes at
+    # the true domain west/east edges — extend-y with non-periodic x
+    x_cases: list
+    if mx == 1:
+        x_cases = [dict(pad_x=0)]            # legacy in-kernel x handling
+    elif slim.bcs[-2] == "extend" and slim.bcs[-1] != "periodic":
+        x_cases = [dict(pad_x=hx, clamp_w=hx, clamp_e=-1),
+                   dict(pad_x=hx, clamp_w=-1, clamp_e=-1),
+                   dict(pad_x=hx, clamp_w=-1, clamp_e=hx + bx - 1)]
+    else:
+        x_cases = [dict(pad_x=hx, clamp_w=-1, clamp_e=-1)]
+
+    if my_ == 1:
+        y_cases = [dict(pad_lo=0, has_top=True, has_bot=True,
+                        rows=slice(None))]
+    else:
+        y_cases = [dict(pad_lo=0, has_top=True, has_bot=False,
+                        rows=slice(h, None), out_rows=by),
+                   dict(pad_lo=h, has_top=False, has_bot=False,
+                        rows=slice(None), out_rows=by),
+                   dict(pad_lo=h, has_top=False, has_bot=True,
+                        rows=slice(None, by + h), out_rows=by)]
+
+    def case_idx():
+        if my_ > 1:
+            iy = jax.lax.axis_index("y")
+            idx_y = jnp.where(iy == 0, 0, jnp.where(iy == my_ - 1, 2, 1))
+        else:
+            idx_y = jnp.int32(0)
+        if len(x_cases) > 1:
+            ix = jax.lax.axis_index("x")
+            idx_x = jnp.where(ix == 0, 0, jnp.where(ix == mx - 1, 2, 1))
+        else:
+            idx_x = jnp.int32(0)
+        return idx_y * len(x_cases) + idx_x
 
     def step(Sl, n, n_static):
-        if my_ == 1:
-            return _window_chunk(slim, Wp, Sl, n, k, tile,
-                                 interpret=interpret, n_static=n_static)
-        lo, hi = _ring_halo(Sl, "y", h, 1, my_)
-        Sp = jnp.concatenate([lo, Sl, hi], axis=1)
+        Sp = Sl
+        if mx > 1:
+            lo, hi = _ring_halo(Sp, "x", hx, 2, mx)
+            Sp = jnp.concatenate([lo, Sp, hi], axis=2)
+        if my_ > 1:
+            lo, hi = _ring_halo(Sp, "y", h, 1, my_)
+            Sp = jnp.concatenate([lo, Sp, hi], axis=1)
 
-        def top(Sp):
-            return _window_chunk(
-                slim, Wp[:, :, h:, :], Sp[:, h:, :], n, k, tile,
-                interpret=interpret, n_static=n_static, out_rows=by,
-                pad_lo=0, has_top=True, has_bot=False)
+        def make_branch(yc, xc):
+            rows = yc["rows"]
+            kw = {k_: v for k_, v in yc.items() if k_ != "rows"}
+            kw.update(xc)
 
-        def mid(Sp):
-            return _window_chunk(
-                slim, Wp, Sp, n, k, tile,
-                interpret=interpret, n_static=n_static, out_rows=by,
-                pad_lo=h, has_top=False, has_bot=False)
+            def branch(Sp):
+                return _window_chunk(
+                    slim, Wp[:, :, rows, :], Sp[:, rows, :], n, k, tile,
+                    interpret=interpret, n_static=n_static, **kw)
+            return branch
 
-        def bot(Sp):
-            return _window_chunk(
-                slim, Wp[:, :, :by + h, :], Sp[:, :by + h, :],
-                n, k, tile,
-                interpret=interpret, n_static=n_static, out_rows=by,
-                pad_lo=h, has_top=False, has_bot=True)
-
-        return jax.lax.switch(idx, (top, mid, bot), Sp)
+        branches = [make_branch(yc, xc) for yc in y_cases for xc in x_cases]
+        if len(branches) == 1:
+            return branches[0](Sp)
+        return jax.lax.switch(case_idx(), branches, Sp)
 
     return step
 
@@ -224,8 +307,8 @@ def solve_fixed_halo_window(spec: StencilSpec, S, omega, n_iters: int,
 
     Bit-identical to single-device ``solve_fixed`` (the ghost cone argument
     is the row-chunk executor's, with chunks living on different devices).
-    ``n_iters`` must be a static int.  Rows shard over the mesh 'y' axis
-    (x unsplit — it rides inside the kernel), flattened batch dims over
+    ``n_iters`` must be a static int.  Rows shard over the mesh 'y' axis,
+    columns over 'x' (128-aligned blocks), flattened batch dims over
     'batch' when the mesh has one.
     """
     if mesh is None:
@@ -307,6 +390,7 @@ def solve_halo_window(spec: StencilSpec, S, omega, tol, max_iters: int,
     k, mb = su.k, su.mb
     stop_on_zero = spec.stop_on_zero_norm
     t_spec = P(su.batch_ax)           # per-batch-element telemetry
+    spatial_axes = ("y", "x") if su.mx > 1 else "y"
 
     def local_solve(Wl, Sl):
         Wp = _pad_weights(su, Wl)
@@ -335,7 +419,8 @@ def solve_halo_window(spec: StencilSpec, S, omega, tol, max_iters: int,
         def advance(c, k_eff, full):
             S_new = window(c["S"], k_eff, full)
             part = jnp.sum(jnp.abs(S_new), axis=(1, 2))
-            norm = jax.lax.psum(part, "y") / jnp.asarray(ncells, dtype)
+            norm = jax.lax.psum(part, spatial_axes) / jnp.asarray(ncells,
+                                                                  dtype)
             prev = c["norm_prev"]
             rel = jnp.where(prev >= 0,
                             jnp.abs(norm - prev)
