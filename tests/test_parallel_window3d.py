@@ -1,0 +1,116 @@
+# -*- coding: utf-8 -*-
+"""Sharded 3-D windowed-kernel executor (parallel/halo_window3d.py):
+the z-windowed Pallas kernel per device + ppermute ghost-row rings over
+the mesh 'y' axis (VERDICT r3 weak #5 — 3-D sharding previously ran the
+XLA sweep per device).
+
+Bit-exactness against the single-device XLA sweep on the virtual CPU
+mesh, including ODD row blocks (72 rows over 8 devices — the reference's
+omega grids), batched ('batch','y') meshes, and the general_3d family."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from xinvert_tpu import stencil
+from xinvert_tpu.solver import _solve_fixed_xla
+from xinvert_tpu.parallel.halo_window3d import (
+    solve_fixed_halo_window3d, halo_window3d_applicable)
+
+
+def _std3(nz, ny, nx, bcs, B=0, seed=0, mask=True):
+    rng = np.random.default_rng(seed)
+    sh = (nz, ny, nx)
+    A = ((np.abs(rng.normal(1.0, 0.1, sh)) + 0.5) * 2e-4).astype(np.float32)
+    Bc = (np.abs(rng.normal(1.0, 0.1, sh)) + 0.5).astype(np.float32)
+    C = (np.abs(rng.normal(1.0, 0.1, sh)) + 0.5).astype(np.float32)
+    F = rng.normal(0.0, 1e-9, ((B,) if B else ()) + sh).astype(np.float32)
+    Fdef = np.ones(sh, bool)
+    if mask:
+        Fdef[nz // 3:nz // 2, ny // 4:ny // 2, nx // 4:nx // 2] = False
+    spec = stencil.standard_3d(jnp.asarray(A), jnp.asarray(Bc),
+                               jnp.asarray(C), jnp.asarray(F),
+                               jnp.asarray(Fdef), (5e3, 1.1e5, 1.0e5), bcs)
+    return spec, jnp.zeros(((B,) if B else ()) + sh, jnp.float32)
+
+
+def _mesh_y(n):
+    return Mesh(np.array(jax.devices()[:n]).reshape(n), ("y",))
+
+
+def test_omega73_8dev_odd_blocks():
+    """The VERDICT r3 target: 73x72x288 omega class on the 8-device mesh.
+    72 rows over 8 devices gives ODD 9-row blocks — the per-device
+    parity_off kernel variants must correct the red-black phase."""
+    spec, S0 = _std3(73, 72, 288, ("fixed", "extend", "periodic"))
+    mesh = _mesh_y(8)
+    assert halo_window3d_applicable(spec, S0.shape, mesh)
+    for n in (1, 9, 17):
+        ref = _solve_fixed_xla(spec, S0, 1.2, n)
+        out = solve_fixed_halo_window3d(spec, S0, 1.2, n, mesh=mesh)
+        assert float(jnp.max(jnp.abs(out - ref))) == 0.0, n
+
+
+@pytest.mark.parametrize("ndev,bcs", [
+    (2, ("fixed", "fixed", "fixed")),
+    (4, ("fixed", "extend", "periodic")),
+    (1, ("fixed", "extend", "periodic")),
+])
+def test_bit_exact_device_counts_3d(ndev, bcs):
+    spec, S0 = _std3(24, 48, 144, bcs, seed=2)
+    mesh = _mesh_y(ndev)
+    assert halo_window3d_applicable(spec, S0.shape, mesh)
+    ref = _solve_fixed_xla(spec, S0, 1.2, 9)
+    out = solve_fixed_halo_window3d(spec, S0, 1.2, 9, mesh=mesh)
+    assert float(jnp.max(jnp.abs(out - ref))) == 0.0
+
+
+def test_batched_mesh_3d():
+    """('batch','y'): per-slice coefficient stacks shard over 'batch'
+    with the state (the W plane axis folds batch)."""
+    spec, S0 = _std3(24, 48, 144, ("fixed", "extend", "periodic"), B=2,
+                     seed=5)
+    mesh = Mesh(np.array(jax.devices()).reshape(2, 4), ("batch", "y"))
+    assert halo_window3d_applicable(spec, S0.shape, mesh)
+    ref = _solve_fixed_xla(spec, S0, 1.2, 9)
+    out = solve_fixed_halo_window3d(spec, S0, 1.2, 9, mesh=mesh)
+    assert float(jnp.max(jnp.abs(out - ref))) == 0.0
+
+
+def test_general3d_family_sharded():
+    rng = np.random.default_rng(7)
+    sh = (24, 48, 144)
+    A = (np.abs(rng.normal(1.0, 0.1, sh)) + 0.5).astype(np.float32)
+    D = rng.normal(0.0, 1e-6, sh).astype(np.float32)
+    G = (-np.abs(rng.normal(1e-10, 1e-11, sh))).astype(np.float32)
+    H = rng.normal(0.0, 1.0, sh).astype(np.float32)
+    spec = stencil.general_3d(jnp.asarray(A), jnp.asarray(A),
+                              jnp.asarray(A), jnp.asarray(D),
+                              jnp.asarray(D), jnp.asarray(D),
+                              jnp.asarray(G), jnp.asarray(H),
+                              jnp.ones(sh, bool), (5e3, 1.1e5, 1.0e5),
+                              ("fixed", "extend", "periodic"))
+    S0 = jnp.zeros(sh, jnp.float32)
+    ref = _solve_fixed_xla(spec, S0, 1.1, 9)
+    out = solve_fixed_halo_window3d(spec, S0, 1.1, 9, mesh=_mesh_y(4))
+    assert float(jnp.max(jnp.abs(out - ref))) == 0.0
+
+
+def test_extend_stale_pad_gate():
+    """by == ghost-width with extend-y puts the neighbor's extend boundary
+    row inside the pad where it goes stale within a k-window — declined
+    (measured bit-divergence); the same geometry with fixed-y (frozen
+    boundary rows) stays exact."""
+    spec_e, S_e = _std3(24, 32, 144, ("fixed", "extend", "periodic"), B=2)
+    mesh = _mesh_y(4)          # by = 8 == _HY
+    assert not halo_window3d_applicable(spec_e, S_e.shape, mesh)
+    with pytest.raises(ValueError):
+        solve_fixed_halo_window3d(spec_e, S_e, 1.2, 4, mesh=mesh)
+
+    spec_f, S_f = _std3(24, 32, 144, ("fixed", "fixed", "periodic"), B=2)
+    assert halo_window3d_applicable(spec_f, S_f.shape, mesh)
+    ref = _solve_fixed_xla(spec_f, S_f, 1.2, 17)
+    out = solve_fixed_halo_window3d(spec_f, S_f, 1.2, 17, mesh=mesh)
+    assert float(jnp.max(jnp.abs(out - ref))) == 0.0

@@ -174,7 +174,8 @@ def window3d_applicable(spec, S_shape, for_dispatch: bool = False) -> bool:
 def _kernel(n_ref, goff_ref, W_ref, s_ref, out_ref, *, K, offsets, tile,
             halo, nzp, nz, ny, nx, extend_mode, periodic_x, dtype,
             n_static=None, unroll=False, pad_lo=0, has_top=True,
-            has_bot=True, pad_row=0, has_ytop=True, has_ybot=True):
+            has_bot=True, pad_row=0, has_ytop=True, has_ybot=True,
+            parity_off=0):
     """One grid program: k sweeps on an overlapping (win, ny, nx) window.
 
     ``nz`` is the TRUE extent of the windowed axis (the pad levels above it
@@ -190,9 +191,11 @@ def _kernel(n_ref, goff_ref, W_ref, s_ref, out_ref, *, K, offsets, tile,
 
     For a y-SPLIT block (sharded executor, parallel/halo_window3d.py),
     ``pad_row`` ghost ROWS ride each side of axis -2; only the owned rows
-    are written back, and ``has_ytop`` / ``has_ybot`` say whether the
-    block touches the true y boundaries (the "row" extend pre-pass fires
-    only there, at the pad-offset row indices).
+    are written back, ``has_ytop`` / ``has_ybot`` say whether the block
+    touches the true y boundaries (the "row" extend pre-pass fires only
+    there, at the pad-offset row indices), and ``parity_off`` is the
+    red-black parity of the block's global row origin (0 when row blocks
+    are even — odd blocks alternate it per device).
 
     ``extend_mode`` selects the extend-BC pre-pass layout:
       - "row": extend along axis -2 gated on windowed-axis interior — the
@@ -254,7 +257,7 @@ def _kernel(n_ref, goff_ref, W_ref, s_ref, out_ref, *, K, offsets, tile,
                           _fix_row(pltpu.roll(S, win - 1, 0)), S)
             S = jnp.where(jnp.logical_and(lev_g == nz - 1, interior_row),
                           _fix_row(pltpu.roll(S, 1, 0)), S)
-        parity = lev_g + row + col
+        parity = lev_g + row + col + parity_off
         for color in (0, 1):
             acc = W_ref[K + 1]                     # g
             for k in range(K):
@@ -330,12 +333,15 @@ def _stack_planes3(spec, rel, nz, ny, nx, dtype, nzp=None):
                    static_argnames=("k_sweeps", "tile", "interpret",
                                     "n_static", "unroll", "perm",
                                     "out_levs", "pad_lo", "has_top",
-                                    "has_bot"))
+                                    "has_bot", "pad_row", "has_ytop",
+                                    "has_ybot", "parity_off"))
 def _window3d_call(spec, W, S, n, k_sweeps: int, tile: int,
                    interpret: bool = False, n_static=None,
                    unroll: bool = False, perm: bool = False,
                    g_off=0, out_levs=None, pad_lo: int = 0,
-                   has_top: bool = True, has_bot: bool = True):
+                   has_top: bool = True, has_bot: bool = True,
+                   pad_row: int = 0, has_ytop: bool = True,
+                   has_ybot: bool = True, parity_off: int = 0):
     """One pallas launch running ``n`` (<= k_sweeps) full iterations on
     (B, nzp, ny, nx) state padded along the windowed axis; batch slices
     map onto the leading grid dim, W carries bW*(K+3) stacked planes.
@@ -346,9 +352,15 @@ def _window3d_call(spec, W, S, n, k_sweeps: int, tile: int,
     the chunk's levels plus one-sided neighbor pads (``pad_lo`` below),
     ``out_levs`` are the levels this call owns and writes, ``g_off`` is
     the runtime global index of local level 0, and ``has_top`` /
-    ``has_bot`` mark true domain ends."""
+    ``has_bot`` mark true domain ends.
+
+    For a y-SPLIT block (sharded executor), ``pad_row`` ghost rows ride
+    each side of axis -2 (only the owned rows are written) and
+    ``has_ytop`` / ``has_ybot`` mark true y boundaries (direct layout
+    only — ``perm`` blocks are never y-split)."""
     B, nzp, ny, nx = S.shape
     out_levs = nzp if out_levs is None else out_levs
+    nyo = ny - 2 * pad_row
     dtype = S.dtype
     halo = 2 * k_sweeps
     win = tile + 2 * halo
@@ -373,6 +385,8 @@ def _window3d_call(spec, W, S, n, k_sweeps: int, tile: int,
         periodic_x=spec.bcs[-1] == "periodic",
         dtype=dtype, n_static=n_static, unroll=unroll,
         pad_lo=pad_lo, has_top=has_top, has_bot=has_bot,
+        pad_row=pad_row, has_ytop=has_ytop, has_ybot=has_ybot,
+        parity_off=parity_off,
     )
 
     def _zstart(t):
@@ -399,9 +413,9 @@ def _window3d_call(spec, W, S, n, k_sweeps: int, tile: int,
             pl.BlockSpec((Element(1), Element(win), Element(ny),
                           Element(nx)), smap, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tile, ny, nx), lambda b, t: (b, t, 0, 0),
+        out_specs=pl.BlockSpec((1, tile, nyo, nx), lambda b, t: (b, t, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, out_levs, ny, nx), dtype),
+        out_shape=jax.ShapeDtypeStruct((B, out_levs, nyo, nx), dtype),
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,

@@ -19,6 +19,9 @@ from .halo import solve_fixed_halo                               # noqa: F401
 from .halo_window import (                                       # noqa: F401
     solve_fixed_halo_window, solve_halo_window, halo_window_applicable,
 )
+from .halo_window3d import (                                     # noqa: F401
+    solve_fixed_halo_window3d, halo_window3d_applicable,
+)
 from .scaling import (                                           # noqa: F401
     initialize_distributed, make_hybrid_mesh, scaling_bench,
     format_scaling_table,
