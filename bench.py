@@ -131,6 +131,36 @@ def _extra_omega3d(jnp):
             "omega3d_500sweeps_ms": nz * ny * nx * iters / rate * 1e3}
 
 
+def _extra_bih(jnp):
+    """Biharmonic (Stommel-Munk class) windowed-kernel rate at 2048^2 —
+    the 17-point radius-2 stencil (see tools/tpu_bih_check.py; XLA roll
+    path measured 2.02e9 pt-sweeps/s on the v5e)."""
+    from xinvert_tpu import stencil
+    from xinvert_tpu.ops.pallas_sor_window import sor_sweeps_window
+
+    ny = nx = 2048
+    rng = np.random.default_rng(0)
+    dt = np.float32
+    A4 = np.full((ny, nx), 5e3, dt)
+    Z = np.zeros((ny, nx), dt)
+    beta = np.full((ny, nx), 2e-11, dt)
+    J = rng.normal(0, 1e-7, (ny, nx)).astype(dt)
+    Fdef = np.ones((ny, nx), bool)
+    Fdef[ny // 3:ny // 2, nx // 4:nx // 2] = False
+    spec = stencil.general_2d_bih(
+        jnp.asarray(A4), jnp.asarray(Z), jnp.asarray(A4),
+        jnp.asarray(Z), jnp.asarray(Z), jnp.asarray(Z),
+        jnp.asarray(Z), jnp.asarray(-beta), jnp.asarray(Z),
+        jnp.asarray(J), jnp.asarray(Fdef), (5e4, 5e4), ("fixed", "fixed"))
+    S0 = jnp.zeros((ny, nx), dt)
+    om = np.float32(1.0)
+    iters = 500
+    rate = _chain_rate(lambda S: sor_sweeps_window(spec, S, om, iters),
+                       S0, lambda S: float(jnp.sum(jnp.abs(S))),
+                       ny * nx * iters, chain=3, repeats=3)
+    return {"bih2048_pt_sweeps_per_s": rate}
+
+
 def _extra_mg(jnp):
     """Multigrid time-to-solution: 2048^2 masked cartesian Poisson, FMG +
     kernel smoothing to relative residual 1e-6 (see tools/tpu_mg_timing.py
@@ -200,7 +230,8 @@ def main():
 
     extras = {}
     if on_tpu:
-        for name, fn in (("omega3d", _extra_omega3d), ("mg", _extra_mg)):
+        for name, fn in (("omega3d", _extra_omega3d), ("mg", _extra_mg),
+                         ("bih", _extra_bih)):
             if time.perf_counter() - t_start > _EXTRAS_BUDGET_S:
                 extras[name] = "skipped: extras budget exhausted"
                 continue

@@ -132,3 +132,30 @@ def test_refined_batched():
                         inner_iters=20000)
     assert res.rel_residual.shape == (B,)
     assert float(jnp.max(res.rel_residual)) <= 1e-7
+
+
+def test_api_toltype_refined():
+    """iParams tolType='refined' routes invert_* through solve_refined:
+    certified relative residual <= tolerance, the (hi, lo) pair kept in
+    models.api.LAST_REFINE."""
+    from xinvert_tpu import invert_Poisson
+    from xinvert_tpu.field import Field
+    from xinvert_tpu.models import api as mapi
+
+    ny, nx = 72, 144
+    lat = np.linspace(-88.75, 88.75, ny)
+    lon = np.linspace(0, 360 - 360 / nx, nx)
+    llat = np.deg2rad(lat)[:, None]
+    llon = np.deg2rad(lon)[None, :]
+    # smooth zero-mean forcing (random noise is incompatible with the
+    # extend+periodic operator's constant nullspace and pins the residual)
+    vor = (np.sin(3 * llon) * np.cos(2 * llat) * 1e-5).astype(np.float32)
+    F = Field(vor, ("lat", "lon"), {"lat": lat, "lon": lon}, name="vor")
+    iP = {"BCs": ["extend", "periodic"], "undef": np.nan, "mxLoop": 20000,
+          "tolerance": 1e-7, "printInfo": False, "tolType": "refined"}
+    out = invert_Poisson(F, dims=["lat", "lon"], iParams=iP)
+    assert out.shape == (ny, nx)
+    assert np.isfinite(np.asarray(out)).all()
+    assert float(np.max(np.asarray(mapi.LAST_SOLVE.rel_change))) <= 1e-7
+    assert mapi.LAST_REFINE is not None
+    assert mapi.LAST_REFINE.S_lo.shape == (ny, nx)

