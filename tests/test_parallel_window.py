@@ -319,3 +319,43 @@ def test_row_padding_nondivisible(ny, ndev, bcs):
     ref = _solve_fixed_xla(spec, S0, 1.5, 9)
     assert int(res.iters) == 9
     assert float(jnp.max(jnp.abs(res.S - ref))) == 0.0
+
+
+@pytest.mark.parametrize("ndev,bcs,ny", [
+    (4, ("fixed", "fixed"), 256),
+    (4, ("extend", "periodic"), 256),     # two-ring extend rows
+    (8, ("extend", "fixed"), 512),
+])
+def test_biharmonic_row_mesh(ndev, bcs, ny):
+    """Biharmonic (17-point radius-2) specs on row meshes (round 4): the
+    two-ring ghost cone rides halo = round8(4k) rings; the plan's
+    tile > halo keeps the extend boundary ROWS out of the pads.  Fixed
+    and checked solves bit-exact vs single-device."""
+    from xinvert_tpu import stencil
+    from xinvert_tpu.parallel.halo_window import solve_halo_window
+    nx = 256
+    rng = np.random.default_rng(7)
+    A = (np.abs(rng.normal(1.0, 0.1, (ny, nx))) + 0.5)
+    B = rng.normal(0.0, 0.1, (ny, nx))
+    Z = np.zeros((ny, nx))
+    D = -np.abs(rng.normal(1, 0.1, (ny, nx))) * 1e-10
+    J = rng.normal(0, 1, (ny, nx))
+    Fdef = np.ones((ny, nx), bool)
+    Fdef[ny // 3:ny // 2, nx // 4:nx // 2] = False
+    spec = stencil.general_2d_bih(
+        jnp.asarray(A), jnp.asarray(B), jnp.asarray(A), jnp.asarray(D),
+        jnp.asarray(B * 1e-11), jnp.asarray(D), jnp.asarray(Z),
+        jnp.asarray(Z), jnp.asarray(Z), jnp.asarray(J), jnp.asarray(Fdef),
+        (1.1e5, 1.0e5), bcs)
+    S0 = jnp.zeros((ny, nx))
+    mesh = Mesh(np.array(jax.devices()[:ndev]).reshape(ndev), ("y",))
+    assert halo_window_applicable(spec, S0.shape, mesh)
+    for n in (1, 9):
+        ref = _solve_fixed_xla(spec, S0, 1.0, n)
+        out = solve_fixed_halo_window(spec, S0, 1.0, n, mesh=mesh)
+        assert float(jnp.max(jnp.abs(out - ref))) == 0.0, n
+    res = solve_halo_window(spec, S0, 1.0, 0.0, 9, check_every=4,
+                            mesh=mesh)
+    ref = _solve_fixed_xla(spec, S0, 1.0, 9)
+    assert int(res.iters) == 9
+    assert float(jnp.max(jnp.abs(res.S - ref))) == 0.0
