@@ -159,3 +159,26 @@ def test_api_toltype_refined():
     assert float(np.max(np.asarray(mapi.LAST_SOLVE.rel_change))) <= 1e-7
     assert mapi.LAST_REFINE is not None
     assert mapi.LAST_REFINE.S_lo.shape == (ny, nx)
+
+
+def test_api_mg_refined():
+    """invert_*_mg with tolType='refined': MG-backed refinement (V-cycle
+    correction solves via the g0 override) certifies the tolerance."""
+    from xinvert_tpu import invert_Poisson_mg
+    from xinvert_tpu.field import Field
+    from xinvert_tpu.models import api as mapi
+
+    ny, nx = 96, 192
+    lat = np.linspace(-88.75, 88.75, ny)
+    lon = np.linspace(0, 360 - 360 / nx, nx)
+    llat, llon = np.deg2rad(lat)[:, None], np.deg2rad(lon)[None, :]
+    vor = (np.sin(3 * llon) * np.cos(2 * llat) * 1e-5).astype(np.float32)
+    F = Field(vor, ("lat", "lon"), {"lat": lat, "lon": lon}, name="vor")
+    out = invert_Poisson_mg(
+        F, dims=["lat", "lon"], tol=1e-9,
+        iParams={"BCs": ["extend", "periodic"], "undef": np.nan,
+                 "printInfo": False, "tolType": "refined"})
+    assert np.isfinite(np.asarray(out)).all()
+    r = mapi.LAST_REFINE
+    assert float(np.max(np.asarray(r.rel_residual))) <= 1e-9
+    assert float(np.max(np.asarray(mapi.LAST_SOLVE.rel_change))) <= 1e-9

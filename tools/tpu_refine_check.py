@@ -62,6 +62,31 @@ def main():
     assert rel <= 1e-5, f"certification target missed: {rel:.3e}"
     print("OK: certified <= 1e-5 at 2048^2 full-sphere f32")
 
+    # MG-backed refinement through the api (round 4): V-cycle correction
+    # solves instead of SOR sweeps — certified solves in ~a second
+    import xinvert_tpu as xv
+    ny2 = nx2 = 2048
+    lat = np.linspace(-88.75, 88.75, ny2)
+    lon = np.linspace(0, 360 - 360 / nx2, nx2)
+    llat, llon = np.deg2rad(lat)[:, None], np.deg2rad(lon)[None, :]
+    vor = (np.sin(3 * llon) * np.cos(2 * llat) * 1e-5).astype(np.float32)
+    F = xv.Field(vor, ("lat", "lon"), {"lat": lat, "lon": lon}, name="vor")
+    iP = {"BCs": ["extend", "periodic"], "undef": np.nan,
+          "printInfo": False, "tolType": "refined"}
+    t0 = time.perf_counter()
+    xv.invert_Poisson_mg(F, dims=["lat", "lon"], tol=1e-5, iParams=iP)
+    t1 = time.perf_counter() - t0
+    r1 = xv.models.api.LAST_REFINE
+    # second call reuses compiles: the steady-state cost
+    t0 = time.perf_counter()
+    xv.invert_Poisson_mg(F, dims=["lat", "lon"], tol=1e-5, iParams=iP)
+    t2 = time.perf_counter() - t0
+    r2 = xv.models.api.LAST_REFINE
+    print(f"mg-refined 2048^2 full-sphere: certified "
+          f"{float(jnp.max(r2.rel_residual)):.3e} in {r2.rounds} rounds; "
+          f"first call {t1:.1f}s (compiles), steady {t2:.1f}s")
+    assert float(jnp.max(r2.rel_residual)) <= 1e-5
+
 
 if __name__ == "__main__":
     main()

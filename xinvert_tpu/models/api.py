@@ -421,9 +421,25 @@ def _invert_mg(F, dims, coords, icbc, valid_mp, mParams, iParams, ndim,
     # residual tolerance, fewer main-loop cycles); disabled with an icbc
     # warm start, which already provides the initial state
     warm = bool(iP.get("warmStart", False)) and icbc is not None
-    S, cycles, res, converged = solve_mg(
-        levels, S0=jnp.asarray(S0), g0=g0 if batch else None,
-        tol=tol, max_cycles=max_cycles, fmg=not warm, **mg_kw)
+    if iP.get("tolType") == "refined":
+        # MG-backed mixed-precision refinement: certified relative
+        # residual `tol` with V-cycle correction solves (a few cycles per
+        # round instead of thousands of SOR sweeps)
+        import dataclasses
+        from ..refine import solve_refined, mg_inner
+        global LAST_REFINE
+        spec_f = (levels[0].spec if (g0 is None or not batch)
+                  else dataclasses.replace(levels[0].spec, g=g0))
+        r = solve_refined(spec_f, jnp.asarray(S0), tol=tol,
+                          inner=mg_inner(levels, **mg_kw))
+        LAST_REFINE = r
+        S, cycles = r.S_hi, r.rounds
+        res = jnp.max(r.rel_residual)
+        converged = bool(res <= tol)
+    else:
+        S, cycles, res, converged = solve_mg(
+            levels, S0=jnp.asarray(S0), g0=g0 if batch else None,
+            tol=tol, max_cycles=max_cycles, fmg=not warm, **mg_kw)
     S = np.asarray(S).reshape(vals.shape)
     global LAST_SOLVE
     LAST_SOLVE = SolveResult(S=S, iters=np.asarray(cycles),

@@ -38,7 +38,7 @@ from .ops.compensated import (two_sum, residual_compensated,
 from .solver import solve, _residual_scale
 from .stencil import StencilSpec
 
-__all__ = ["solve_refined", "RefineResult"]
+__all__ = ["solve_refined", "RefineResult", "mg_inner"]
 
 
 class RefineResult(NamedTuple):
@@ -64,6 +64,21 @@ def _default_inner(spec: StencilSpec, omega, inner_tol: float,
         return solve(cspec, S0, omega=omega, tol=inner_tol,
                      max_iters=inner_iters, check_every=32,
                      tol_type="residual").S
+    return inner
+
+
+def mg_inner(levels, tol: float = 1e-4, max_cycles: int = 25, **kw):
+    """An ``inner`` callable for :func:`solve_refined` backed by multigrid
+    V-cycles on a prebuilt pyramid: each correction system rides the
+    ``g0`` override of :func:`xinvert_tpu.mg.solve_mg` (the fine-level
+    constant term is the current residual), so certified solves cost a
+    few cycles per round instead of thousands of SOR sweeps."""
+    from .mg import solve_mg
+
+    def inner(cspec, S0):
+        S, _, _, _ = solve_mg(levels, S0=S0, g0=cspec.g, tol=tol,
+                              max_cycles=max_cycles, fmg=False, **kw)
+        return S
     return inner
 
 
