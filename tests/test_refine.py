@@ -182,3 +182,22 @@ def test_api_mg_refined():
     r = mapi.LAST_REFINE
     assert float(np.max(np.asarray(r.rel_residual))) <= 1e-9
     assert float(np.max(np.asarray(mapi.LAST_SOLVE.rel_change))) <= 1e-9
+
+
+def test_refined_3d():
+    """Refinement is dimension-generic: a 3-D standard family certifies
+    through the same EFT/correction machinery."""
+    from xinvert_tpu import stencil
+    rng = np.random.default_rng(11)
+    sh = (12, 24, 32)
+    A = ((np.abs(rng.normal(1.0, 0.1, sh)) + 0.5) * 2e-4).astype(np.float32)
+    B = (np.abs(rng.normal(1.0, 0.1, sh)) + 0.5).astype(np.float32)
+    F = rng.normal(0.0, 1e-9, sh).astype(np.float32)
+    spec = stencil.standard_3d(jnp.asarray(A), jnp.asarray(B),
+                               jnp.asarray(B), jnp.asarray(F),
+                               jnp.ones(sh, bool), (5e3, 1.1e5, 1.0e5),
+                               ("fixed", "extend", "periodic"))
+    assert spec.w0.dtype == jnp.float32
+    res = solve_refined(spec, jnp.zeros(sh, jnp.float32), tol=1e-7,
+                        max_rounds=5, inner_tol=1e-4, inner_iters=20000)
+    assert float(jnp.max(res.rel_residual)) <= 1e-7

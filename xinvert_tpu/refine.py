@@ -20,10 +20,11 @@ This module lifts both limits the classic mixed-precision way, TPU-native:
    Pallas SOR kernels / multigrid — the correction only needs a few digits)
    and absorb ``e`` into the pair with a TwoSum renormalisation.
 
-Each round multiplies the residual by ~the inner solve's reduction factor
-until the eps^2-level floor (~1e-7 relative measured at 512^2 full-sphere,
-four orders below the single-f32 floor; the test suite certifies against
-f64 ground truth on CPU, tools/tpu_refine_check.py on the v5e).
+Each round multiplies the residual by ~the inner solve's reduction
+factor, far past the single-f32 floor: measured on the v5e, the 2048^2
+full-sphere Poisson certifies 6.3e-7 in 2 rounds (vs the 1.1e-1 floor),
+and the 96x192 CPU chain reaches 5.2e-9 validated against true f64
+arithmetic (tests/test_refine.py; tools/tpu_refine_check.py).
 """
 from __future__ import annotations
 
