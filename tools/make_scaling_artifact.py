@@ -65,6 +65,25 @@ def main():
     print(f"halo_window weak: "
           f"{[f'{r['efficiency']:.2f}' for r in rows]}", flush=True)
 
+    # round 4: ('y','x') column-split windowed executor (near-square
+    # meshes, 128-aligned ghost columns) and the sharded 3-D z-windowed
+    # executor — correctness-calibration rows like the above
+    rows = scaling_bench(device_counts=[1, 2, 4, 8],
+                         base_ny=128, base_nx=128, n_iters=8,
+                         mode="weak", dtype=np.float32,
+                         executor="halo_window_xy")
+    out["tables"]["halo_window_xy_weak_interpret"] = rows
+    print(f"halo_window_xy weak: "
+          f"{[f'{r['efficiency']:.2f}' for r in rows]}", flush=True)
+
+    rows = scaling_bench(device_counts=[1, 2, 4, 8],
+                         base_ny=32, base_nx=144, n_iters=8,
+                         mode="weak", dtype=np.float32,
+                         executor="halo_window3d")
+    out["tables"]["halo_window3d_weak_interpret"] = rows
+    print(f"halo_window3d weak: "
+          f"{[f'{r['efficiency']:.2f}' for r in rows]}", flush=True)
+
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "SCALING.json"), "w") as f:
         json.dump(out, f, indent=1)

@@ -94,6 +94,20 @@ def _spatial_factor(n: int):
     return a, n // a
 
 
+def _omega_problem3(nz, ny, nx, dtype):
+    """Synthetic omega-class 3-D problem for the 3-D scaling rows."""
+    from ..stencil import standard_3d
+    rng = np.random.default_rng(0)
+    sh = (nz, ny, nx)
+    A = ((np.abs(rng.normal(1.0, 0.1, sh)) + 0.5) * 2e-4).astype(dtype)
+    B = (np.abs(rng.normal(1.0, 0.1, sh)) + 0.5).astype(dtype)
+    F = rng.normal(0.0, 1e-9, sh).astype(dtype)
+    spec = standard_3d(jnp.asarray(A), jnp.asarray(B), jnp.asarray(B),
+                       jnp.asarray(F), np.ones(sh, bool),
+                       (5e3, 1.1e5, 1.0e5), ("fixed", "extend", "periodic"))
+    return spec, jnp.zeros(sh, dtype)
+
+
 def _bench_once(spec, S0, mesh, omega, n_iters, reps=3,
                 executor="gspmd", k_sweeps=1):
     """Median wall time of a fixed-iteration sharded solve, timed by
@@ -108,11 +122,16 @@ def _bench_once(spec, S0, mesh, omega, n_iters, reps=3,
         from ..solver import solve_fixed
         spec_sh, S_sh = shard_problem(spec, S0, mesh)
         fn = lambda s: solve_fixed(spec_sh, s, omega, n_iters)
-    elif executor == "halo_window":
+    elif executor in ("halo_window", "halo_window_xy"):
         from .halo_window import solve_fixed_halo_window
         S_sh = S0
         fn = lambda s: solve_fixed_halo_window(spec, s, omega, n_iters,
                                                mesh=mesh)
+    elif executor == "halo_window3d":
+        from .halo_window3d import solve_fixed_halo_window3d
+        S_sh = S0
+        fn = lambda s: solve_fixed_halo_window3d(spec, s, omega, n_iters,
+                                                 mesh=mesh)
     else:
         from .halo import solve_fixed_halo
         S_sh = S0
@@ -156,23 +175,37 @@ def scaling_bench(device_counts: Optional[Sequence[int]] = None,
     base_rate = None
     for c in device_counts:
         if executor == "halo_window":
-            # the windowed kernel keeps x unsplit: rows-only decomposition
+            # rows-only decomposition
             from jax.sharding import Mesh
             mesh = Mesh(np.array(jax.devices()[:c]).reshape(c, 1),
                         ("y", "x"))
+        elif executor == "halo_window3d":
+            from jax.sharding import Mesh
+            mesh = Mesh(np.array(jax.devices()[:c]).reshape(c), ("y",))
         else:
+            # near-square ('y','x') factorization (incl. halo_window_xy:
+            # the windowed executor's round-4 column splits)
             mesh = make_grid_mesh(n_devices=c)
-        my_, mx_ = mesh.shape["y"], mesh.shape["x"]
+        my_, mx_ = mesh.shape["y"], mesh.shape.get("x", 1)
         if mode == "weak":
             ny, nx = base_ny * my_, base_nx * mx_
         else:
             ny, nx = base_ny, base_nx
         if ny % my_ or nx % mx_:
             continue
-        spec, S0, grid = _poisson_problem(batch=0, ny=ny, nx=nx, dtype=dtype)
-        dt = _bench_once(spec, S0, mesh, grid.omega_opt, n_iters,
-                         executor=executor, k_sweeps=k_sweeps)
-        pts = ny * nx * n_iters / dt
+        if executor == "halo_window3d":
+            nz = 24
+            spec, S0 = _omega_problem3(nz, ny, nx, dtype)
+            dt = _bench_once(spec, S0, mesh, 1.2, n_iters,
+                             executor=executor)
+            pts0 = nz * ny * nx
+        else:
+            spec, S0, grid = _poisson_problem(batch=0, ny=ny, nx=nx,
+                                              dtype=dtype)
+            dt = _bench_once(spec, S0, mesh, grid.omega_opt, n_iters,
+                             executor=executor, k_sweeps=k_sweeps)
+            pts0 = ny * nx
+        pts = pts0 * n_iters / dt
         per_dev = pts / c
         if base_rate is None:
             base_rate = per_dev
