@@ -12,6 +12,9 @@ to (y, z, x) and windows physical latitude) at 1.58e10 point-sweeps/s,
 bit-exact vs the XLA sweep (tools/tpu_ocean3d_e2e.py).
 """
 import os
+import sys
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
 
 import numpy as np
 import xinvert_tpu as xv

@@ -45,7 +45,9 @@ default_iParams = {
                          # refinement (refine.solve_refined) to a CERTIFIED
                          # relative residual `tolerance` — f64-class
                          # certification on f32 TPU hardware (the (hi, lo)
-                         # state pair is kept in models.api.LAST_REFINE)
+                         # state pair is kept in models.api.LAST_REFINE;
+                         # takes precedence over 'mesh'/'streamChunk' —
+                         # refinement is single-device)
     "streamChunk": None, # TPU-native extension: int -> stream the batch
                          # (non-core) dims through the device this many
                          # slices at a time (stream.solve_streamed), for
