@@ -550,6 +550,64 @@ def invert_StommelMunk_mg(curl, dims, coords="lat-lon", icbc=None,
                       nu1=3, nu2=3)
 
 
+def _std2d_mg_build(coeffs_fn):
+    """Shared build closure for standard-2D-family MG entries:
+    ``coeffs_fn -> (A, B, C, Fs)`` planes -> coefficient pyramid with the
+    forcing folded as ``g = -Fs*dx^2`` (stencil.standard_2d's convention),
+    batched forcing deferred via g0."""
+    def build(vals, Fdef_c, grid, mPr):
+        from ..mg import build_pyramid_standard2d
+        A, B, C, Fs = coeffs_fn(jnp.asarray(vals), jnp.asarray(Fdef_c),
+                                grid, mPr)
+        pyr = build_pyramid_standard2d(A, B, C, np.zeros(grid.shape),
+                                       Fdef_c, grid.deltas, grid.bcs)
+        dxsq = grid.deltas[-1] ** 2
+        g0 = jnp.where(pyr[0].spec.active, -jnp.asarray(Fs) * dxsq, 0.0)
+        if jnp.ndim(g0) == 2:
+            pyr[0] = _mg_with_g(pyr[0], g0)
+            g0 = None
+        return pyr, g0
+    return build
+
+
+def invert_PV2D_mg(PV, dims, coords="z-lat", icbc=None, mParams=None,
+                   iParams=None, tol: float = 1e-8, max_cycles: int = 60):
+    """QG PV inversion in a vertical plane via multigrid (TPU-native
+    extension; same coefficients as :func:`invert_PV2D`,
+    apps.py:1556-1579)."""
+    return _invert_mg(PV, dims, coords, icbc,
+                      ["f0", "beta", "N2", "g", "Omega", "Rearth"],
+                      mParams, iParams, 2,
+                      _std2d_mg_build(problems.pv2d_std_coeffs),
+                      tol, max_cycles)
+
+
+def invert_Eliassen_mg(F, dims, coords="z-lat", icbc=None, mParams=None,
+                       iParams=None, tol: float = 1e-8,
+                       max_cycles: int = 60):
+    """Sawyer-Eliassen overturning via multigrid (TPU-native extension;
+    same cross-coupled coefficients as :func:`invert_Eliassen`,
+    apps.py:1582-1606 — the pyramid coarsens A/B/C together)."""
+    return _invert_mg(F, dims, coords, icbc,
+                      ["A", "B", "C", "g", "Omega", "Rearth"],
+                      mParams, iParams, 2,
+                      _std2d_mg_build(problems.eliassen_std_coeffs),
+                      tol, max_cycles)
+
+
+def invert_geostrophic_mg(lapPhi, dims, coords="lat-lon", icbc=None,
+                          mParams=None, iParams=None, tol: float = 1e-8,
+                          max_cycles: int = 60):
+    """Geostrophic streamfunction via multigrid (TPU-native extension;
+    same coefficients incl. the near-equator f regularisation as
+    :func:`invert_geostrophic`, apps.py:1889-1931)."""
+    return _invert_mg(lapPhi, dims, coords, icbc,
+                      ["f0", "beta", "Omega", "g", "Rearth"],
+                      mParams, iParams, 2,
+                      _std2d_mg_build(problems.geostrophic_std_coeffs),
+                      tol, max_cycles)
+
+
 def _general_mg_build(coeffs_fn, ndim):
     """Shared build closure for the damped advective general-family MG
     entries: coefficients -> upwind-coarsened pyramid -> the forcing folded

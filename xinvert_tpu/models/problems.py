@@ -192,25 +192,36 @@ def build_refstate_swm(Q, Qdef, grid: Grid, mp):
     return stencil.standard_1d(A, B, Fs, Qdef, grid.deltas, grid.bcs)
 
 
-def build_pv2d(PV, PVdef, grid: Grid, mp):
-    """QG PV inversion in (p, y) (apps.py:1556-1579)."""
+def pv2d_std_coeffs(PV, PVdef, grid: Grid, mp):
+    """The PV2D A/B/C planes and scaled forcing (apps.py:1556-1579);
+    shared by the SOR builder and the multigrid entry point."""
     shape = grid.shape
     A = np.broadcast_to(np.asarray(mp["f0"], np.float64) ** 2
                         / np.asarray(mp["N2"], np.float64), shape)
     C = np.ones(shape)
-    Fs = _fill(PV, PVdef)
-    return stencil.standard_2d(jnp.asarray(A), 0.0, jnp.asarray(C), Fs, PVdef,
+    return jnp.asarray(A), 0.0, jnp.asarray(C), _fill(PV, PVdef)
+
+
+def build_pv2d(PV, PVdef, grid: Grid, mp):
+    """QG PV inversion in (p, y) (apps.py:1556-1579)."""
+    A, B, C, Fs = pv2d_std_coeffs(PV, PVdef, grid, mp)
+    return stencil.standard_2d(A, B, C, Fs, PVdef,
                                grid.deltas, grid.bcs, include_cross=False)
 
 
-def build_eliassen(F, Fdef, grid: Grid, mp):
-    """Sawyer-Eliassen overturning with full cross terms (apps.py:1582-1606)."""
+def eliassen_std_coeffs(F, Fdef, grid: Grid, mp):
+    """The Eliassen A/B/C planes and scaled forcing (apps.py:1582-1606)."""
     shape = grid.shape
     dt = jnp.asarray(F).dtype
     A = jnp.broadcast_to(jnp.asarray(mp["A"], dt), shape)
     B = jnp.broadcast_to(jnp.asarray(mp["B"], dt), shape)
     C = jnp.broadcast_to(jnp.asarray(mp["C"], dt), shape)
-    Fs = _fill(F, Fdef)
+    return A, B, C, _fill(F, Fdef)
+
+
+def build_eliassen(F, Fdef, grid: Grid, mp):
+    """Sawyer-Eliassen overturning with full cross terms (apps.py:1582-1606)."""
+    A, B, C, Fs = eliassen_std_coeffs(F, Fdef, grid, mp)
     return stencil.standard_2d(A, B, C, Fs, Fdef, grid.deltas, grid.bcs,
                                include_cross=True)
 
@@ -428,9 +439,10 @@ def build_stommelarons(Q, Qdef, grid: Grid, mp):
                               grid.deltas, grid.bcs)
 
 
-def build_geostrophic(lapPhi, Fdef, grid: Grid, mp):
-    """Geostrophic streamfunction from Laplacian of geopotential
-    (apps.py:1889-1931), with the near-equator f regularisation."""
+def geostrophic_std_coeffs(lapPhi, Fdef, grid: Grid, mp):
+    """The geostrophic A/C planes and scaled forcing (apps.py:1889-1931),
+    with the near-equator f regularisation; shared by the SOR builder and
+    the multigrid entry point."""
     nd, shape = grid.ndim, grid.shape
     b = lambda p: jnp.asarray(np.broadcast_to(_bcast(p, nd, 0), shape))
     pr = lambda p: _bcast(p, nd, 0)
@@ -452,7 +464,14 @@ def build_geostrophic(lapPhi, Fdef, grid: Grid, mp):
         A = b(fH)
         C = b(fG)
         Fs = _fill(lapPhi, Fdef)
-    return stencil.standard_2d(A, 0.0, C, Fs, Fdef, grid.deltas, grid.bcs,
+    return A, 0.0, C, Fs
+
+
+def build_geostrophic(lapPhi, Fdef, grid: Grid, mp):
+    """Geostrophic streamfunction from Laplacian of geopotential
+    (apps.py:1889-1931), with the near-equator f regularisation."""
+    A, B, C, Fs = geostrophic_std_coeffs(lapPhi, Fdef, grid, mp)
+    return stencil.standard_2d(A, B, C, Fs, Fdef, grid.deltas, grid.bcs,
                                include_cross=False)
 
 
