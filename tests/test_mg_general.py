@@ -260,3 +260,55 @@ def test_mg_general2d_regionally_mixed_sign():
     S, k, res, ok = solve_mg(pyr, tol=1e-6, max_cycles=60, accel="auto")
     assert ok, (k, res)
     assert k <= 30
+
+
+def test_api_std2d_mg_entries_match_sor():
+    """Round-4 standard-2D-family MG entries (PV2D / Eliassen /
+    geostrophic) agree with their SOR counterparts."""
+    import numpy as np
+    from xinvert_tpu.models import api as mapi
+    from xinvert_tpu.field import Field
+
+    rng = np.random.default_rng(0)
+    ny, nx = 64, 96
+    z = np.linspace(0, 9000, ny)
+    y = np.linspace(0, 4.75e6, nx)
+    iP = {"BCs": ["fixed", "fixed"], "undef": np.nan, "mxLoop": 4000,
+          "tolerance": 1e-12, "printInfo": False}
+    iPmg = {"BCs": ["fixed", "fixed"], "undef": np.nan, "printInfo": False}
+
+    F = Field(rng.normal(0, 1e-9, (ny, nx)), ("lev", "yc"),
+              {"lev": z, "yc": y})
+    mP = {"f0": 1e-4, "N2": 2e-4}
+    ref = mapi.invert_PV2D(F, dims=["lev", "yc"], coords="cartesian",
+                           mParams=mP, iParams=iP)
+    got = mapi.invert_PV2D_mg(F, dims=["lev", "yc"], coords="cartesian",
+                              mParams=mP, iParams=iPmg, tol=1e-10)
+    a, b = np.asarray(ref), np.asarray(got)
+    assert np.abs(a - b).max() <= 1e-8 * np.abs(a).max()
+
+    mPe = {"A": 1e-6, "B": 1e-9, "C": 1e-4}       # cross-coupled pyramid
+    fe = Field(rng.normal(0, 1e-12, (ny, nx)), ("lev", "yc"),
+               {"lev": z, "yc": y})
+    refe = mapi.invert_Eliassen(fe, dims=["lev", "yc"], coords="cartesian",
+                                mParams=mPe, iParams=iP)
+    gote = mapi.invert_Eliassen_mg(fe, dims=["lev", "yc"],
+                                   coords="cartesian", mParams=mPe,
+                                   iParams=iPmg, tol=1e-10)
+    a, b = np.asarray(refe), np.asarray(gote)
+    assert np.abs(a - b).max() <= 1e-8 * np.abs(a).max()
+
+    ny2, nx2 = 64, 128
+    lat = np.linspace(20, 60, ny2)
+    lon = np.linspace(0, 360 - 360 / nx2, nx2)
+    Fg = Field(rng.normal(0, 1e-9, (ny2, nx2)), ("lat", "lon"),
+               {"lat": lat, "lon": lon})
+    iPg = {"BCs": ["fixed", "periodic"], "undef": np.nan, "mxLoop": 6000,
+           "tolerance": 1e-13, "printInfo": False}
+    refg = mapi.invert_geostrophic(Fg, dims=["lat", "lon"], iParams=iPg)
+    gotg = mapi.invert_geostrophic_mg(
+        Fg, dims=["lat", "lon"], tol=1e-10,
+        iParams={"BCs": ["fixed", "periodic"], "undef": np.nan,
+                 "printInfo": False})
+    a, b = np.asarray(refg), np.asarray(gotg)
+    assert np.abs(a - b).max() <= 1e-9 * np.abs(a).max()
