@@ -161,6 +161,25 @@ def _extra_bih(jnp):
     return {"bih2048_pt_sweeps_per_s": rate}
 
 
+def _extra_refined(jnp):
+    """Certified-residual refinement at 2048^2 full-sphere f32: the
+    single-f32 floor here is ~1e-1 (tools/tpu_refine_check.py)."""
+    from __graft_entry__ import _poisson_problem
+    from xinvert_tpu.refine import solve_refined
+
+    spec, S0, grid = _poisson_problem(batch=0, ny=2048, nx=2048,
+                                      dtype=np.float32)
+    t0 = time.perf_counter()
+    res = solve_refined(spec, S0, omega=grid.omega_opt, tol=1e-5,
+                        max_rounds=4, inner_tol=1e-3, inner_iters=40000)
+    dt = time.perf_counter() - t0
+    rel = float(jnp.max(res.rel_residual))
+    assert rel <= 1e-5, f"certification missed: {rel:.2e}"
+    return {"refined_2048_sphere_rel_residual": rel,
+            "refined_2048_sphere_rounds": res.rounds,
+            "refined_2048_sphere_s": dt}
+
+
 def _extra_mg(jnp):
     """Multigrid time-to-solution: 2048^2 masked cartesian Poisson, FMG +
     kernel smoothing to relative residual 1e-6 (see tools/tpu_mg_timing.py
@@ -231,7 +250,7 @@ def main():
     extras = {}
     if on_tpu:
         for name, fn in (("omega3d", _extra_omega3d), ("mg", _extra_mg),
-                         ("bih", _extra_bih)):
+                         ("bih", _extra_bih), ("refined", _extra_refined)):
             if time.perf_counter() - t_start > _EXTRAS_BUDGET_S:
                 extras[name] = "skipped: extras budget exhausted"
                 continue

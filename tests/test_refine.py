@@ -201,3 +201,24 @@ def test_refined_3d():
     res = solve_refined(spec, jnp.zeros(sh, jnp.float32), tol=1e-7,
                         max_rounds=5, inner_tol=1e-4, inner_iters=20000)
     assert float(jnp.max(res.rel_residual)) <= 1e-7
+
+
+def test_refined_sharded_mesh():
+    """solve_refined(mesh=...): the default inner becomes the GSPMD
+    sharded solve and the compensated residual passes run distributed —
+    certified f64-class residuals AND multi-device in one call."""
+    from xinvert_tpu import stencil
+    from xinvert_tpu.parallel import make_grid_mesh
+    rng = np.random.default_rng(3)
+    ny, nx = 96, 128
+    A = (np.abs(rng.normal(1, 0.1, (ny, nx))) + 0.5).astype(np.float32)
+    F = (rng.normal(0, 1, (ny, nx)) * 1e-9).astype(np.float32)
+    spec = stencil.standard_2d(jnp.asarray(A), 0.0, jnp.asarray(A),
+                               jnp.asarray(F), np.ones((ny, nx), bool),
+                               (1.3e5, 1.0e5), ("fixed", "periodic"))
+    mesh = make_grid_mesh(8, batch=1)
+    res = solve_refined(spec, jnp.zeros((ny, nx), jnp.float32), tol=1e-7,
+                        max_rounds=5, inner_tol=1e-4, inner_iters=20000,
+                        mesh=mesh)
+    assert float(jnp.max(res.rel_residual)) <= 1e-7
+    assert len(res.S_hi.sharding.device_set) == 8

@@ -282,7 +282,8 @@ def _invert(problem_key, F, dims, coords, icbc, valid_mp, mParams, iParams,
         from ..solver import SolveResult
         global LAST_REFINE
         r = solve_refined(spec, jnp.asarray(S0), omega=omega,
-                          tol=iP["tolerance"], inner_iters=iP["mxLoop"])
+                          tol=iP["tolerance"], inner_iters=iP["mxLoop"],
+                          mesh=iP.get("mesh"))
         LAST_REFINE = r
         rel = jnp.atleast_1d(r.rel_residual)
         res = SolveResult(

@@ -46,8 +46,10 @@ default_iParams = {
                          # relative residual `tolerance` — f64-class
                          # certification on f32 TPU hardware (the (hi, lo)
                          # state pair is kept in models.api.LAST_REFINE;
-                         # takes precedence over 'mesh'/'streamChunk' —
-                         # refinement is single-device)
+                         # composes with 'mesh' — the correction solves
+                         # and compensated residual passes then run
+                         # GSPMD-sharded; takes precedence over
+                         # 'streamChunk')
     "streamChunk": None, # TPU-native extension: int -> stream the batch
                          # (non-core) dims through the device this many
                          # slices at a time (stream.solve_streamed), for

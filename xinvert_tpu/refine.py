@@ -87,13 +87,15 @@ def solve_refined(spec: StencilSpec, S0, omega: Optional[float] = None,
                   tol: float = 1e-6, max_rounds: int = 8,
                   inner: Optional[Callable] = None,
                   inner_tol: float = 1e-4, inner_iters: int = 20000,
-                  ) -> RefineResult:
+                  mesh=None) -> RefineResult:
     """Solve to a CERTIFIED relative residual ``tol`` in double-float32.
 
     ``inner(correction_spec, S0) -> S`` solves one correction system (the
     same operator with ``g`` replaced by the current residual); the default
-    is the stock checked SOR solve — pass a multigrid-backed closure for
-    large problems (e.g. ``lambda s, S0: mg_correction(...)``).
+    is the stock checked SOR solve — pass :func:`mg_inner` (or any
+    closure) for large problems.  ``mesh`` (a jax.sharding.Mesh) makes the
+    default inner the GSPMD-sharded solve and the compensated residual
+    passes run distributed on the sharded state.
 
     The refinement loop runs on the host (a handful of rounds, each one
     inner solve + one compensated residual pass); certification reads the
@@ -104,6 +106,14 @@ def solve_refined(spec: StencilSpec, S0, omega: Optional[float] = None,
     if omega is None:
         from .grid import optimal_omega
         omega = optimal_omega(S0.shape[-spec.ndim:])
+    if inner is None and mesh is not None:
+        from .parallel.mesh import solve_sharded, shard_problem
+        spec, S0 = shard_problem(spec, S0, mesh)
+
+        def inner(cspec, S0_):
+            return solve_sharded(cspec, S0_, mesh=mesh, omega=omega,
+                                 tol=inner_tol, max_iters=inner_iters,
+                                 check_every=32, tol_type="residual").S
     if inner is None:
         inner = _default_inner(spec, omega, inner_tol, inner_iters)
 
