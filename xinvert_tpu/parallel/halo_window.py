@@ -154,9 +154,11 @@ def halo_window_applicable(spec, S_shape, mesh: Mesh) -> bool:
     if plan is None:
         return False
     if (npad and spec.bcs[-2] == "extend"
-            and npad > plan.tile - plan.halo):
-        # the true bottom row must stay inside the bottom block's LAST
-        # window (the is_bot extend gate) — see _kernel's ext_bot
+            and npad + (2 if spec.bih else 1) > plan.tile - plan.halo):
+        # the true bottom extend row(s) must stay strictly inside the
+        # bottom block's LAST window (only is_bot windows run the extend
+        # pre-pass; a second-to-last window whose halo reaches them would
+        # sweep with stale boundary rows) — see _kernel's ext_bot
         return False
     return True
 
@@ -217,10 +219,10 @@ def _setup(spec, S, omega, mesh, interpret, caller):
             f"{bx + 2 * hx} per-device block; adjust the mesh or use "
             "solve_fixed_halo")
     if (npad and spec.bcs[-2] == "extend"
-            and npad > plan.tile - plan.halo):
+            and npad + (2 if spec.bih else 1) > plan.tile - plan.halo):
         raise ValueError(
             f"{npad} pad rows push the bottom extend row out of the last "
-            "window (tile {plan.tile}, halo {plan.halo}); use "
+            f"window (tile {plan.tile}, halo {plan.halo}); use "
             "solve_fixed_halo")
     tile, k = plan.tile, plan.k_sweeps
     h = _round8(2 * _radius(spec.offsets) * k)
