@@ -34,7 +34,8 @@ import jax.numpy as jnp
 from .solver import _apply_extend
 
 __all__ = ["solve_fixed_lexicographic", "solve_fixed_lexicographic_1d",
-           "solve_fixed_lexicographic_3d", "solve_fixed_lexicographic_bih"]
+           "solve_fixed_lexicographic_3d", "solve_fixed_lexicographic_bih",
+           "lexico_sweeper"]
 
 
 def _w_at(spec, k, j):
@@ -54,13 +55,9 @@ def _scan_linear(A, B):
     return Bcum
 
 
-@partial(jax.jit, static_argnames=("n_iters",))
-def solve_fixed_lexicographic(spec, S, omega, n_iters: int):
-    """Run n_iters reference-ordered sweeps (lexicographic in-place GS/SOR).
-
-    Matches the reference kernels' per-iteration values (validated against
-    the numpy oracle in tests/oracle.py).  2-D specs with |dx| <= 1 only.
-    """
+def _one_iter_2d(spec, omega):
+    """One reference-ordered 2-D sweep as a reusable ``S -> S`` callable
+    (batched states supported).  2-D specs with |dx| <= 1 only."""
     if spec.ndim != 2:
         raise ValueError("lexicographic executor supports 2-D specs")
     if any(abs(off[1]) > 1 for off in spec.offsets):
@@ -71,7 +68,7 @@ def solve_fixed_lexicographic(spec, S, omega, n_iters: int):
     periodic = spec.bcs[-1] == "periodic"
     ny = spec.w0.shape[-2]
     nx = spec.w0.shape[-1]
-    omega = jnp.asarray(omega, S.dtype)
+    omega = jnp.asarray(omega, spec.w0.dtype)
 
     # rows must be processed with static j for the j+dy indexing: use a
     # scan over traced j with dynamic_slice instead
@@ -129,7 +126,7 @@ def solve_fixed_lexicographic(spec, S, omega, n_iters: int):
         return jax.lax.dynamic_update_slice_in_dim(
             Scur, row_new[..., None, :], j, nd - 2)
 
-    def one_iter_dyn(_, Scur):
+    def one_iter(Scur):
         Scur = _apply_extend(spec, Scur)
 
         def body(S, j):
@@ -138,27 +135,36 @@ def solve_fixed_lexicographic(spec, S, omega, n_iters: int):
         Scur, _ = jax.lax.scan(body, Scur, jnp.arange(1, ny - 1))
         return Scur
 
-    return jax.lax.fori_loop(0, n_iters, one_iter_dyn, jnp.asarray(S))
+    return one_iter
 
 
 @partial(jax.jit, static_argnames=("n_iters",))
-def solve_fixed_lexicographic_1d(spec, S, omega, n_iters: int):
-    """Reference-ordered sweeps for the 1-D family (invert_standard_1D,
-    /root/reference/xinvert/numbas.py:633): extend pre-pass, then the
-    periodic west stanza (old east value), the in-place interior recurrence
-    (i = 1..nx-2), and the periodic east stanza (new values).  Unbatched
-    1-D states (a parity tool)."""
+def solve_fixed_lexicographic(spec, S, omega, n_iters: int):
+    """Run n_iters reference-ordered sweeps (lexicographic in-place GS/SOR).
+
+    Matches the reference kernels' per-iteration values (validated against
+    the numpy oracle in tests/oracle.py).  2-D specs with |dx| <= 1 only.
+    """
+    one_iter = _one_iter_2d(spec, omega)
+    return jax.lax.fori_loop(0, n_iters, lambda _, s: one_iter(s),
+                             jnp.asarray(S))
+
+
+def _one_iter_1d(spec, omega):
+    """One reference-ordered 1-D sweep (invert_standard_1D,
+    /root/reference/xinvert/numbas.py:633) as an ``S -> S`` callable:
+    extend pre-pass, then the periodic west stanza (old east value), the
+    in-place interior recurrence (i = 1..nx-2), and the periodic east
+    stanza (new values).  Unbatched 1-D states."""
     if spec.ndim != 1:
         raise ValueError("1-D specs only")
-    if jnp.ndim(S) != 1:
-        raise ValueError("unbatched 1-D state required")
     offs = {tuple(o): k for k, o in enumerate(spec.offsets)}
     kxp, kxm = offs.get((1,)), offs.get((-1,))
     periodic = spec.bcs[-1] == "periodic"
     nx = spec.w0.shape[-1]
-    omega = jnp.asarray(omega, S.dtype)
+    omega = jnp.asarray(omega, spec.w0.dtype)
 
-    def one_iter(_, row_old):
+    def one_iter(row_old):
         row_old = _apply_extend(spec, row_old)
         r = omega * spec.relax
         w0 = spec.w0
@@ -184,7 +190,17 @@ def solve_fixed_lexicographic_1d(spec, S, omega, n_iters: int):
                 r[nx - 1] * (acce + w0[nx - 1] * row_new[nx - 1]))
         return row_new
 
-    return jax.lax.fori_loop(0, n_iters, one_iter, jnp.asarray(S))
+    return one_iter
+
+
+@partial(jax.jit, static_argnames=("n_iters",))
+def solve_fixed_lexicographic_1d(spec, S, omega, n_iters: int):
+    """Run n_iters reference-ordered 1-D sweeps (a parity tool)."""
+    if jnp.ndim(S) != 1:
+        raise ValueError("unbatched 1-D state required")
+    one_iter = _one_iter_1d(spec, omega)
+    return jax.lax.fori_loop(0, n_iters, lambda _, s: one_iter(s),
+                             jnp.asarray(S))
 
 
 def _scan_affine2(A1, A2, B, y1, y0):
@@ -215,9 +231,8 @@ def _scan_affine2(A1, A2, B, y1, y0):
     return out[4]
 
 
-@partial(jax.jit, static_argnames=("n_iters",))
-def solve_fixed_lexicographic_bih(spec, S, omega, n_iters: int):
-    """Reference-ordered sweeps for the biharmonic family
+def _one_iter_bih(spec, omega):
+    """One reference-ordered biharmonic sweep
     (invert_general_bih_2D, /root/reference/xinvert/numbas.py:1205).
 
     Stanza order replicated exactly: extend pre-pass, then per row
@@ -232,16 +247,14 @@ def solve_fixed_lexicographic_bih(spec, S, omega, n_iters: int):
     B-cross term (``S[j+-2, i-4]`` with i left at xc-3, numbas.py:1495-1497
     and :1526-1528), so exact per-iteration parity with the reference holds
     when B vanishes on the east columns (tests/test_reference_direct.py
-    demonstrates the stale-index deviation is real).  Unbatched 2-D specs
-    only (a parity tool — the red-black engine is the throughput path)."""
+    demonstrates the stale-index deviation is real).  Unbatched 2-D states
+    only (``lexico_sweeper`` lifts batches with vmap)."""
     if spec.ndim != 2 or not spec.bih:
         raise ValueError("bih executor: 2-D biharmonic specs only")
-    if jnp.ndim(S) != 2:
-        raise ValueError("unbatched 2-D state required")
     offs = {tuple(o): k for k, o in enumerate(spec.offsets)}
     periodic = spec.bcs[-1] == "periodic"
     ny, nx = spec.w0.shape[-2:]
-    omega = jnp.asarray(omega, S.dtype)
+    omega = jnp.asarray(omega, spec.w0.dtype)
 
     def row_slice(a, j):
         return jax.lax.dynamic_slice_in_dim(a, j, 1, a.ndim - 2)[..., 0, :]
@@ -288,7 +301,7 @@ def solve_fixed_lexicographic_bih(spec, S, omega, n_iters: int):
         return jax.lax.dynamic_update_slice_in_dim(
             Scur, rowv[None, :], j, Scur.ndim - 2)
 
-    def one_iter(_, Scur):
+    def one_iter(Scur):
         Scur = _apply_extend(spec, Scur)
 
         def body(Sc, j):
@@ -297,19 +310,27 @@ def solve_fixed_lexicographic_bih(spec, S, omega, n_iters: int):
         Scur, _ = jax.lax.scan(body, Scur, jnp.arange(2, ny - 2))
         return Scur
 
-    return jax.lax.fori_loop(0, n_iters, one_iter, jnp.asarray(S))
+    return one_iter
 
 
 @partial(jax.jit, static_argnames=("n_iters",))
-def solve_fixed_lexicographic_3d(spec, S, omega, n_iters: int):
-    """3-D reference-ordered sweeps (numbas.py:16-212 ordering: k outer,
+def solve_fixed_lexicographic_bih(spec, S, omega, n_iters: int):
+    """Run n_iters reference-ordered biharmonic sweeps (a parity tool —
+    the red-black engine is the throughput path)."""
+    if jnp.ndim(S) != 2:
+        raise ValueError("unbatched 2-D state required")
+    one_iter = _one_iter_bih(spec, omega)
+    return jax.lax.fori_loop(0, n_iters, lambda _, s: one_iter(s),
+                             jnp.asarray(S))
+
+
+def _one_iter_3d(spec, omega):
+    """One 3-D reference-ordered sweep (numbas.py:16-212 ordering: k outer,
     j middle, i inner).  Rows are (k, j) pairs scanned in lexicographic
     order; the within-row update uses the same associative-scan recurrence
-    as the 2-D executor.  Unbatched 3-D states only (a parity tool)."""
+    as the 2-D executor.  Unbatched 3-D states only."""
     if spec.ndim != 3:
         raise ValueError("use solve_fixed_lexicographic for 2-D specs")
-    if jnp.ndim(S) != 3:
-        raise ValueError("unbatched 3-D state required")
     if any(abs(off[2]) > 1 for off in spec.offsets):
         raise ValueError("within-row radius must be 1")
     offs = {tuple(o): k for k, o in enumerate(spec.offsets)}
@@ -317,7 +338,7 @@ def solve_fixed_lexicographic_3d(spec, S, omega, n_iters: int):
     kxm = offs.get((0, 0, -1))
     periodic = spec.bcs[-1] == "periodic"
     nz, ny, nx = spec.w0.shape[-3:]
-    omega = jnp.asarray(omega, S.dtype)
+    omega = jnp.asarray(omega, spec.w0.dtype)
 
     def row(a, k, j):
         a1 = jax.lax.dynamic_slice_in_dim(a, k, 1, a.ndim - 3)
@@ -375,7 +396,7 @@ def solve_fixed_lexicographic_3d(spec, S, omega, n_iters: int):
         return jax.lax.dynamic_update_slice(
             Scur, row_new[None, None, :], (k, j, 0))
 
-    def one_iter(_, Scur):
+    def one_iter(Scur):
         Scur = _apply_extend(spec, Scur)
 
         def body(Sc, kj):
@@ -385,4 +406,45 @@ def solve_fixed_lexicographic_3d(spec, S, omega, n_iters: int):
                                jnp.arange((nz - 2) * (ny - 2)))
         return Scur
 
-    return jax.lax.fori_loop(0, n_iters, one_iter, jnp.asarray(S))
+    return one_iter
+
+
+@partial(jax.jit, static_argnames=("n_iters",))
+def solve_fixed_lexicographic_3d(spec, S, omega, n_iters: int):
+    """Run n_iters 3-D reference-ordered sweeps (a parity tool)."""
+    if jnp.ndim(S) != 3:
+        raise ValueError("unbatched 3-D state required")
+    one_iter = _one_iter_3d(spec, omega)
+    return jax.lax.fori_loop(0, n_iters, lambda _, s: one_iter(s),
+                             jnp.asarray(S))
+
+
+def lexico_sweeper(spec, omega, S_shape):
+    """Dispatch one reference-ordered sweep for any family as an
+    ``S -> S`` callable (the ``scheme='lexico'`` engine behind
+    :func:`xinvert_tpu.solver.solve`).
+
+    The 2-D radius-1 executor is natively batched; the 1-D, biharmonic and
+    3-D executors are written unbatched and lifted over leading batch axes
+    with ``jax.vmap`` (spec arrays close over the core grid, so only the
+    state maps).
+    """
+    nbatch = len(S_shape) - spec.ndim
+    if nbatch < 0:
+        raise ValueError(f"state rank {len(S_shape)} below spec.ndim")
+    if spec.ndim == 2 and not spec.bih \
+            and all(abs(off[1]) <= 1 for off in spec.offsets):
+        return _one_iter_2d(spec, omega)
+    if spec.ndim == 1:
+        fn = _one_iter_1d(spec, omega)
+    elif spec.ndim == 2 and spec.bih:
+        fn = _one_iter_bih(spec, omega)
+    elif spec.ndim == 3:
+        fn = _one_iter_3d(spec, omega)
+    else:
+        raise ValueError(
+            f"no lexicographic executor for ndim={spec.ndim} offsets="
+            f"{spec.offsets}")
+    for _ in range(nbatch):
+        fn = jax.vmap(fn)
+    return fn

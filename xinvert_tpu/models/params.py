@@ -37,7 +37,11 @@ default_iParams = {
                          # eigenbasis matmul + tridiagonal for fixed/extend
                          # x with symmetric coupling (the standard-2D
                          # family, e.g. the vertical-plane overturning
-                         # Poisson) (ops/direct.py; raises if inapplicable)
+                         # Poisson) (ops/direct.py; raises if inapplicable);
+                         # 'lexico' runs the reference's EXACT lexicographic
+                         # iterate sequence (lexico.py) with the per-sweep
+                         # stopping rule — use for to-the-digit parity with
+                         # published xinvert runs (tests/test_notebook_parity)
     "tolType": "change", # TPU-native extension: 'residual' stops on the
                          # true relative discrete residual mean|r|/mean|g|
                          # instead of the reference's solution-change rule;

@@ -301,6 +301,16 @@ def _solve_impl(spec, S0, omega, tol, max_iters, check_every=1,
                 return jax.lax.fori_loop(0, k, it, (S, aux[0], aux[1]))
 
         init_aux = (jnp.zeros((), jnp.int32), jnp.ones((), dtype))
+    elif scheme == "lexico":
+        # the reference's exact iterate sequence (lexico.py): checked
+        # solves then reproduce the notebooks' published per-slice
+        # (loops, tolerance) records to the printed digits
+        # (tests/test_notebook_parity.py)
+        from .lexico import lexico_sweeper
+        one = lexico_sweeper(spec, jnp.asarray(omega, dtype), jnp.shape(S0))
+
+        def sweeps(S, k, full):
+            return jax.lax.fori_loop(0, k, lambda i, s: one(s), S)
     elif kernel == "vmem":
         from .ops.pallas_sor import sor_sweeps_pallas
 
@@ -558,9 +568,9 @@ def solve(spec: StencilSpec, S0, omega: Optional[float] = None,
         from .grid import optimal_omega
         omega = optimal_omega(S0.shape[-spec.ndim:])
     S0 = jnp.asarray(S0)
-    if scheme not in ("sor", "cheby", "direct"):
+    if scheme not in ("sor", "cheby", "direct", "lexico"):
         raise ValueError(f"unknown scheme {scheme!r}; "
-                         "use 'sor', 'cheby' or 'direct'")
+                         "use 'sor', 'cheby', 'direct' or 'lexico'")
     if scheme == "direct":
         # one-shot spectral solve (ops/direct.py): exact, no iteration.
         # iters reports 1 "sweep"; rel_change certifies the true relative
@@ -583,6 +593,9 @@ def solve(spec: StencilSpec, S0, omega: Optional[float] = None,
         # SMEM; other kernels still bake a constant omega -> XLA path
         k0 = _select_kernel(spec, S0) if use_pallas is None else None
         kernel = "window" if k0 == "window" else None
+    elif scheme == "lexico":
+        # reference-ordered sweeps are their own (XLA) executor
+        kernel = None
     elif use_pallas is None:
         kernel = _select_kernel(spec, S0)
     elif use_pallas:
