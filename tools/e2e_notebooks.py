@@ -248,10 +248,26 @@ def main():
                            "(reference counter off-by-one, "
                            "numbas.py:278-414); 'ours.sweeps' counts "
                            "sweeps",
-        "stripped_fixtures": ["atmos3D.nc (NB02b/NB03/NB11)",
-                              "Barotropic2D.nc (NB05)",
-                              "SODA_curl.nc (NB09b)",
-                              "Helmholtz_ocean.nc (NB01b)"],
+        "stripped_fixtures": {
+            # notebooks whose fixtures are stripped from the mount: no
+            # published-record parity possible, but each workload runs
+            # end to end on a synthetic regeneration (tools/
+            # make_fixtures.py) with golden/physics oracles of its own
+            "atmos3D.nc (NB02b/NB03/NB11)": [
+                "tests/test_omega3d.py (golden extrema + linearity)",
+                "tests/test_geopotential.py (icbc superposition)",
+                "examples/04_omega_equation_3d.py",
+                "examples/08_balanced_mass.py"],
+            "Barotropic2D.nc (NB05)": [
+                "tests/test_1d.py (RefStateSWM nonlinear outer loop)",
+                "examples/11_reference_swm.py"],
+            "SODA_curl.nc (NB09b)": [
+                "tests/test_ocean_workloads.py",
+                "examples/12_ocean3d_wideflat.py"],
+            "Helmholtz_ocean.nc (NB01b)": [
+                "tests/test_ocean_masked.py (masked global Poisson)",
+                "examples/01_poisson_streamfunction.py"],
+        },
         "rows": rows,
     }
     with open(os.path.join(os.path.dirname(__file__), "..", "E2E.json"),
