@@ -171,3 +171,44 @@ def test_lexicographic_other_families(family, bcx):
             spec, jnp.zeros(shape), omega, iters))
         scale = max(np.abs(ref).max(), 1.0)
         np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-12 * scale)
+
+
+def test_lexico_scheme_batched_spec():
+    """scheme='lexico' with BATCHED spec data leaves (the shape the app
+    builders produce for any multi-slice forcing) for the vmap-lifted
+    families: each batch element must match its own unbatched solve
+    bit for bit (regression: the sweeper used to vmap only the state,
+    colliding with the closed-over batched spec arrays)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from xinvert_tpu import stencil, solver
+
+    rng = np.random.default_rng(7)
+    nz, ny, nx, B = 5, 7, 9, 2
+    one3 = np.ones((nz, ny, nx))
+    gb = rng.standard_normal((B, nz, ny, nx))
+
+    def spec_of(g):
+        return stencil.standard_3d(one3, one3, one3, g,
+                                   np.ones((nz, ny, nx), bool),
+                                   deltas=(1., 1., 1.),
+                                   bcs=("fixed", "fixed", "periodic"))
+
+    r = solver.solve(spec_of(gb), jnp.zeros((B, nz, ny, nx)), omega=1.2,
+                     tol=1e-9, max_iters=300, check_every=1,
+                     scheme="lexico")
+    for b in range(B):
+        rb = solver.solve(spec_of(gb[b]), jnp.zeros((nz, ny, nx)),
+                          omega=1.2, tol=1e-9, max_iters=300,
+                          check_every=1, scheme="lexico")
+        assert int(rb.iters) == int(np.asarray(r.iters)[b])
+        assert np.array_equal(np.asarray(rb.S), np.asarray(r.S)[b])
+
+    # batched 1-D (vmap-lifted) smoke: runs and converges per slice
+    g1 = rng.standard_normal((3, 24))
+    spec1 = stencil.standard_1d(np.ones(24), np.full(24, -0.1), g1,
+                                np.ones(24, bool), deltas=(1.0,),
+                                bcs=("fixed",))
+    r1 = solver.solve(spec1, jnp.zeros((3, 24)), omega=1.4, tol=1e-11,
+                      max_iters=500, check_every=1, scheme="lexico")
+    assert (np.asarray(r1.rel_change) < 1e-11).all()

@@ -1,16 +1,17 @@
 # -*- coding: utf-8 -*-
 """End-to-end parity with the reference's published notebook runs.
 
-Every tutorial notebook (/root/reference/docs/source/notebooks/) prints
-per-slice convergence records ``loops N and tolerance is X``.  These tests
-reproduce the notebooks' workloads through OUR public API with
+Workload definitions (fixtures, iParams, published records) live in
+tests/notebook_workloads.py, shared with tools/e2e_notebooks.py (the
+E2E.json artifact) so tests and artifact cannot drift apart.  Each test
+runs a notebook workload through the public API with
 ``iParams['scheme']='lexico'`` (the reference's exact iterate sequence,
-lexico.py) at float64 and assert the records.
+lexico.py) at float64 and asserts the records.
 
 Loop-count convention: the reference's counter starts at 0 and increments
 AFTER the break test (numbas.py:278-414), so its printed ``loops L`` means
-L+1 sweeps executed; our ``iters`` counts sweeps.  We therefore call with
-``mxLoop = ref_mxLoop + 1`` and expect ``iters == L + 1``.
+L+1 sweeps executed; our ``iters`` counts sweeps.  The workloads call with
+``mxLoop = ref_mxLoop + 1`` and we expect ``iters == L + 1``.
 
 Oracle hierarchy (see tools/make_notebook_truth.py):
 
@@ -29,12 +30,7 @@ import os
 import numpy as np
 import pytest
 
-from xinvert_tpu import (invert_Poisson, invert_Eliassen, invert_Fofonoff,
-                         invert_GillMatsuno, invert_BrethertonHaidvogel)
-from xinvert_tpu.field import Field
-from xinvert_tpu.fd import FiniteDiff
-from xinvert_tpu.io import open_dataset
-from xinvert_tpu.models import api
+from notebook_workloads import WORKLOADS, last_solve
 
 TRUTH = os.path.join(os.path.dirname(__file__), "notebook_truth.json")
 
@@ -47,184 +43,104 @@ def truth():
         return json.load(fh)
 
 
-def _last(n=None):
-    """(iters, rel_change) per batch slice of the last solve."""
-    res = api.LAST_SOLVE
-    it = np.atleast_1d(np.asarray(res.iters))
-    rel = np.atleast_1d(np.asarray(res.rel_change))
-    return it, rel
+def _by_case(notebook, case):
+    (w,) = [w for w in WORKLOADS
+            if w["notebook"] == notebook and w["case"] == case]
+    return w
 
 
-def _scalar(a):
-    return np.asarray(a).reshape(-1)[0]
-
-
-def _check(truth_rec, it, rel, rtol=0.05):
-    assert int(_scalar(it)) == truth_rec["sweeps"]
-    assert float(_scalar(rel)) == pytest.approx(truth_rec["tolerance"],
-                                                rel=rtol)
+def _check_truth(truth, key, it, rel, rtol=0.05):
+    rec = truth[key]
+    assert int(it) == rec["sweeps"]
+    assert float(rel) == pytest.approx(rec["tolerance"], rel=rtol)
 
 
 def test_nb01_poisson_helmholtz(data_dir, truth):
     """Notebook 01 (Poisson, global atmos).  Published (f32 run):
     1000/5.164704e-09 and 1000/6.395749e-09 — the f32 noise floor; the
     f64 trajectory certified here converges past it."""
-    ds = open_dataset(f"{data_dir}/Helmholtz_atmos.nc")
-    iP = {"BCs": ["extend", "periodic"], "mxLoop": 1001,
-          "tolerance": 1e-12, "scheme": "lexico", "printInfo": False}
-    invert_Poisson(ds["vor"], dims=["lat", "lon"], iParams=iP)
-    it, rel = _last()
-    for t in range(2):
-        _check(truth[f"nb01_poisson_t{t}"], it[t], rel[t], rtol=1e-3)
-    # both f64 records sit below the published f32 floor
-    assert rel[0] < 5.164704e-09 and rel[1] < 6.395749e-09
+    w = _by_case("01_Poisson_equation_horizontal",
+                 "global atmos vor (2 slices)")
+    w["run"](data_dir)
+    it, rel = last_solve()
+    for t, sl in enumerate(w["slices"]):
+        _check_truth(truth, sl["truth_key"], it[t], rel[t], rtol=1e-3)
+        # the f64 record sits below the published f32 floor
+        assert rel[t] < sl["published"]["tolerance"]
 
 
 def test_nb02_vertical_poisson(data_dir, truth):
     """Notebook 02 (z-lat overturning Poisson from vm/wm vorticity).
     Published: 5000/7.339510e-09 (earlier ZonalMean.nc vintage)."""
-    zm = open_dataset(f"{data_dir}/ZonalMean.nc")
-    fd = FiniteDiff({"Z": "LEV", "Y": "lat"},
-                    BCs={"Z": "fixed", "Y": "fixed"}, coords="lat-lon")
-    vor = fd.vort(v=zm["vm"], w=zm["wm"], components="i")
-    iP = {"BCs": ["fixed", "extend"], "undef": np.nan, "mxLoop": 5001,
-          "tolerance": 1e-13, "scheme": "lexico", "printInfo": False}
-    invert_Poisson(vor, dims=["LEV", "lat"], coords="z-lat", iParams=iP)
-    it, rel = _last()
-    _check(truth["nb02_vertical_poisson"], it[0], rel[0])
+    w = _by_case("02_Poisson_equation_vertical", "overturning")
+    w["run"](data_dir)
+    it, rel = last_solve()
+    _check_truth(truth, w["slices"][0]["truth_key"], it[0], rel[0])
 
 
-def _ideal_coeffs(zm):
-    A, C = zm["Acoef"], zm["Ccoef"]
-    lat = np.asarray(A.coords["lat"], np.float64)
-    cos = np.cos(np.deg2rad(lat))
-    Ai = Field(np.broadcast_to(np.nanmean(A.values * cos) / cos,
-                               A.shape).copy(), A.dims, A.coords)
-    Ci = Field(np.broadcast_to(np.nanmean(C.values * cos) / cos,
-                               C.shape).copy(), C.dims, C.coords)
-    Bi = Field(np.zeros(A.shape), A.dims, A.coords)
-    return Ai, Bi, Ci
-
-
-def test_nb04_eliassen_zonalmean(data_dir, truth):
-    """Notebook 04 (Sawyer-Eliassen, zonal-mean atmosphere): real and
-    idealized coefficients with the point forcing, then the eddy-flux
-    forcing.  The EHF case still matches the PUBLISHED record
-    (168+1 sweeps, 6.859964e-13); the F_ideal cases assert the
+@pytest.mark.parametrize("case", ["ideal-forcing real-coeffs",
+                                  "ideal-forcing ideal-coeffs",
+                                  "eddy-flux forcing", "typhoon (TC2D)"])
+def test_nb04_eliassen(data_dir, truth, case):
+    """Notebook 04 (Sawyer-Eliassen).  The EHF case still matches the
+    PUBLISHED record (168+1 sweeps, 6.859964e-13); the others assert the
     direct-driven truth (fixture skew, see tools/make_notebook_truth.py)."""
-    zm = open_dataset(f"{data_dir}/ZonalMean.nc")
-    iP = {"BCs": ["fixed", "fixed"], "mxLoop": 1001, "tolerance": 1e-12,
-          "scheme": "lexico", "printInfo": False}
-    mp_real = {"A": zm["Acoef"], "B": zm["Bcoef"], "C": zm["Ccoef"]}
-    Ai, Bi, Ci = _ideal_coeffs(zm)
-
-    invert_Eliassen(zm["F_ideal"], dims=["LEV", "lat"], coords="z-lat",
-                    mParams=mp_real, iParams=iP)
-    _check(truth["nb04_eliassen_real"], *_last())
-
-    invert_Eliassen(zm["F_ideal"], dims=["LEV", "lat"], coords="z-lat",
-                    mParams={"A": Ai, "B": Bi, "C": Ci}, iParams=iP)
-    _check(truth["nb04_eliassen_ideal"], *_last())
-
-    invert_Eliassen(zm["EHF"] + zm["EAF"], dims=["LEV", "lat"],
-                    coords="z-lat", mParams=mp_real, iParams=iP)
-    it, rel = _last()
-    _check(truth["nb04_eliassen_ehf"], it, rel)
-    assert int(_scalar(it)) == 168 + 1              # published record
-    assert float(_scalar(rel)) == pytest.approx(6.859964e-13, rel=5e-3)
+    w = _by_case("04_Eliassen_model", case)
+    w["run"](data_dir)
+    it, rel = last_solve()
+    _check_truth(truth, w["slices"][0]["truth_key"], it[0], rel[0])
+    if case == "eddy-flux forcing":
+        pub = w["slices"][0]["published"]
+        assert int(it[0]) == pub["loops"] + 1
+        assert float(rel[0]) == pytest.approx(pub["tolerance"], rel=5e-3)
 
 
-def test_nb04_eliassen_tc2d(data_dir, truth):
-    """Notebook 04, typhoon case (TC2D.nc)."""
-    tc = open_dataset(f"{data_dir}/TC2D.nc")
-    iP = {"BCs": ["fixed", "fixed"], "mxLoop": 1001, "tolerance": 1e-12,
-          "scheme": "lexico", "printInfo": False}
-    invert_Eliassen(tc["faf"], dims=["lev", "lat"], coords="z-lat",
-                    mParams={"A": tc["Aa"], "B": tc["Bb"], "C": tc["Cc"]},
-                    iParams=iP)
-    _check(truth["nb04_eliassen_tc2d"], *_last())
+@pytest.mark.parametrize("case,rtol", [
+    ("synthetic Q1", 1e-5), ("synthetic Q2", 1e-5), ("synthetic Q3", 1e-5),
+    ("MJO eps=1e-05 Phi=5000", 5e-4), ("MJO eps=7e-06 Phi=8000", 5e-4),
+    ("MJO eps=7e-06 Phi=10000", 5e-4)])
+def test_nb07_gillmatsuno(data_dir, case, rtol):
+    """Notebook 07.  The synthetic heatings are pure-f64 workloads — OUR
+    runs reproduce the PUBLISHED records to all printed digits (the
+    strongest end-to-end parity statement in the suite); the MJO cases
+    match loop counts exactly, tolerances to ~1e-4 (the fixture's float32
+    lat/lon coordinates round the reference's metric scalars)."""
+    w = _by_case("07_Gill_Matsuno_model", case)
+    w["run"](data_dir)
+    it, rel = last_solve()
+    pub = w["slices"][0]["published"]
+    assert int(it[0]) == pub["loops"] + 1
+    assert float(rel[0]) == pytest.approx(pub["tolerance"], rel=rtol)
 
 
-def test_nb07_gillmatsuno_synthetic():
-    """Notebook 07, part 1: three synthetic heating patterns.  Pure-f64
-    workload — OUR runs reproduce the PUBLISHED records to all printed
-    digits (the strongest end-to-end parity statement in the suite)."""
-    lon = np.linspace(0, 360, 144)
-    lat = np.linspace(-90, 90, 73)
-    L, N = np.meshgrid(lat, lon, indexing="ij")
-
-    def mk(a):
-        return Field(a, ("lat", "lon"), {"lat": lat, "lon": lon})
-
-    Q1 = mk(0.05 * np.exp(-((L - 0) ** 2 + (N - 120) ** 2) / 100.0))
-    Q2 = mk(0.05 * np.exp(-((L - 10) ** 2 + (N - 120) ** 2) / 100.0)
-            - 0.05 * np.exp(-((L + 10) ** 2 + (N - 120) ** 2) / 100.0))
-    Q3 = mk(0.05 * np.exp(-((L - 10) ** 2 + (N - 120) ** 2) / 100.0))
-    iP = {"BCs": ["fixed", "periodic"], "mxLoop": 601, "tolerance": 1e-5,
-          "optArg": 1.4, "scheme": "lexico", "printInfo": False}
-    mP = {"epsilon": 1e-5, "Phi": 5000}
-    published = [(600, 5.608964e-05), (87, 4.905623e-06),
-                 (600, 5.174635e-05)]
-    for Q, (L_ref, tol_ref) in zip((Q1, Q2, Q3), published):
-        invert_GillMatsuno(Q, dims=["lat", "lon"], mParams=mP, iParams=iP)
-        it, rel = _last()
-        assert int(_scalar(it)) == L_ref + 1
-        assert float(_scalar(rel)) == pytest.approx(tol_ref, rel=1e-5)
+def test_nb09_fofonoff(data_dir, truth):
+    """Notebook 09, part 1: cartesian Fofonoff free mode.  The
+    direct-driven reference reproduces the published 1174/9.362824e-15
+    EXACTLY; our stopping change sits at the f64 reorder-noise scale, so
+    the loop count carries a few-sweep slack."""
+    w = _by_case("09_Fofonoff_flow", "cartesian free mode")
+    w["run"](data_dir)
+    it, rel = last_solve()
+    rec = truth[w["slices"][0]["truth_key"]]
+    assert abs(int(it[0]) - rec["sweeps"]) <= 10
+    assert float(rel[0]) < 1.1e-14
 
 
-def test_nb07_gillmatsuno_mjo(data_dir):
-    """Notebook 07, part 2: observed MJO heating, three parameter sets.
-    Published loop counts reproduce exactly; tolerances to ~1e-4 (the
-    fixture's float32 lat/lon coordinates round the reference's metric
-    scalars, ours are f64)."""
-    mj = open_dataset(f"{data_dir}/MJO.nc")
-    lat = np.asarray(mj["ol"].coords["lat"])
-    Q = (mj["ol"] * -0.0015).where(np.abs(lat)[:, None] < 60, 0)
-    iP = {"BCs": ["fixed", "periodic"], "mxLoop": 801, "tolerance": 1e-5,
-          "optArg": 1.4, "scheme": "lexico", "printInfo": False}
-    published = [((355, 9.991392e-06), {"epsilon": 1e-5, "Phi": 5000}),
-                 ((387, 9.715559e-06), {"epsilon": 7e-6, "Phi": 8000}),
-                 ((412, 9.791216e-06), {"epsilon": 7e-6, "Phi": 10000})]
-    for (L_ref, tol_ref), mP in published:
-        invert_GillMatsuno(Q, dims=["lat", "lon"], mParams=mP, iParams=iP)
-        it, rel = _last()
-        assert int(_scalar(it)) == L_ref + 1
-        assert float(_scalar(rel)) == pytest.approx(tol_ref, rel=5e-4)
-
-
-def test_nb09_fofonoff(truth):
-    """Notebook 09, part 1: cartesian Fofonoff free mode.  Published
-    1174/9.362824e-15 — the stopping change sits at the f64
-    reorder-noise scale, so loop counts carry a few-sweep slack."""
-    xc = np.linspace(0, 600000, 301)
-    yc = np.linspace(0, 500000, 251)
-    F = Field(yc[:, None] - xc[None, :], ("y", "x"), {"y": yc, "x": xc})
-    iP = {"BCs": ["fixed", "fixed"], "mxLoop": 4001, "tolerance": 1e-14,
-          "optArg": 1.2, "scheme": "lexico", "printInfo": False}
-    invert_Fofonoff(F, dims=["y", "x"], coords="cartesian", iParams=iP,
-                    mParams={"f0": 1e-4, "beta": 2e-11,
-                             "c0": 8e-9, "c1": 1e-4})
-    it, rel = _last()
-    rec = truth["nb09_fofonoff"]
-    assert abs(int(_scalar(it)) - rec["sweeps"]) <= 10
-    assert float(_scalar(rel)) < 1.1e-14
-
-
-def test_nb10_bretherton(data_dir):
+@pytest.mark.parametrize("case,slack", [
+    # published change is EXACTLY 0.0 (the run hits the f64 fixed point);
+    # our reordered (associative-scan) arithmetic rattles at ~1e-17
+    # relative instead, so the 1e-16 crossing is noise-timed.  Measured
+    # deltas: +99 / -2 / +1 / -3 sweeps — the lambda=1e-14 case sits ~100
+    # sweeps late and gets its own generous window rather than a
+    # knife-edge shared bound.
+    ("lambda=1e-14", 250), ("lambda=3e-14", 30), ("lambda=1e-13", 30),
+    ("lambda=3e-13", 30)])
+def test_nb10_bretherton(data_dir, case, slack):
     """Notebook 10: flow over topography, four lambda values.  Published
-    loops (1136, 1157, 1133, 1116) with change EXACTLY 0.0 — the runs
-    terminate at the f64 fixed point, where our reordered (associative
-    scan) arithmetic rattles at ~1e-17 relative instead of hitting exact
-    zero; loop counts agree within the resulting slack and the final
-    change sits below the notebook's 1e-16 threshold."""
-    topo = open_dataset(f"{data_dir}/topo.nc")["topo"]
-    iP = {"BCs": ["fixed", "fixed"], "mxLoop": 3001, "tolerance": 1e-16,
-          "undef": np.nan, "scheme": "lexico", "printInfo": False}
-    for lm, L_ref in zip((1e-14, 3e-14, 1e-13, 3e-13),
-                         (1136, 1157, 1133, 1116)):
-        invert_BrethertonHaidvogel(
-            topo, dims=["y", "x"], coords="cartesian",
-            mParams={"f0": 1e-4, "D": 1000, "lambda": lm}, iParams=iP)
-        it, rel = _last()
-        assert abs(int(_scalar(it)) - (L_ref + 1)) <= 100
-        assert float(_scalar(rel)) < 1e-16
+    loops (1136, 1157, 1133, 1116) with change exactly 0.0."""
+    w = _by_case("10_Bretherton_flow_over_topography", case)
+    w["run"](data_dir)
+    it, rel = last_solve()
+    pub = w["slices"][0]["published"]
+    assert abs(int(it[0]) - (pub["loops"] + 1)) <= slack
+    assert float(rel[0]) < 1e-16

@@ -424,11 +424,13 @@ def lexico_sweeper(spec, omega, S_shape):
     ``S -> S`` callable (the ``scheme='lexico'`` engine behind
     :func:`xinvert_tpu.solver.solve`).
 
-    The 2-D radius-1 executor is natively batched; the 1-D, biharmonic and
-    3-D executors are written unbatched and lifted over leading batch axes
-    with ``jax.vmap`` (spec arrays close over the core grid, so only the
-    state maps).
-    """
+    The 2-D radius-1 executor is natively batched.  The 1-D, biharmonic
+    and 3-D executors are written unbatched and lifted over leading batch
+    axes with ``jax.vmap`` — JOINTLY over state and spec: the app-layer
+    builders bake batched forcing (and possibly batched coefficients)
+    into the spec's data leaves, so each leaf is first broadcast to the
+    full batch prefix and then mapped alongside the state (StencilSpec is
+    a registered dataclass pytree; ``w`` keeps its leading K axis)."""
     nbatch = len(S_shape) - spec.ndim
     if nbatch < 0:
         raise ValueError(f"state rank {len(S_shape)} below spec.ndim")
@@ -436,15 +438,43 @@ def lexico_sweeper(spec, omega, S_shape):
             and all(abs(off[1]) <= 1 for off in spec.offsets):
         return _one_iter_2d(spec, omega)
     if spec.ndim == 1:
-        fn = _one_iter_1d(spec, omega)
+        builder = _one_iter_1d
     elif spec.ndim == 2 and spec.bih:
-        fn = _one_iter_bih(spec, omega)
+        builder = _one_iter_bih
     elif spec.ndim == 3:
-        fn = _one_iter_3d(spec, omega)
+        builder = _one_iter_3d
     else:
         raise ValueError(
             f"no lexicographic executor for ndim={spec.ndim} offsets="
             f"{spec.offsets}")
+    if nbatch == 0:
+        return builder(spec, omega)
+
+    import dataclasses
+    batch_shape = tuple(S_shape[:nbatch])
+    core = spec.ndim
+
+    def lift(a, lead):
+        # insert any missing batch axes after the `lead` structural axes
+        # (w's K axis), then broadcast size-1 batch dims to the full prefix
+        a = jnp.asarray(a)
+        have = a.ndim - lead - core
+        if have > nbatch:
+            raise ValueError(
+                f"spec leaf has {have} batch axes, state has {nbatch}")
+        for _ in range(nbatch - have):
+            a = jnp.expand_dims(a, lead)
+        want = a.shape[:lead] + batch_shape + a.shape[a.ndim - core:]
+        return jnp.broadcast_to(a, want)
+
+    spec_b = dataclasses.replace(
+        spec, w=lift(spec.w, 1), w0=lift(spec.w0, 0), g=lift(spec.g, 0),
+        relax=lift(spec.relax, 0), active=lift(spec.active, 0))
+    axes = dataclasses.replace(spec_b, w=1, w0=0, g=0, relax=0, active=0)
+
+    def fn(sp, S):
+        return builder(sp, omega)(S)
+
     for _ in range(nbatch):
-        fn = jax.vmap(fn)
-    return fn
+        fn = jax.vmap(fn, in_axes=(axes, 0))
+    return partial(fn, spec_b)

@@ -175,6 +175,11 @@ def _auto_check_every(user_iParams, iP) -> int:
     if user_iParams and "checkEvery" in user_iParams:
         return int(user_iParams["checkEvery"])
     ce = int(iP.get("checkEvery", 1))
+    if iP.get("scheme") == "lexico":
+        # the point of paying for the serial lexicographic engine is the
+        # reference's PER-SWEEP stopping rule (to-the-digit parity with
+        # published runs) — never amortise it behind the user's back
+        return ce
     if ce == 1 and jax.default_backend() == "tpu" \
             and not jax.config.jax_enable_x64:
         ce = max(1, min(32, int(iP["mxLoop"]) // 10))
