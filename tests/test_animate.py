@@ -42,3 +42,39 @@ def test_animate_matches_direct_solve(data_dir):
     with pytest.raises(ValueError):
         animate_iteration("Poisson", ds.vor, dims=["lat", "lon"],
                           iParams=iParams)   # non-core dims not allowed
+
+
+def test_animate_lexico_is_reference_trajectory(data_dir):
+    """scheme='lexico' frames are the reference's EXACT iterate sequence:
+    frame k equals solve_fixed_lexicographic after k*loop_per_frame
+    sweeps on the same compiled problem."""
+    ds = open_dataset(f"{data_dir}/Helmholtz_atmos.nc")
+    vor = ds.vor.isel(time=0)
+    iParams = {"BCs": ["fixed", "periodic"], "printInfo": False,
+               "scheme": "lexico"}
+    traj = animate_iteration("Poisson", vor, dims=["lat", "lon"],
+                             iParams=iParams, loop_per_frame=3,
+                             max_frames=3)
+    # frame 3 == 9 checked lexico sweeps through the public API (rtol
+    # covers the one-ulp FMA-contraction slack between separately
+    # compiled XLA programs, cf. tests/test_fuzz_kernels.py)
+    ref = invert_Poisson(vor, dims=["lat", "lon"],
+                         iParams={**iParams, "mxLoop": 9, "tolerance": 0.0})
+    assert np.allclose(traj.values[-1], ref.values, equal_nan=True,
+                       rtol=1e-12, atol=0)
+    # and the trajectory differs from the red-black transient
+    traj_rb = animate_iteration("Poisson", vor, dims=["lat", "lon"],
+                                iParams={"BCs": ["fixed", "periodic"],
+                                         "printInfo": False},
+                                loop_per_frame=3, max_frames=3)
+    assert not np.allclose(traj.values[0], traj_rb.values[0],
+                           equal_nan=True)
+
+
+def test_animate_rejects_direct_scheme(data_dir):
+    ds = open_dataset(f"{data_dir}/Helmholtz_atmos.nc")
+    with pytest.raises(ValueError, match="trajectory"):
+        animate_iteration("Poisson", ds.vor.isel(time=0),
+                          dims=["lat", "lon"],
+                          iParams={"BCs": ["fixed", "periodic"],
+                                   "scheme": "direct"})

@@ -893,9 +893,15 @@ def animate_iteration(app_name, F, dims, coords="lat-lon", icbc=None,
     else:
         omega = _AUTO_OMEGA.get(problem_key, grid.omega_opt)
 
+    scheme = iP.get("scheme", "sor")
+    if scheme not in ("sor", "lexico"):
+        raise ValueError(
+            f"animate_iteration supports scheme 'sor' or 'lexico', got "
+            f"{scheme!r} (a one-shot 'direct' solve has no trajectory)")
     frames = np.asarray(solve_trajectory(spec, jnp.asarray(S0), omega,
                                          loop_per_frame=int(loop_per_frame),
-                                         max_frames=int(max_frames)))
+                                         max_frames=int(max_frames),
+                                         scheme=scheme))
     if icbc is None:
         frames = np.where(Fdef, frames, iP["undef"])
     iters = np.arange(loop_per_frame, loop_per_frame * (max_frames + 1),

@@ -674,21 +674,33 @@ def solve_fixed_cheby(spec: StencilSpec, S0, omega, n_iters: int):
     return S
 
 
-@partial(jax.jit, static_argnames=("loop_per_frame", "max_frames"))
+@partial(jax.jit, static_argnames=("loop_per_frame", "max_frames", "scheme"))
 def solve_trajectory(spec: StencilSpec, S0, omega,
-                     loop_per_frame: int = 5, max_frames: int = 30):
+                     loop_per_frame: int = 5, max_frames: int = 30,
+                     scheme: str = "sor"):
     """Solution snapshots every `loop_per_frame` iterations.
 
     The TPU-native `animate_iteration` (apps.py:895-1058): one lax.scan whose
     carry is the warm-restarted solution, emitting a snapshot per frame.
     Returns an array stacked along a leading `frame` axis.
+
+    ``scheme='lexico'`` snapshots the reference's EXACT iterate sequence
+    (lexico.py) — the frames the reference's own ``animate_iteration``
+    would draw, rather than the red-black transient.
     """
     S0 = jnp.asarray(S0)
-    rr, rb = _color_relax(spec, jnp.asarray(omega, S0.dtype))
+    if scheme == "lexico":
+        from .lexico import lexico_sweeper
+        one = lexico_sweeper(spec, jnp.asarray(omega, S0.dtype),
+                             jnp.shape(S0))
+    else:
+        rr, rb = _color_relax(spec, jnp.asarray(omega, S0.dtype))
+
+        def one(S):
+            return _sweep_with(spec, S, rr, rb)
 
     def frame(S, _):
-        S = jax.lax.fori_loop(
-            0, loop_per_frame, lambda i, s: _sweep_with(spec, s, rr, rb), S)
+        S = jax.lax.fori_loop(0, loop_per_frame, lambda i, s: one(s), S)
         return S, S
 
     _, frames = jax.lax.scan(frame, S0, None, length=max_frames)
