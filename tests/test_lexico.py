@@ -212,3 +212,44 @@ def test_lexico_scheme_batched_spec():
     r1 = solver.solve(spec1, jnp.zeros((3, 24)), omega=1.4, tol=1e-11,
                       max_iters=500, check_every=1, scheme="lexico")
     assert (np.asarray(r1.rel_change) < 1e-11).all()
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_checked_lexico_stopping_matches_python_loop(seed):
+    """Property: solve(scheme='lexico') stops at EXACTLY the sweep where a
+    host python loop applying the reference stopping rule (per-sweep
+    masked-mean-|S| relative change, sweep/increment/test) over
+    solve_fixed_lexicographic iterates would stop, and returns that very
+    iterate."""
+    import numpy as np
+    import jax.numpy as jnp
+    from xinvert_tpu import stencil, solver
+
+    rng = np.random.default_rng(seed)
+    ny, nx = int(rng.integers(10, 24)), int(rng.integers(12, 30))
+    bcs = (("fixed", "extend", "periodic")[seed % 3], 
+           ("periodic", "fixed", "extend")[seed % 3])
+    bcs = ("extend" if bcs[0] == "periodic" else bcs[0], bcs[1])
+    one = np.abs(rng.normal(1.0, 0.1, (ny, nx))) + 0.5
+    g = rng.standard_normal((ny, nx))
+    spec = stencil.standard_2d(one, np.zeros((ny, nx)),
+                               np.abs(rng.normal(1.0, 0.1, (ny, nx))) + 0.5,
+                               g, np.ones((ny, nx), bool),
+                               deltas=(1.0, 1.0), bcs=bcs)
+    omega, tol, cap = 1.6, 10.0 ** -rng.integers(6, 10), 800
+
+    res = solver.solve(spec, jnp.zeros((ny, nx)), omega=omega, tol=tol,
+                       max_iters=cap, check_every=1, scheme="lexico")
+
+    from xinvert_tpu.lexico import solve_fixed_lexicographic
+    S, prev, loops = jnp.zeros((ny, nx)), -1.0, 0
+    while loops < cap:
+        S = solve_fixed_lexicographic(spec, S, omega, 1)
+        norm = float(jnp.mean(jnp.abs(S)))
+        loops += 1
+        rel = abs(norm - prev) / prev if prev > 0 else 1.0
+        if rel < tol or norm == 0:
+            break
+        prev = norm
+    assert int(res.iters) == loops
+    assert np.allclose(np.asarray(res.S), np.asarray(S), rtol=1e-13)
