@@ -108,9 +108,20 @@ def solve_refined(spec: StencilSpec, S0, omega: Optional[float] = None,
         omega = optimal_omega(S0.shape[-spec.ndim:])
     if inner is None and mesh is not None:
         from .parallel.mesh import solve_sharded, shard_problem
+        from .parallel.halo_window import (halo_window_applicable,
+                                           solve_halo_window)
         spec, S0 = shard_problem(spec, S0, mesh)
 
         def inner(cspec, S0_):
+            # fast path: the explicit windowed-kernel executor (per-device
+            # fused Pallas sweeps + ppermute ghost rings) when the
+            # decomposition qualifies — its change-rule stopping is fine
+            # for CORRECTION solves (approximate corrections just mean
+            # another refinement round; certification is independent)
+            if halo_window_applicable(cspec, jnp.shape(S0_), mesh):
+                return solve_halo_window(cspec, S0_, omega, inner_tol,
+                                         inner_iters, check_every=32,
+                                         mesh=mesh).S
             return solve_sharded(cspec, S0_, mesh=mesh, omega=omega,
                                  tol=inner_tol, max_iters=inner_iters,
                                  check_every=32, tol_type="residual").S
