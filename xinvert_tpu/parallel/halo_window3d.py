@@ -18,6 +18,14 @@ Bit-identical to the single-device ``solve_fixed`` for any device count
 (tests/test_parallel_window3d.py; interpret-mode kernel on the CPU mesh —
 Mosaic compiles the same code per device on a real slice, where row
 blocks should be multiples of 8 for aligned write-back).
+
+Why no x-splits here (unlike the 2-D executor): ghost COLUMNS must be
+128-lane aligned for Mosaic's fast path, so x blocks need nx % mx == 0
+with bx a multiple of 128 — satisfiable for the 2-D 2048²-class grids,
+but no reference-shaped 3-D volume qualifies (nx = 144/288/720 have no
+128-multiple splits).  The y ('row') + batch axes already decompose every
+3-D workload in the suite; an x-split would be dead machinery.  GSPMD
+(`solve_sharded`) remains the fallback for arbitrary meshes.
 """
 from __future__ import annotations
 
