@@ -226,9 +226,11 @@ WORKLOADS = [
        lambda d: _run_nb10(d, 1e-14),
        [{"published": {"loops": 1136, "tolerance": 0.0},
          "truth_key": "nb10_bretherton_l1e14"}],
-       "published change is EXACTLY 0.0 (f64 fixed point); our reordered "
-       "arithmetic rattles at ~1e-17 instead, crossing 1e-16 ~100 sweeps "
-       "later on this lambda"),
+       "published change is EXACTLY 0.0 (f64 fixed point); the "
+       "direct-driven reference on the shipped topo.nc reproduces it "
+       "EXACTLY (1137 sweeps, change 0.0 — no fixture skew), so the "
+       "+99-sweep delta here is purely our associative-scan reorder "
+       "noise rattling at ~1e-17 around the same fixed point"),
     _w("10_Bretherton_flow_over_topography", "lambda=3e-14",
        lambda d: _run_nb10(d, 3e-14),
        [{"published": {"loops": 1157, "tolerance": 0.0},

@@ -554,6 +554,12 @@ def solve(spec: StencilSpec, S0, omega: Optional[float] = None,
     the windowed ghost-zone kernel for larger grids) runs the sweeps as a
     Pallas kernel.
 
+    ``scheme="lexico"`` runs the reference's EXACT lexicographic iterate
+    sequence (lexico.py) under this stopping rule — published xinvert
+    runs reproduce to the printed digits on f64 workloads
+    (tests/test_notebook_parity.py, E2E.json); keep ``check_every=1``
+    for stopping parity.
+
     ``tol_type="residual"`` (TPU-native extension) stops on the TRUE
     relative discrete residual mean|r|/mean|g| over active cells instead of
     the reference's solution-change rule — the change rule can fire
