@@ -27,7 +27,7 @@ test, so a printed ``loops L`` means L+1 sweeps executed; our framework
 reports sweeps executed (see tests/test_reference_direct.py).
 
 Usage:  python tools/make_notebook_truth.py [--slow]
-        (--slow adds the ~201x301 Bretherton case: ~45 min pure python)
+        (--slow adds the 201x301 Bretherton case: ~7.5 min pure python)
 """
 import argparse
 import importlib.util
@@ -94,7 +94,7 @@ def run_standard2d_test(ref, S, A, B, C, D, E, F, dely, delx, bcy, bcx,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--slow", action="store_true",
-                    help="include the 201x301 Bretherton case (~45 min)")
+                    help="include the 201x301 Bretherton case (~7.5 min)")
     args = ap.parse_args()
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
