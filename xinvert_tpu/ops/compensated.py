@@ -26,6 +26,7 @@ v5e in tools/tpu_refine_check.py).
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 __all__ = ["two_sum", "two_prod", "residual_compensated",
@@ -70,6 +71,7 @@ def _shift(S, off, nd):
     return jnp.roll(S, shift=shifts, axis=axes) if shifts else S
 
 
+@jax.jit
 def residual_compensated(spec, S, S_lo=None):
     """Per-cell residual ``sum_k w_k S[.+off_k] + w0 S + g`` with compensated
     (Sum2/TwoProd) accumulation of the ``S`` contributions.
@@ -79,6 +81,11 @@ def residual_compensated(spec, S, S_lo=None):
     leading terms, so plain f32 evaluation of it keeps the total at
     O(eps^2) accuracy.  Unmasked (raw) residual — callers apply
     ``spec.active`` where needed.
+
+    Jitted at the definition: the ~100-op EFT cascade otherwise runs
+    EAGERLY from the host refinement loop — through this testbed's relay
+    that cost seconds per pass and dominated solve_refined's wall time.
+    (EFT identities survive compilation: XLA does not reassociate floats.)
     """
     nd = spec.ndim
     s = jnp.asarray(spec.g, S.dtype)
@@ -98,6 +105,7 @@ def residual_compensated(spec, S, S_lo=None):
     return s + e
 
 
+@jax.jit
 def residual_norm_compensated(spec, S, S_lo=None):
     """Compensated mean |residual| over active cells, per batch slice.
 

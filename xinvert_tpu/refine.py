@@ -34,12 +34,30 @@ from typing import Callable, NamedTuple, Optional
 import numpy as np
 import jax.numpy as jnp
 
+import jax
+
 from .ops.compensated import (two_sum, residual_compensated,
                               residual_norm_compensated)
 from .solver import solve, _residual_scale
 from .stencil import StencilSpec
 
 __all__ = ["solve_refined", "RefineResult", "mg_inner"]
+
+
+@jax.jit
+def _correction_rhs(spec, S_hi, S_lo):
+    """Masked compensated residual as the correction forcing (one jitted
+    pass — the host refinement loop otherwise dispatches the EFT cascade
+    eagerly, which through the relay costs seconds per round)."""
+    return jnp.where(spec.active,
+                     residual_compensated(spec, S_hi, S_lo),
+                     0.0).astype(S_hi.dtype)
+
+
+@jax.jit
+def _absorb(S_hi, S_lo, e):
+    """(hi, lo) <- TwoSum(hi, lo + e): keeps hi correctly rounded."""
+    return two_sum(S_hi, S_lo + e)
 
 
 class RefineResult(NamedTuple):
@@ -102,7 +120,6 @@ def solve_refined(spec: StencilSpec, S0, omega: Optional[float] = None,
     compensated norm, accurate to ~eps*log N of its own value.
     """
     S0 = jnp.asarray(S0)
-    dtype = S0.dtype
     if omega is None:
         from .grid import optimal_omega
         omega = optimal_omega(S0.shape[-spec.ndim:])
@@ -142,12 +159,11 @@ def solve_refined(spec: StencilSpec, S0, omega: Optional[float] = None,
             break
         # correction system A e = -r: the engine solves
         # sum w e + w0 e + g_c = 0, so g_c = r (per-cell, compensated)
-        r = jnp.where(spec.active, residual_compensated(spec, S_hi, S_lo),
-                      0.0).astype(dtype)
+        r = _correction_rhs(spec, S_hi, S_lo)
         cspec = dataclasses.replace(spec, g=r)
         e = inner(cspec, jnp.zeros_like(S_hi))
         # absorb: (hi, lo) <- TwoSum(hi, lo + e) keeps hi correctly rounded
-        S_hi, S_lo = two_sum(S_hi, S_lo + e)
+        S_hi, S_lo = _absorb(S_hi, S_lo, e)
         rel = residual_norm_compensated(spec, S_hi, S_lo) / scale
         if float(jnp.max(rel)) <= float(jnp.max(best[2])):
             best = (S_hi, S_lo, rel)
