@@ -175,9 +175,15 @@ def _extra_refined(jnp):
     dt = time.perf_counter() - t0
     rel = float(jnp.max(res.rel_residual))
     assert rel <= 1e-5, f"certification missed: {rel:.2e}"
+    # second run reuses the compiles: the steady-state cost users pay
+    t0 = time.perf_counter()
+    res2 = solve_refined(spec, S0, omega=grid.omega_opt, tol=1e-5,
+                         max_rounds=4, inner_tol=1e-3, inner_iters=40000)
+    dt2 = time.perf_counter() - t0
     return {"refined_2048_sphere_rel_residual": rel,
             "refined_2048_sphere_rounds": res.rounds,
-            "refined_2048_sphere_s": dt}
+            "refined_2048_sphere_s": dt,
+            "refined_2048_sphere_steady_s": dt2}
 
 
 def _extra_mg(jnp):
