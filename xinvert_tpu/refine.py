@@ -142,16 +142,19 @@ def solve_refined(spec: StencilSpec, S0, omega: Optional[float] = None,
         def inner(cspec, S0_):
             # fast path: the explicit windowed-kernel executor (per-device
             # fused Pallas sweeps + ppermute ghost rings) when the
-            # decomposition qualifies — its change-rule stopping is fine
-            # for CORRECTION solves (approximate corrections just mean
-            # another refinement round; certification is independent)
+            # decomposition qualifies.  Both paths use the change rule at
+            # the tightened tolerance like the local default inner: crude
+            # corrections just mean another refinement round, and the
+            # change norm costs one pass per check vs the residual rule's
+            # full neighbor-sum re-evaluation
+            tol_c = inner_tol * 1e-3
             if halo_window_applicable(cspec, jnp.shape(S0_), mesh):
-                return solve_halo_window(cspec, S0_, omega, inner_tol,
+                return solve_halo_window(cspec, S0_, omega, tol_c,
                                          inner_iters, check_every=32,
                                          mesh=mesh).S
             return solve_sharded(cspec, S0_, mesh=mesh, omega=omega,
-                                 tol=inner_tol, max_iters=inner_iters,
-                                 check_every=32, tol_type="residual").S
+                                 tol=tol_c, max_iters=inner_iters,
+                                 check_every=32, tol_type="change").S
     if inner is None:
         inner = _default_inner(spec, omega, inner_tol, inner_iters)
 
