@@ -67,36 +67,43 @@ class MGLevel:
 
 
 def _auto_smoother(spec) -> str:
-    """Coupling-anisotropy smoother selection (host-side; needs concrete
-    coefficient planes — call at pyramid build time, not under a trace).
+    """Coupling-anisotropy smoother selection (host-side decision; called
+    at pyramid build time, not under a trace).
 
     Line relaxation along any axis whose coupling dominates the others by
     >10x anywhere (the 1/cos^2 polar metric in x; f^2 (delx/delz)^2
-    stiffness in z, amplified by semicoarsening)."""
+    stiffness in z, amplified by semicoarsening).  The coupling ratio is
+    reduced ON DEVICE and only the scalar is fetched — pulling full
+    coefficient planes to the host costs seconds over this testbed's
+    relay wire."""
     nd = spec.ndim
     offs = {tuple(o): k for k, o in enumerate(spec.offsets)}
     w = spec.w
-    act = np.asarray(spec.active)
-    floor = np.finfo(np.asarray(spec.w0).dtype).tiny
+    act = spec.active
+    floor = np.finfo(np.dtype(spec.w0.dtype)).tiny
 
     def coupling(axis):
         unit = tuple(1 if i == axis else 0 for i in range(nd))
         nunit = tuple(-u for u in unit)
         if unit not in offs or nunit not in offs:
             return None
-        return np.abs(np.asarray(w[offs[unit]] + w[offs[nunit]]))
+        return jnp.abs(w[offs[unit]] + w[offs[nunit]])
 
-    if act.any() and nd == 2:
+    @jax.jit
+    def ratio_of(cnum, cden):
+        return jnp.max(jnp.where(act, cnum / jnp.maximum(cden, floor), 0.0))
+
+    if nd == 2 and bool(jnp.any(act)):
         cx, cy = coupling(1), coupling(0)
-        ratio = (np.max(np.where(act, cx / np.maximum(cy, floor), 0.0))
+        ratio = (float(ratio_of(cx, cy))
                  if cx is not None and cy is not None else 0.0)
         return "xline" if ratio > 10.0 else "point"
-    if act.any() and nd == 3:
+    if nd == 3 and bool(jnp.any(act)):
         # semicoarsening quadruples the relative z coupling per level, so
         # z-lines are ALWAYS needed once the hierarchy has depth; add
         # x-lines for the polar 1/cos^2 metric
         cy, cx = coupling(1), coupling(2)
-        rx = (np.max(np.where(act, cx / np.maximum(cy, floor), 0.0))
+        rx = (float(ratio_of(cx, cy))
               if cx is not None and cy is not None else 0.0)
         return "zxline" if rx > 10.0 else "zline"
     return "point"
@@ -216,6 +223,57 @@ def prolong(e, fine_shape, odd, bcs):
 
 # ---------------------------------------------------------------- pyramid
 
+def _pyramid_plan(shape, bcs, deltas, min_size, max_levels):
+    """Static level plan [(shape, deltas, odd)], replicating the build
+    loop's stopping rule (depth cap, min size, odd-periodic halt).  Pure
+    host arithmetic on shapes — hashable, so it keys the jitted workers.
+
+    ``shape``/``bcs`` cover only the COARSENED (trailing) dims; ``deltas``
+    is the full per-dim spacing tuple, of which only the trailing
+    ``len(shape)`` entries double per level (3-D semicoarsening keeps
+    delz)."""
+    out = []
+    lvl = tuple(shape)
+    dd = tuple(deltas)
+    keep = len(dd) - len(lvl)
+    while True:
+        odd = tuple(n % 2 == 1 for n in lvl)
+        out.append((lvl, dd, odd))
+        nxt = tuple((n + 1) // 2 if n % 2 else n // 2 for n in lvl)
+        if (len(out) >= max_levels or min(nxt) < min_size
+                or any(bcs[i] == "periodic" and lvl[i] % 2
+                       for i in range(len(lvl)))):
+            return tuple(out)
+        dd = dd[:keep] + tuple(d * 2 for d in dd[keep:])
+        lvl = nxt
+
+
+@partial(jax.jit, static_argnames=("plan", "bcs", "include_cross"))
+def _build_levels_standard2d(A, B, C, F, mask, plan, bcs, include_cross):
+    """All level specs of the standard-2D pyramid in ONE compiled program.
+
+    The level loop unrolls at trace time (the plan is static); building
+    eagerly instead costs ~250 separate dispatches — measured 3.9 s steady
+    and 126 s of tiny-op first-call compiles at 2048^2 over this testbed's
+    relay (vs one compile and a handful of dispatches here)."""
+    specs = []
+    for i, (shape, dd, odd) in enumerate(plan):
+        specs.append(stencil.standard_2d(A, B, C, F, mask, dd, bcs,
+                                         include_cross=include_cross))
+        if i + 1 < len(plan):
+            A = _coarsen_plane(A, odd)
+            B = _coarsen_plane(B, odd)
+            C = _coarsen_plane(C, odd)
+            # conservative coarse mask (inactive if ANY fine support point
+            # is inactive, full 3-point support on vertex axes): Dirichlet
+            # anchor cells must SURVIVE coarsening — with extend+periodic
+            # BCs they are the only thing fixing the constant nullspace,
+            # and losing them makes coarse levels singular
+            mask = _coarsen_mask(mask.astype(bool), odd)
+            F = jnp.zeros(plan[i + 1][0], F.dtype)  # rhs = the residual
+    return tuple(specs)
+
+
 def build_pyramid_standard2d(A, B, C, F, Fdef, deltas, bcs,
                              min_size: int = 15,
                              max_levels: int = 10) -> List[MGLevel]:
@@ -232,46 +290,24 @@ def build_pyramid_standard2d(A, B, C, F, Fdef, deltas, bcs,
     C = jnp.asarray(C)
     F = jnp.asarray(F)
     mask = jnp.asarray(Fdef)
-    is_masked = not bool(np.all(np.asarray(Fdef)))
+    # host decisions hoisted out of the jitted worker (scalar fetches only)
+    is_masked = not bool(jnp.all(mask))
+    include_cross = bool(jnp.any(B != 0))
 
-    levels = []
-    dy, dx = deltas
-    cur_bcs = tuple(bcs)
-    lvl_shape = F.shape[-2:]
-    while True:
-        spec = stencil.standard_2d(A, B, C, F, mask, (dy, dx), cur_bcs)
-        # red-black Gauss-Seidel (omega ~ 1) is the right SMOOTHER; the
-        # near-2 'optimal' SOR factor kills the smoothing property.  The
-        # coarsest level iterates to convergence, so it gets the optimal
-        # factor (patched below once the hierarchy depth is known).
-        omega = jnp.asarray(1.0)
-        odd = tuple(n % 2 == 1 for n in lvl_shape)
-        levels.append(MGLevel(spec=spec, omega=omega, odd=odd,
-                              masked=is_masked))
-
-        nxt = tuple((n + 1) // 2 if n % 2 else n // 2 for n in lvl_shape)
-        if (len(levels) >= max_levels or min(nxt) < min_size
-                or any(cur_bcs[i] == "periodic" and lvl_shape[i] % 2
-                       for i in range(2))):
-            levels[-1] = dataclasses.replace(
-                levels[-1], omega=jnp.asarray(optimal_omega(lvl_shape)))
-            break
-        A = _coarsen_plane(A, odd)
-        B = _coarsen_plane(B, odd)
-        C = _coarsen_plane(C, odd)
-        # conservative coarse mask (inactive if ANY fine support point is
-        # inactive, full 3-point support on vertex axes): Dirichlet anchor
-        # cells must SURVIVE coarsening — with extend+periodic BCs they are
-        # the only thing fixing the constant nullspace, and losing them
-        # makes coarse levels singular
-        mask = _coarsen_mask(mask.astype(bool), odd)
-        F = jnp.zeros(nxt, F.dtype)          # rhs comes from the residual
-        dy, dx = dy * 2, dx * 2
-        # BC types carry to the error equation unchanged: an extend
-        # (Neumann-like) fine boundary needs an extend coarse boundary,
-        # else the boundary component of the error is uncorrectable
-        lvl_shape = nxt
-
+    plan = _pyramid_plan(F.shape[-2:], tuple(bcs), tuple(deltas),
+                         min_size, max_levels)
+    specs = _build_levels_standard2d(A, B, C, F, mask, plan=plan,
+                                     bcs=tuple(bcs),
+                                     include_cross=include_cross)
+    # red-black Gauss-Seidel (omega ~ 1) is the right SMOOTHER; the
+    # near-2 'optimal' SOR factor kills the smoothing property.  The
+    # coarsest level iterates to convergence, so it gets the optimal
+    # factor.
+    levels = [MGLevel(spec=sp, omega=jnp.asarray(1.0), odd=odd,
+                      masked=is_masked)
+              for sp, (shape, dd, odd) in zip(specs, plan)]
+    levels[-1] = dataclasses.replace(
+        levels[-1], omega=jnp.asarray(optimal_omega(plan[-1][0])))
     return _stamp_smoother(levels)
 
 
@@ -302,37 +338,35 @@ def build_pyramid_standard3d(A, B, C, F, Fdef, deltas, bcs,
     mask = jnp.asarray(Fdef).astype(bool)
     if mask.ndim == 2:
         mask = jnp.broadcast_to(mask[None], F.shape)
-    is_masked = not bool(np.all(np.asarray(Fdef)))
+    is_masked = not bool(jnp.all(mask))
 
-    levels = []
-    delz, dely, delx = deltas
-    cur_bcs = tuple(bcs)
-    lvl_shape = F.shape[-2:]
-    while True:
-        spec = stencil.standard_3d(A, B, C, F, mask, (delz, dely, delx),
-                                   cur_bcs)
-        omega = jnp.asarray(1.0)
-        odd = tuple(n % 2 == 1 for n in lvl_shape)
-        levels.append(MGLevel(spec=spec, omega=omega, odd=odd,
-                              masked=is_masked))
-
-        nxt = tuple((n + 1) // 2 if n % 2 else n // 2 for n in lvl_shape)
-        if (len(levels) >= max_levels or min(nxt) < min_size
-                or any(cur_bcs[1 + i] == "periodic" and lvl_shape[i] % 2
-                       for i in range(2))):
-            levels[-1] = dataclasses.replace(
-                levels[-1], omega=jnp.asarray(optimal_omega(
-                    (F.shape[0],) + lvl_shape)))
-            break
-        A = _coarsen_plane(A, odd)
-        B = _coarsen_plane(B, odd)
-        C = _coarsen_plane(C, odd)
-        mask = _coarsen_mask(mask, odd)
-        F = jnp.zeros((F.shape[0],) + nxt, F.dtype)
-        dely, delx = dely * 2, delx * 2
-        lvl_shape = nxt
-
+    nz = F.shape[0]
+    plan = _pyramid_plan(F.shape[-2:], tuple(bcs)[1:], tuple(deltas),
+                         min_size, max_levels)
+    specs = _build_levels_standard3d(A, B, C, F, mask, plan=plan,
+                                     bcs=tuple(bcs), nz=nz)
+    levels = [MGLevel(spec=sp, omega=jnp.asarray(1.0), odd=odd,
+                      masked=is_masked)
+              for sp, (shape, dd, odd) in zip(specs, plan)]
+    levels[-1] = dataclasses.replace(
+        levels[-1], omega=jnp.asarray(optimal_omega((nz,) + plan[-1][0])))
     return _stamp_smoother(levels)
+
+
+@partial(jax.jit, static_argnames=("plan", "bcs", "nz"))
+def _build_levels_standard3d(A, B, C, F, mask, plan, bcs, nz):
+    """All semicoarsened standard-3D level specs in one compiled program
+    (see _build_levels_standard2d for why)."""
+    specs = []
+    for i, (shape, dd, odd) in enumerate(plan):
+        specs.append(stencil.standard_3d(A, B, C, F, mask, dd, bcs))
+        if i + 1 < len(plan):
+            A = _coarsen_plane(A, odd)
+            B = _coarsen_plane(B, odd)
+            C = _coarsen_plane(C, odd)
+            mask = _coarsen_mask(mask, odd)
+            F = jnp.zeros((nz,) + plan[i + 1][0], F.dtype)
+    return tuple(specs)
 
 
 def _upwind_sign(A, C):
@@ -367,39 +401,41 @@ def build_pyramid_general2d(A, B, C, D, E, F, G, Fdef, deltas, bcs,
               for p in (A, B, C, D, E, F)]
     G = jnp.asarray(G)
     mask = jnp.asarray(Fdef).astype(bool)
-    is_masked = not bool(np.all(np.asarray(Fdef)))
+    is_masked = not bool(jnp.all(mask))
 
-    levels = []
-    dy, dx = deltas
-    cur_bcs = tuple(bcs)
-    lvl_shape = G.shape[-2:]
-    Gl = G
-    while True:
-        # per-level, per-cell sign: coarsening can move a mixed-sign
-        # plane's regional boundaries
-        s = _upwind_sign(planes[0], planes[2])
-        spec = stencil.general_2d(*planes, Gl, mask, (dy, dx), cur_bcs,
-                                  upwind=(0.0 if not levels else s))
-        odd = tuple(n % 2 == 1 for n in lvl_shape)
-        # omega ~ 1 on every level: plain Gauss-Seidel smoothing, and on
-        # the (upwinded, M-matrix) coarsest level GS iterates robustly
-        # where the near-2 Laplacian-optimal factor can diverge for
-        # advection-dominated operators
-        levels.append(MGLevel(spec=spec, omega=jnp.asarray(1.0), odd=odd,
-                              masked=is_masked))
-
-        nxt = tuple((n + 1) // 2 if n % 2 else n // 2 for n in lvl_shape)
-        if (len(levels) >= max_levels or min(nxt) < min_size
-                or any(cur_bcs[i] == "periodic" and lvl_shape[i] % 2
-                       for i in range(2))):
-            break
-        planes = [_coarsen_plane(p, odd) for p in planes]
-        mask = _coarsen_mask(mask, odd)
-        Gl = jnp.zeros(nxt, G.dtype)
-        dy, dx = dy * 2, dx * 2
-        lvl_shape = nxt
-
+    plan = _pyramid_plan(G.shape[-2:], tuple(bcs), tuple(deltas),
+                         min_size, max_levels)
+    specs = _build_levels_general2d(tuple(planes), G, mask, plan=plan,
+                                    bcs=tuple(bcs))
+    # omega ~ 1 on every level: plain Gauss-Seidel smoothing, and on
+    # the (upwinded, M-matrix) coarsest level GS iterates robustly
+    # where the near-2 Laplacian-optimal factor can diverge for
+    # advection-dominated operators
+    levels = [MGLevel(spec=sp, omega=jnp.asarray(1.0), odd=odd,
+                      masked=is_masked)
+              for sp, (shape, dd, odd) in zip(specs, plan)]
     return _stamp_smoother(levels)
+
+
+@partial(jax.jit, static_argnames=("plan", "bcs"))
+def _build_levels_general2d(planes, G, mask, plan, bcs):
+    """All general-2D level specs in one compiled program (see
+    _build_levels_standard2d for why).  Level 0 keeps centered advection
+    (reference parity); coarser levels upwind with a per-level, per-cell
+    sign (coarsening can move a mixed-sign plane's regional
+    boundaries)."""
+    planes = list(planes)
+    specs = []
+    Gl = G
+    for i, (shape, dd, odd) in enumerate(plan):
+        s = _upwind_sign(planes[0], planes[2])
+        specs.append(stencil.general_2d(*planes, Gl, mask, dd, bcs,
+                                        upwind=(0.0 if i == 0 else s)))
+        if i + 1 < len(plan):
+            planes = [_coarsen_plane(p, odd) for p in planes]
+            mask = _coarsen_mask(mask, odd)
+            Gl = jnp.zeros(plan[i + 1][0], G.dtype)
+    return tuple(specs)
 
 
 def build_pyramid_general3d(A, B, C, D, E, F, G, H, Fdef, deltas, bcs,
@@ -420,36 +456,35 @@ def build_pyramid_general3d(A, B, C, D, E, F, G, H, Fdef, deltas, bcs,
     mask = jnp.asarray(Fdef).astype(bool)
     if mask.ndim == 2:
         mask = jnp.broadcast_to(mask[None], H.shape[-3:])
-    is_masked = not bool(np.all(np.asarray(Fdef)))
+    is_masked = not bool(jnp.all(mask))
 
-    levels = []
-    delz, dely, delx = deltas
-    cur_bcs = tuple(bcs)
-    lvl_shape = H.shape[-2:]
     nz = H.shape[-3]
-    Hl = H
-    while True:
-        # per-level, per-cell sign (see build_pyramid_general2d)
-        s = _upwind_sign(planes[0], planes[2])
-        spec = stencil.general_3d(*planes, Hl, mask,
-                                  (delz, dely, delx), cur_bcs,
-                                  upwind=(0.0 if not levels else s))
-        odd = tuple(n % 2 == 1 for n in lvl_shape)
-        levels.append(MGLevel(spec=spec, omega=jnp.asarray(1.0), odd=odd,
-                              masked=is_masked))
-
-        nxt = tuple((n + 1) // 2 if n % 2 else n // 2 for n in lvl_shape)
-        if (len(levels) >= max_levels or min(nxt) < min_size
-                or any(cur_bcs[1 + i] == "periodic" and lvl_shape[i] % 2
-                       for i in range(2))):
-            break
-        planes = [_coarsen_plane(p, odd) for p in planes]
-        mask = _coarsen_mask(mask, odd)
-        Hl = jnp.zeros((nz,) + nxt, H.dtype)
-        dely, delx = dely * 2, delx * 2
-        lvl_shape = nxt
-
+    plan = _pyramid_plan(H.shape[-2:], tuple(bcs)[1:], tuple(deltas),
+                         min_size, max_levels)
+    specs = _build_levels_general3d(tuple(planes), H, mask, plan=plan,
+                                    bcs=tuple(bcs), nz=nz)
+    levels = [MGLevel(spec=sp, omega=jnp.asarray(1.0), odd=odd,
+                      masked=is_masked)
+              for sp, (shape, dd, odd) in zip(specs, plan)]
     return _stamp_smoother(levels)
+
+
+@partial(jax.jit, static_argnames=("plan", "bcs", "nz"))
+def _build_levels_general3d(planes, H, mask, plan, bcs, nz):
+    """All general-3D level specs in one compiled program (semicoarsened;
+    per-level, per-cell upwind sign — see _build_levels_general2d)."""
+    planes = list(planes)
+    specs = []
+    Hl = H
+    for i, (shape, dd, odd) in enumerate(plan):
+        s = _upwind_sign(planes[0], planes[2])
+        specs.append(stencil.general_3d(*planes, Hl, mask, dd, bcs,
+                                        upwind=(0.0 if i == 0 else s)))
+        if i + 1 < len(plan):
+            planes = [_coarsen_plane(p, odd) for p in planes]
+            mask = _coarsen_mask(mask, odd)
+            Hl = jnp.zeros((nz,) + plan[i + 1][0], H.dtype)
+    return tuple(specs)
 
 
 def build_pyramid_bih2d(coeffs, J, Fdef, deltas, bcs,
@@ -465,39 +500,39 @@ def build_pyramid_bih2d(coeffs, J, Fdef, deltas, bcs,
     The folded system carries delx^4, handled by the V-cycle's residual
     scale.
     """
-    cs = [jnp.asarray(c) if not np.isscalar(c)
-          else jnp.zeros(J.shape[-2:], jnp.asarray(J).dtype) + c
-          for c in coeffs]
     J = jnp.asarray(J)
+    cs = [jnp.asarray(c) if not np.isscalar(c)
+          else jnp.zeros(J.shape[-2:], J.dtype) + c
+          for c in coeffs]
     mask = jnp.asarray(Fdef).astype(bool)
-    is_masked = not bool(np.all(np.asarray(Fdef)))
+    is_masked = not bool(jnp.all(mask))
 
-    levels = []
-    dy, dx = deltas
-    cur_bcs = tuple(bcs)
-    lvl_shape = J.shape[-2:]
-    while True:
-        spec = stencil.general_2d_bih(*cs, J, mask, (dy, dx), cur_bcs)
-        levels.append(MGLevel(spec=spec, omega=jnp.asarray(1.0),
-                              odd=tuple(n % 2 == 1 for n in lvl_shape),
-                              masked=is_masked))
-        odd = levels[-1].odd
-
-        nxt = tuple((n + 1) // 2 if n % 2 else n // 2 for n in lvl_shape)
-        if (len(levels) >= max_levels or min(nxt) < min_size
-                or any(cur_bcs[i] == "periodic" and lvl_shape[i] % 2
-                       for i in range(2))):
-            # the coarsest biharmonic level relaxes with omega ~ 1 (the
-            # near-2 Laplacian-optimal factor diverges on the 13-point
-            # stencil, cf. models/api._AUTO_OMEGA)
-            break
-        cs = [_coarsen_plane(c, odd) for c in cs]
-        mask = _coarsen_mask(mask, odd)
-        J = jnp.zeros(nxt, J.dtype)
-        dy, dx = dy * 2, dx * 2
-        lvl_shape = nxt
-
+    plan = _pyramid_plan(J.shape[-2:], tuple(bcs), tuple(deltas),
+                         min_size, max_levels)
+    specs = _build_levels_bih2d(tuple(cs), J, mask, plan=plan,
+                                bcs=tuple(bcs))
+    # every level relaxes with omega ~ 1 (the near-2 Laplacian-optimal
+    # factor diverges on the 13-point stencil, cf. models/api._AUTO_OMEGA)
+    levels = [MGLevel(spec=sp, omega=jnp.asarray(1.0), odd=odd,
+                      masked=is_masked)
+              for sp, (shape, dd, odd) in zip(specs, plan)]
     return _stamp_smoother(levels)
+
+
+@partial(jax.jit, static_argnames=("plan", "bcs"))
+def _build_levels_bih2d(cs, J, mask, plan, bcs):
+    """All biharmonic level specs in one compiled program (see
+    _build_levels_standard2d for why)."""
+    cs = list(cs)
+    specs = []
+    Jl = J
+    for i, (shape, dd, odd) in enumerate(plan):
+        specs.append(stencil.general_2d_bih(*cs, Jl, mask, dd, bcs))
+        if i + 1 < len(plan):
+            cs = [_coarsen_plane(c, odd) for c in cs]
+            mask = _coarsen_mask(mask, odd)
+            Jl = jnp.zeros(plan[i + 1][0], J.dtype)
+    return tuple(specs)
 
 
 # ---------------------------------------------------------------- smoothers
