@@ -175,15 +175,21 @@ def _extra_refined(jnp):
     dt = time.perf_counter() - t0
     rel = float(jnp.max(res.rel_residual))
     assert rel <= 1e-5, f"certification missed: {rel:.2e}"
-    # second run reuses the compiles: the steady-state cost users pay
+    # second run reuses the compiles: the steady-state cost users pay.
+    # Report ITS certification alongside its timing so the steady number
+    # is self-consistent (the runs are deterministic, but belt and braces)
     t0 = time.perf_counter()
     res2 = solve_refined(spec, S0, omega=grid.omega_opt, tol=1e-5,
                          max_rounds=4, inner_tol=1e-3, inner_iters=40000)
     dt2 = time.perf_counter() - t0
+    rel2 = float(jnp.max(res2.rel_residual))
+    assert rel2 <= 1e-5, f"steady certification missed: {rel2:.2e}"
     return {"refined_2048_sphere_rel_residual": rel,
             "refined_2048_sphere_rounds": res.rounds,
             "refined_2048_sphere_s": dt,
-            "refined_2048_sphere_steady_s": dt2}
+            "refined_2048_sphere_steady_s": dt2,
+            "refined_2048_sphere_steady_rel_residual": rel2,
+            "refined_2048_sphere_steady_rounds": res2.rounds}
 
 
 def _extra_mg(jnp):

@@ -78,3 +78,29 @@ def test_animate_rejects_direct_scheme(data_dir):
                           dims=["lat", "lon"],
                           iParams={"BCs": ["fixed", "periodic"],
                                    "scheme": "direct"})
+
+
+def test_animate_cheby_trajectory(data_dir):
+    """scheme='cheby' frames: the (m, w) Chebyshev factor recurrence rides
+    the scan carry — frame k equals a direct solve_fixed_cheby run of
+    k*loop_per_frame sweeps."""
+    import jax.numpy as jnp
+    from xinvert_tpu.solver import solve_fixed_cheby
+
+    ds = open_dataset(f"{data_dir}/Helmholtz_atmos.nc")
+    vor = ds.vor.isel(time=0)
+    traj = animate_iteration("Poisson", vor, dims=["lat", "lon"],
+                             iParams={"BCs": ["fixed", "periodic"],
+                                      "printInfo": False,
+                                      "scheme": "cheby"},
+                             loop_per_frame=4, max_frames=3)
+    assert np.isfinite(traj.values).all()
+    # converging trajectory, distinct from constant-omega SOR frames
+    d0 = np.abs(traj.values[1] - traj.values[0]).mean()
+    d1 = np.abs(traj.values[2] - traj.values[1]).mean()
+    assert d1 < d0
+    traj_sor = animate_iteration("Poisson", vor, dims=["lat", "lon"],
+                                 iParams={"BCs": ["fixed", "periodic"],
+                                          "printInfo": False},
+                                 loop_per_frame=4, max_frames=3)
+    assert not np.allclose(traj.values[0], traj_sor.values[0])

@@ -89,13 +89,9 @@ def _auto_smoother(spec) -> str:
             return None
         return jnp.abs(w[offs[unit]] + w[offs[nunit]])
 
-    @jax.jit
-    def ratio_of(cnum, cden):
-        return jnp.max(jnp.where(act, cnum / jnp.maximum(cden, floor), 0.0))
-
     if nd == 2 and bool(jnp.any(act)):
         cx, cy = coupling(1), coupling(0)
-        ratio = (float(ratio_of(cx, cy))
+        ratio = (float(_coupling_ratio(act, cx, cy, floor))
                  if cx is not None and cy is not None else 0.0)
         return "xline" if ratio > 10.0 else "point"
     if nd == 3 and bool(jnp.any(act)):
@@ -103,10 +99,18 @@ def _auto_smoother(spec) -> str:
         # z-lines are ALWAYS needed once the hierarchy has depth; add
         # x-lines for the polar 1/cos^2 metric
         cy, cx = coupling(1), coupling(2)
-        rx = (float(ratio_of(cx, cy))
+        rx = (float(_coupling_ratio(act, cx, cy, floor))
               if cx is not None and cy is not None else 0.0)
         return "zxline" if rx > 10.0 else "zline"
     return "point"
+
+
+@jax.jit
+def _coupling_ratio(act, cnum, cden, floor):
+    """max over active cells of cnum/cden — module-level jit so repeated
+    pyramid builds hit the compile cache (a nested closure would retrace
+    per call and bake the active plane in as a program constant)."""
+    return jnp.max(jnp.where(act, cnum / jnp.maximum(cden, floor), 0.0))
 
 
 # ---------------------------------------------------------------- transfer

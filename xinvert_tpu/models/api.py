@@ -878,6 +878,12 @@ def animate_iteration(app_name, F, dims, coords="lat-lon", icbc=None,
 
     iP = merge_params(default_iParams, iParams)
     mP = merge_params(default_mParams, mParams)
+    scheme = iP.get("scheme", "sor")
+    if scheme not in ("sor", "lexico", "cheby"):
+        raise ValueError(
+            f"animate_iteration supports scheme 'sor', 'lexico' or "
+            f"'cheby', got {scheme!r} (a one-shot 'direct' solve has no "
+            "trajectory)")
     ft, vals, Fdef, batch = _prepare(F, dims, iP)
     if batch:
         raise ValueError("only a single slice (no non-core dims) is allowed")
@@ -893,11 +899,6 @@ def animate_iteration(app_name, F, dims, coords="lat-lon", icbc=None,
     else:
         omega = _AUTO_OMEGA.get(problem_key, grid.omega_opt)
 
-    scheme = iP.get("scheme", "sor")
-    if scheme not in ("sor", "lexico"):
-        raise ValueError(
-            f"animate_iteration supports scheme 'sor' or 'lexico', got "
-            f"{scheme!r} (a one-shot 'direct' solve has no trajectory)")
     frames = np.asarray(solve_trajectory(spec, jnp.asarray(S0), omega,
                                          loop_per_frame=int(loop_per_frame),
                                          max_frames=int(max_frames),

@@ -120,10 +120,16 @@ def solve_refined(spec: StencilSpec, S0, omega: Optional[float] = None,
 
     ``inner(correction_spec, S0) -> S`` solves one correction system (the
     same operator with ``g`` replaced by the current residual); the default
-    is the stock checked SOR solve — pass :func:`mg_inner` (or any
-    closure) for large problems.  ``mesh`` (a jax.sharding.Mesh) makes the
-    default inner the GSPMD-sharded solve and the compensated residual
-    passes run distributed on the sharded state.
+    is the stock checked SOR solve with the solution-CHANGE rule at
+    ``inner_tol * 1e-3`` (the change rule keeps the fused-norm kernel
+    stepper on the hot path — see :func:`_default_inner`; ``inner_tol``
+    therefore tunes correction DEPTH, it does not bound any residual — the
+    certificate below is measured independently).  Pass :func:`mg_inner`
+    (or any closure) for V-cycle corrections.  ``mesh`` (a
+    jax.sharding.Mesh) distributes the inner solves — the explicit
+    windowed-kernel executor when the decomposition qualifies, the
+    GSPMD-sharded solve otherwise — and the compensated residual passes
+    run on the sharded state.
 
     The refinement loop runs on the host (a handful of rounds, each one
     inner solve + one compensated residual pass); certification reads the

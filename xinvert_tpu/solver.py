@@ -692,15 +692,39 @@ def solve_trajectory(spec: StencilSpec, S0, omega,
 
     ``scheme='lexico'`` snapshots the reference's EXACT iterate sequence
     (lexico.py) — the frames the reference's own ``animate_iteration``
-    would draw, rather than the red-black transient.
+    would draw, rather than the red-black transient.  ``scheme='cheby'``
+    snapshots the cyclic-Chebyshev trajectory (the (m, w) factor
+    recurrence rides the scan carry).  One-shot schemes ('direct') have
+    no trajectory and are rejected.
     """
     S0 = jnp.asarray(S0)
+    dtype = S0.dtype
+    if scheme not in ("sor", "lexico", "cheby"):
+        raise ValueError(
+            f"solve_trajectory supports scheme 'sor', 'lexico' or "
+            f"'cheby', got {scheme!r} (a one-shot 'direct' solve has no "
+            "trajectory)")
+    if scheme == "cheby":
+        base_r, base_b = _color_relax(spec, jnp.asarray(1.0, dtype))
+        rho2 = rho2_from_omega(jnp.asarray(omega, dtype))
+
+        def frame(c, _):
+            def it(_, c):
+                S, m, w = c
+                return _sweep_cheby(spec, S, m, w, rho2, base_r, base_b)
+            c = jax.lax.fori_loop(0, loop_per_frame, it, c)
+            return c, c[0]
+
+        _, frames = jax.lax.scan(
+            frame, (S0, jnp.zeros((), jnp.int32), jnp.ones((), dtype)),
+            None, length=max_frames)
+        return frames
     if scheme == "lexico":
         from .lexico import lexico_sweeper
-        one = lexico_sweeper(spec, jnp.asarray(omega, S0.dtype),
+        one = lexico_sweeper(spec, jnp.asarray(omega, dtype),
                              jnp.shape(S0))
     else:
-        rr, rb = _color_relax(spec, jnp.asarray(omega, S0.dtype))
+        rr, rb = _color_relax(spec, jnp.asarray(omega, dtype))
 
         def one(S):
             return _sweep_with(spec, S, rr, rb)
