@@ -253,3 +253,42 @@ def test_checked_lexico_stopping_matches_python_loop(seed):
         prev = norm
     assert int(res.iters) == loops
     assert np.allclose(np.asarray(res.S), np.asarray(S), rtol=1e-13)
+
+
+@pytest.mark.parametrize("seed", [10, 11])
+def test_checked_lexico_stopping_general2d_masked(seed):
+    """Same stopping-rule property for the general-2D family with cross/
+    advective terms and an interior mask."""
+    import numpy as np
+    import jax.numpy as jnp
+    from xinvert_tpu import stencil, solver
+    from xinvert_tpu.lexico import solve_fixed_lexicographic
+
+    rng = np.random.default_rng(seed)
+    ny, nx = int(rng.integers(12, 20)), int(rng.integers(14, 26))
+    one = np.abs(rng.normal(1.0, 0.1, (ny, nx))) + 0.5
+    Fdef = np.ones((ny, nx), bool)
+    Fdef[ny // 3:ny // 2, nx // 4:nx // 2] = False
+    spec = stencil.general_2d(
+        one, rng.normal(0, 0.05, (ny, nx)),
+        np.abs(rng.normal(1.0, 0.1, (ny, nx))) + 0.5,
+        rng.normal(0, 0.1, (ny, nx)), rng.normal(0, 0.1, (ny, nx)),
+        -np.abs(rng.normal(0.5, 0.1, (ny, nx))),
+        rng.standard_normal((ny, nx)), Fdef,
+        deltas=(1.0, 1.0), bcs=("fixed", "periodic"))
+    omega, tol, cap = 1.4, 1e-8, 600
+
+    res = solver.solve(spec, jnp.zeros((ny, nx)), omega=omega, tol=tol,
+                       max_iters=cap, check_every=1, scheme="lexico")
+
+    S, prev, loops = jnp.zeros((ny, nx)), -1.0, 0
+    while loops < cap:
+        S = solve_fixed_lexicographic(spec, S, omega, 1)
+        norm = float(jnp.mean(jnp.abs(S)))
+        loops += 1
+        rel = abs(norm - prev) / prev if prev > 0 else 1.0
+        if rel < tol or norm == 0:
+            break
+        prev = norm
+    assert int(res.iters) == loops
+    assert np.allclose(np.asarray(res.S), np.asarray(S), rtol=1e-13)
