@@ -573,8 +573,14 @@ def _zebra_line_sweep(spec, S, axis):
     smooths anisotropic problems that point relaxation cannot.  Inactive
     cells become identity rows (b=1, rhs=S) — exact Dirichlet handling
     inside the line.
+
+    Line systems solve with the LOG-DEPTH batched Thomas
+    (ops/tridiag.tridiag_cyclic_pscan): the sequential per-line scan cost
+    ~2 us/step on TPU, which made the full-sphere MG inner solves pay
+    ~8 ms per 2048-point zebra parity — the associative-scan solver took
+    the mg-refined e2e round-0 inner from 25 s to kernel-class time.
     """
-    from .ops.tridiag import traceCyclic
+    from .ops.tridiag import tridiag_cyclic_pscan
     from .solver import _apply_extend
 
     nd = spec.ndim
@@ -614,8 +620,8 @@ def _zebra_line_sweep(spec, S, axis):
         else:
             a0 = jnp.zeros(nlines, S.dtype)
             cn = jnp.zeros(nlines, S.dtype)
-        sol = jax.vmap(traceCyclic)(a_l[:, 1:], b_l, c_l[:, :-1], d_l,
-                                    a0, cn)
+        sol = tridiag_cyclic_pscan(a_l[:, 1:], b_l, c_l[:, :-1], d_l,
+                                   a0, cn)
         sol = jnp.moveaxis(sol.reshape(mshape), -1, axis)
 
         # checkerboard parity over the non-axis core dims

@@ -12,7 +12,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["trace", "traceCyclic", "tridiag_solve"]
+__all__ = ["trace", "traceCyclic", "tridiag_solve",
+           "tridiag_solve_pscan", "tridiag_cyclic_pscan"]
 
 
 @jax.jit
@@ -49,6 +50,114 @@ def tridiag_solve(a, b, c, d):
 
     _, xs = jax.lax.scan(bwd, jnp.zeros((), b.dtype), (cp, dp), reverse=True)
     return xs
+
+
+def _affine_scan(A, B, reverse=False):
+    """Prefix (or suffix) evaluation of y_i = A_i y_prev + B_i along the
+    last axis with y_prev(start) = 0, via an associative scan."""
+    A, B = jnp.broadcast_arrays(A, B)
+
+    def comb(l, r):
+        # r is applied AFTER l in scan order (suffix order when reversed)
+        al, bl = l
+        ar, br = r
+        return al * ar, bl * ar + br
+
+    if reverse:
+        _, Bc = jax.lax.associative_scan(comb, (A[..., ::-1], B[..., ::-1]),
+                                         axis=-1)
+        return Bc[..., ::-1]
+    _, Bc = jax.lax.associative_scan(comb, (A, B), axis=-1)
+    return Bc
+
+
+@jax.jit
+def tridiag_solve_pscan(a, b, c, d):
+    """Batched LOG-DEPTH Thomas solve along the last axis.
+
+    Same system convention as :func:`tridiag_solve` (a: N-1 subdiagonal,
+    b: N diagonal, c: N-1 superdiagonal, d: N rhs), with arbitrary
+    leading batch axes.  The sequential solver's two length-N ``lax.scan``s
+    cost ~2 us per step on TPU (a 2048-point line pays ~8 ms); here the
+    forward elimination's rational recurrence
+    ``cp_i = c_i / (b_i - a_i cp_{i-1})`` runs as an associative scan of
+    projectively-normalised 2x2 Moebius maps, and the dp/back-substitution
+    recurrences (affine once cp is known) as associative scans — O(log N)
+    depth, fully vectorised over lines.  Stable for the diagonally
+    dominant systems the smoothers build (the per-combine normalisation
+    keeps the Moebius products bounded); results match the sequential
+    solver to roundoff (tests/test_trace.py)."""
+    b = jnp.asarray(b)
+    dtype = b.dtype
+    batch = b.shape[:-1]
+    n = b.shape[-1]
+    zcol = jnp.zeros(batch + (1,), dtype)
+    a_full = jnp.concatenate([zcol, jnp.broadcast_to(a, batch + (n - 1,))],
+                             axis=-1)
+    c_full = jnp.concatenate([jnp.broadcast_to(c, batch + (n - 1,)), zcol],
+                             axis=-1)
+    d = jnp.broadcast_to(jnp.asarray(d, dtype), batch + (n,))
+
+    # cp_i as a Moebius chain: cp_i = (0*cp + c_i) / (-a_i*cp + b_i)
+    m11 = jnp.zeros_like(b)
+    m12 = c_full
+    m21 = -a_full
+    m22 = b
+
+    def comb(l, r):
+        l11, l12, l21, l22 = l
+        r11, r12, r21, r22 = r
+        p11 = r11 * l11 + r12 * l21
+        p12 = r11 * l12 + r12 * l22
+        p21 = r21 * l11 + r22 * l21
+        p22 = r21 * l12 + r22 * l22
+        # projective normalisation: scale-invariant Moebius representative
+        s = jnp.maximum(jnp.maximum(jnp.abs(p11), jnp.abs(p12)),
+                        jnp.maximum(jnp.abs(p21), jnp.abs(p22)))
+        s = jnp.where(s > 0, s, 1.0)
+        return p11 / s, p12 / s, p21 / s, p22 / s
+
+    P11, P12, P21, P22 = jax.lax.associative_scan(
+        comb, (m11, m12, m21, m22), axis=-1)
+    cp = P12 / P22                        # applied to cp_0 = 0
+
+    cp_prev = jnp.concatenate([zcol, cp[..., :-1]], axis=-1)
+    denom = b - a_full * cp_prev
+    dp = _affine_scan(-a_full / denom, d / denom)
+
+    # x_i = dp_i - cp_i x_{i+1}, x_N = 0  (suffix recurrence)
+    return _affine_scan(-cp, dp, reverse=True)
+
+
+@jax.jit
+def tridiag_cyclic_pscan(a, b, c, d, a0, cn):
+    """Batched log-depth cyclic tridiagonal solve along the last axis
+    (corner couplings ``a0``: row 0 -> col N-1, ``cn``: row N-1 -> col 0;
+    leading axes batch, a0/cn shaped like the batch).  Sherman-Morrison
+    bordering over :func:`tridiag_solve_pscan`, with the three rhs solved
+    in ONE stacked call."""
+    b = jnp.asarray(b)
+    dtype = b.dtype
+    batch = b.shape[:-1]
+    n = b.shape[-1]
+    a0 = jnp.broadcast_to(jnp.asarray(a0, dtype), batch)
+    cn = jnp.broadcast_to(jnp.asarray(cn, dtype), batch)
+    e1 = jnp.zeros(batch + (n,), dtype).at[..., 0].set(a0)
+    en = jnp.zeros(batch + (n,), dtype).at[..., n - 1].set(cn)
+    rhs = jnp.stack([jnp.broadcast_to(jnp.asarray(d, dtype),
+                                      batch + (n,)), e1, en])
+    sol = tridiag_solve_pscan(
+        jnp.broadcast_to(a, (3,) + batch + (n - 1,)),
+        jnp.broadcast_to(b, (3,) + batch + (n,)),
+        jnp.broadcast_to(c, (3,) + batch + (n - 1,)), rhs)
+    x0, u1, u2 = sol[0], sol[1], sol[2]
+    det = ((1.0 + u2[..., 0]) * (1.0 + u1[..., n - 1])
+           - u1[..., 0] * u2[..., n - 1])
+    x0c = ((1.0 + u1[..., n - 1]) * x0[..., 0]
+           - u1[..., 0] * x0[..., n - 1]) / det
+    xN1 = ((1.0 + u2[..., 0]) * x0[..., n - 1]
+           - u2[..., n - 1] * x0[..., 0]) / det
+    return x0 - u1 * xN1[..., None] - u2 * x0c[..., None]
 
 
 def trace(a, b, c, d):
