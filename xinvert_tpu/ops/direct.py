@@ -199,32 +199,25 @@ def _thomas_modes(sub, dia, sup, rhs):
 
     sub/dia/sup: (n, M) complex — sub[0] and sup[-1] are ignored;
     rhs: (..., n, M).  Returns x with rhs's shape.
+
+    Routed through the LOG-DEPTH batched Thomas
+    (ops/tridiag.tridiag_solve_pscan, complex dtypes included): the
+    previous 2n-step sequential ``lax.scan`` pair cost ~2 us/step on TPU
+    and dominated the 2048^2 direct solve's 18 ms/call.
     """
-    n = dia.shape[0]
-    rhs_m = jnp.moveaxis(rhs, -2, 0)           # (n, ..., M)
+    from .tridiag import tridiag_solve_pscan
 
-    def fwd(carry, row):
-        cp_prev, dp_prev = carry
-        s, d, u, r = row
-        denom = d - s * cp_prev
-        cp = u / denom
-        dp = (r - s * dp_prev) / denom
-        return (cp, dp), (cp, dp)
-
-    zero_c = jnp.zeros(sub.shape[1:], dia.dtype)
-    zero_d = jnp.zeros(rhs_m.shape[1:], rhs.dtype)
-    sub0 = sub.at[0].set(0.0)
-    supn = sup.at[-1].set(0.0)
-    (_, _), (cp, dp) = jax.lax.scan(fwd, (zero_c, zero_d),
-                                    (sub0, dia, supn, rhs_m))
-
-    def bwd(x_next, row):
-        cpi, dpi = row
-        x = dpi - cpi * x_next
-        return x, x
-
-    _, xs = jax.lax.scan(bwd, zero_d, (cp, dp), reverse=True)
-    return jnp.moveaxis(xs, 0, -2)
+    subT = jnp.moveaxis(sub, 0, -1)            # (M, n)
+    diaT = jnp.moveaxis(dia, 0, -1)
+    supT = jnp.moveaxis(sup, 0, -1)
+    rhsT = jnp.moveaxis(rhs, -2, -1)           # (..., M, n)
+    shape = jnp.broadcast_shapes(rhsT.shape, diaT.shape)
+    x = tridiag_solve_pscan(
+        jnp.broadcast_to(subT, shape)[..., 1:],
+        jnp.broadcast_to(diaT, shape),
+        jnp.broadcast_to(supT, shape)[..., :-1],
+        jnp.broadcast_to(rhsT, shape))
+    return jnp.moveaxis(x, -1, -2)
 
 
 @partial(jax.jit, static_argnames=("offsets", "extend", "gauge", "project"))
