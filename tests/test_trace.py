@@ -52,3 +52,47 @@ def test_trace_random_vs_dense():
     M[-1, 0] += cn
     x = np.linalg.solve(M, d)
     assert np.allclose(np.asarray(traceCyclic(a, b, c, d, a0, cn)), x)
+
+
+def test_pscan_matches_sequential_thomas():
+    """The log-depth associative-scan Thomas (tridiag_solve_pscan /
+    tridiag_cyclic_pscan) matches the sequential solvers to roundoff,
+    across sizes, batches, and cyclic corner couplings."""
+    import numpy as np
+    import jax.numpy as jnp
+    from xinvert_tpu.ops.tridiag import (tridiag_solve, tridiag_solve_pscan,
+                                         traceCyclic, tridiag_cyclic_pscan)
+
+    rng = np.random.default_rng(0)
+    for n in (5, 17, 64, 257):
+        b = 2.0 + np.abs(rng.normal(0, 0.3, n))
+        a = rng.normal(0, 0.4, n - 1)
+        c = rng.normal(0, 0.4, n - 1)
+        d = rng.standard_normal(n)
+        assert np.allclose(np.asarray(tridiag_solve_pscan(a, b, c, d)),
+                           np.asarray(tridiag_solve(a, b, c, d)),
+                           rtol=1e-10, atol=1e-12)
+        assert np.allclose(
+            np.asarray(tridiag_cyclic_pscan(a, b, c, d, 0.3, -0.2)),
+            np.asarray(traceCyclic(a, b, c, d, 0.3, -0.2)),
+            rtol=1e-9, atol=1e-12)
+    # batched, per-line corners
+    B, n = 7, 33
+    b = 2.0 + np.abs(rng.normal(0, 0.3, (B, n)))
+    a = rng.normal(0, 0.4, (B, n - 1))
+    c = rng.normal(0, 0.4, (B, n - 1))
+    d = rng.standard_normal((B, n))
+    a0 = rng.normal(0, 0.3, B)
+    cn = rng.normal(0, 0.3, B)
+    yb = np.asarray(tridiag_cyclic_pscan(a, b, c, d, a0, cn))
+    for i in range(B):
+        yi = np.asarray(traceCyclic(a[i], b[i], c[i], d[i], a0[i], cn[i]))
+        assert np.allclose(yb[i], yi, rtol=1e-9, atol=1e-11)
+    # complex systems (the direct solver's per-mode path)
+    br = (2.0 + np.abs(rng.normal(0, 0.3, n))) + 0.3j * rng.standard_normal(n)
+    ar = rng.normal(0, 0.3, n - 1) + 0.1j * rng.standard_normal(n - 1)
+    cr = rng.normal(0, 0.3, n - 1) + 0.1j * rng.standard_normal(n - 1)
+    dr = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    x = np.asarray(tridiag_solve_pscan(ar, br, cr, dr))
+    T = np.diag(br) + np.diag(ar, -1) + np.diag(cr, 1)
+    assert np.allclose(T @ x, dr, rtol=1e-9, atol=1e-11)
