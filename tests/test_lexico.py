@@ -214,6 +214,24 @@ def test_lexico_scheme_batched_spec():
     assert (np.asarray(r1.rel_change) < 1e-11).all()
 
 
+def _reference_stopping_loop(spec, shape, omega, tol, cap):
+    """Host replication of the reference stopping rule over
+    solve_fixed_lexicographic iterates (shared by the property tests)."""
+    import jax.numpy as jnp
+    from xinvert_tpu.lexico import solve_fixed_lexicographic
+
+    S, prev, loops = jnp.zeros(shape), -1.0, 0
+    while loops < cap:
+        S = solve_fixed_lexicographic(spec, S, omega, 1)
+        norm = float(jnp.mean(jnp.abs(S)))
+        loops += 1
+        rel = abs(norm - prev) / prev if prev > 0 else 1.0
+        if rel < tol or norm == 0:
+            break
+        prev = norm
+    return S, loops
+
+
 @pytest.mark.parametrize("seed", [0, 1, 2, 3])
 def test_checked_lexico_stopping_matches_python_loop(seed):
     """Property: solve(scheme='lexico') stops at EXACTLY the sweep where a
@@ -241,16 +259,7 @@ def test_checked_lexico_stopping_matches_python_loop(seed):
     res = solver.solve(spec, jnp.zeros((ny, nx)), omega=omega, tol=tol,
                        max_iters=cap, check_every=1, scheme="lexico")
 
-    from xinvert_tpu.lexico import solve_fixed_lexicographic
-    S, prev, loops = jnp.zeros((ny, nx)), -1.0, 0
-    while loops < cap:
-        S = solve_fixed_lexicographic(spec, S, omega, 1)
-        norm = float(jnp.mean(jnp.abs(S)))
-        loops += 1
-        rel = abs(norm - prev) / prev if prev > 0 else 1.0
-        if rel < tol or norm == 0:
-            break
-        prev = norm
+    S, loops = _reference_stopping_loop(spec, (ny, nx), omega, tol, cap)
     assert int(res.iters) == loops
     assert np.allclose(np.asarray(res.S), np.asarray(S), rtol=1e-13)
 
@@ -262,7 +271,6 @@ def test_checked_lexico_stopping_general2d_masked(seed):
     import numpy as np
     import jax.numpy as jnp
     from xinvert_tpu import stencil, solver
-    from xinvert_tpu.lexico import solve_fixed_lexicographic
 
     rng = np.random.default_rng(seed)
     ny, nx = int(rng.integers(12, 20)), int(rng.integers(14, 26))
@@ -281,14 +289,6 @@ def test_checked_lexico_stopping_general2d_masked(seed):
     res = solver.solve(spec, jnp.zeros((ny, nx)), omega=omega, tol=tol,
                        max_iters=cap, check_every=1, scheme="lexico")
 
-    S, prev, loops = jnp.zeros((ny, nx)), -1.0, 0
-    while loops < cap:
-        S = solve_fixed_lexicographic(spec, S, omega, 1)
-        norm = float(jnp.mean(jnp.abs(S)))
-        loops += 1
-        rel = abs(norm - prev) / prev if prev > 0 else 1.0
-        if rel < tol or norm == 0:
-            break
-        prev = norm
+    S, loops = _reference_stopping_loop(spec, (ny, nx), omega, tol, cap)
     assert int(res.iters) == loops
     assert np.allclose(np.asarray(res.S), np.asarray(S), rtol=1e-13)

@@ -96,3 +96,29 @@ def test_pscan_matches_sequential_thomas():
     x = np.asarray(tridiag_solve_pscan(ar, br, cr, dr))
     T = np.diag(br) + np.diag(ar, -1) + np.diag(cr, 1)
     assert np.allclose(T @ x, dr, rtol=1e-9, atol=1e-11)
+
+
+def test_pscan_dtype_promotion_and_rhs_batch():
+    """Contract checks from review: a complex rhs with real bands promotes
+    (no silent imaginary-part loss), and rhs-only leading batch axes work
+    with 1-D bands (the Moebius elimination is computed once per matrix)."""
+    import numpy as np
+    from xinvert_tpu.ops.tridiag import tridiag_solve, tridiag_solve_pscan
+
+    rng = np.random.default_rng(1)
+    n = 21
+    b = 2.0 + np.abs(rng.normal(0, 0.3, n))
+    a = rng.normal(0, 0.4, n - 1)
+    c = rng.normal(0, 0.4, n - 1)
+    d = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    x = np.asarray(tridiag_solve_pscan(a, b, c, d))
+    assert np.iscomplexobj(x)
+    T = np.diag(b) + np.diag(a, -1) + np.diag(c, 1)
+    assert np.allclose(T @ x, d, rtol=1e-9, atol=1e-11)
+
+    D = rng.standard_normal((4, n))
+    X = np.asarray(tridiag_solve_pscan(a, b, c, D))
+    assert X.shape == (4, n)
+    for i in range(4):
+        assert np.allclose(X[i], np.asarray(tridiag_solve(a, b, c, D[i])),
+                           rtol=1e-10, atol=1e-12)

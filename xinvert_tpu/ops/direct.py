@@ -211,12 +211,10 @@ def _thomas_modes(sub, dia, sup, rhs):
     diaT = jnp.moveaxis(dia, 0, -1)
     supT = jnp.moveaxis(sup, 0, -1)
     rhsT = jnp.moveaxis(rhs, -2, -1)           # (..., M, n)
-    shape = jnp.broadcast_shapes(rhsT.shape, diaT.shape)
-    x = tridiag_solve_pscan(
-        jnp.broadcast_to(subT, shape)[..., 1:],
-        jnp.broadcast_to(diaT, shape),
-        jnp.broadcast_to(supT, shape)[..., :-1],
-        jnp.broadcast_to(rhsT, shape))
+    # bands stay at (M, n): the solver computes the Moebius elimination
+    # once per matrix and broadcasts only the affine scans over any
+    # leading rhs batch (e.g. the capacitance path's unit responses)
+    x = tridiag_solve_pscan(subT[..., 1:], diaT, supT[..., :-1], rhsT)
     return jnp.moveaxis(x, -1, -2)
 
 

@@ -87,22 +87,30 @@ def tridiag_solve_pscan(a, b, c, d):
     dominant systems the smoothers build (the per-combine normalisation
     keeps the Moebius products bounded); results match the sequential
     solver to roundoff (tests/test_trace.py)."""
-    b = jnp.asarray(b)
-    dtype = b.dtype
-    batch = b.shape[:-1]
+    a, b, c, d = (jnp.asarray(x) for x in (a, b, c, d))
+    dtype = jnp.result_type(a, b, c, d)
+    a, b, c, d = (x.astype(dtype) for x in (a, b, c, d))
     n = b.shape[-1]
-    zcol = jnp.zeros(batch + (1,), dtype)
-    a_full = jnp.concatenate([zcol, jnp.broadcast_to(a, batch + (n - 1,))],
-                             axis=-1)
-    c_full = jnp.concatenate([jnp.broadcast_to(c, batch + (n - 1,)), zcol],
-                             axis=-1)
-    d = jnp.broadcast_to(jnp.asarray(d, dtype), batch + (n,))
+    # the (expensive, normalised) Moebius elimination depends only on the
+    # BANDS: compute it at the band batch shape and broadcast just the
+    # (cheap) affine dp/back-substitution scans over any extra rhs batch
+    # axes (e.g. the capacitance path's stacked unit responses)
+    band_batch = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1],
+                                      c.shape[:-1])
+    batch = jnp.broadcast_shapes(band_batch, d.shape[:-1])
+    bb = jnp.broadcast_to(b, band_batch + (n,))
+    zb = jnp.zeros(band_batch + (1,), dtype)
+    a_full = jnp.concatenate(
+        [zb, jnp.broadcast_to(a, band_batch + (n - 1,))], axis=-1)
+    c_full = jnp.concatenate(
+        [jnp.broadcast_to(c, band_batch + (n - 1,)), zb], axis=-1)
+    d = jnp.broadcast_to(d, batch + (n,))
 
     # cp_i as a Moebius chain: cp_i = (0*cp + c_i) / (-a_i*cp + b_i)
-    m11 = jnp.zeros_like(b)
+    m11 = jnp.zeros_like(bb)
     m12 = c_full
     m21 = -a_full
-    m22 = b
+    m22 = bb
 
     def comb(l, r):
         l11, l12, l21, l22 = l
@@ -121,12 +129,14 @@ def tridiag_solve_pscan(a, b, c, d):
         comb, (m11, m12, m21, m22), axis=-1)
     cp = P12 / P22                        # applied to cp_0 = 0
 
-    cp_prev = jnp.concatenate([zcol, cp[..., :-1]], axis=-1)
-    denom = b - a_full * cp_prev
-    dp = _affine_scan(-a_full / denom, d / denom)
+    cp_prev = jnp.concatenate([zb, cp[..., :-1]], axis=-1)
+    denom = bb - a_full * cp_prev
+    dp = _affine_scan(jnp.broadcast_to(-a_full / denom, batch + (n,)),
+                      d / denom)
 
     # x_i = dp_i - cp_i x_{i+1}, x_N = 0  (suffix recurrence)
-    return _affine_scan(-cp, dp, reverse=True)
+    return _affine_scan(jnp.broadcast_to(-cp, batch + (n,)), dp,
+                        reverse=True)
 
 
 @jax.jit
@@ -146,10 +156,9 @@ def tridiag_cyclic_pscan(a, b, c, d, a0, cn):
     en = jnp.zeros(batch + (n,), dtype).at[..., n - 1].set(cn)
     rhs = jnp.stack([jnp.broadcast_to(jnp.asarray(d, dtype),
                                       batch + (n,)), e1, en])
-    sol = tridiag_solve_pscan(
-        jnp.broadcast_to(a, (3,) + batch + (n - 1,)),
-        jnp.broadcast_to(b, (3,) + batch + (n,)),
-        jnp.broadcast_to(c, (3,) + batch + (n - 1,)), rhs)
+    # bands stay at the line batch; only the affine scans see the
+    # 3-way rhs stack (the Moebius elimination is computed once)
+    sol = tridiag_solve_pscan(a, b, c, rhs)
     x0, u1, u2 = sol[0], sol[1], sol[2]
     det = ((1.0 + u2[..., 0]) * (1.0 + u1[..., n - 1])
            - u1[..., 0] * u2[..., n - 1])
