@@ -9,6 +9,7 @@ confidence sweeps.  Round-4 soak: seeds 100-129, 75 ok / 30 skipped
     XLA_FLAGS=--xla_force_host_platform_device_count=8 \
         python tools/soak_fuzz.py [start] [stop]
 """
+import os
 import sys
 import traceback
 
@@ -17,7 +18,9 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
-sys.path.insert(0, "tests")
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+sys.path.insert(0, os.path.join(_ROOT, "tests"))
 from _pytest.outcomes import Skipped  # noqa: E402
 
 import test_fuzz_kernels as m         # noqa: E402
