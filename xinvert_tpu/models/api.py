@@ -26,7 +26,8 @@ from .params import default_iParams, default_mParams, merge_params
 __all__ = [
     "invert_Poisson", "invert_Poisson_mg", "invert_omega_mg",
     "invert_StommelMunk_mg", "invert_GillMatsuno_mg", "invert_Stommel_mg",
-    "invert_StommelArons_mg", "invert_3DOcean_mg", "invert_RefState",
+    "invert_StommelArons_mg", "invert_3DOcean_mg", "invert_PV2D_mg",
+    "invert_Eliassen_mg", "invert_geostrophic_mg", "invert_RefState",
     "invert_GeoAdjustment",
     "invert_RefStateSWM", "invert_PV2D", "invert_Eliassen",
     "invert_GillMatsuno", "invert_GillMatsuno_test", "invert_Stommel",
@@ -278,6 +279,15 @@ def _invert(problem_key, F, dims, coords, icbc, valid_mp, mParams, iParams,
     if iP.get("scheme", "sor") == "direct":
         res = _try_masked_direct(problem_key, vals, Fdef_c, grid, mPr,
                                  spec, S0)
+    if (iP.get("tolType", "change") == "refined" and iP.get("streamChunk")):
+        # refinement keeps a resident double-f32 state; the streaming
+        # executor pages slices host<->device.  The two don't compose —
+        # refuse loudly instead of silently dropping one of them.
+        raise ValueError(
+            "tolType='refined' cannot be combined with streamChunk: "
+            "iterative refinement needs the (hi, lo) state resident on "
+            "device.  Drop streamChunk (refine in-core) or use "
+            "tolType='change'/'residual' for the streamed solve.")
     if res is None and iP.get("tolType", "change") == "refined":
         # mixed-precision iterative refinement (refine.solve_refined):
         # double-float32 state + EFT-certified residuals — f64-class
