@@ -137,3 +137,44 @@ def test_fuzz_sharded_3d(seed):
     ref = _solve_fixed_xla(spec, S0, 1.2, n)
     assert float(jnp.max(jnp.abs(out - ref))) <= _ulps(ref), \
         (sh, bcs, n, ndev)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_checked_sharded_3d(seed):
+    """Random 3-D volumes over ('batch','y') meshes: the CHECKED sharded
+    solve at tol=0 runs exactly n sweeps and matches the XLA sweep
+    (round 5 — reference stopping semantics on-mesh)."""
+    from xinvert_tpu.parallel.halo_window3d import (
+        solve_halo_window3d, halo_window3d_applicable)
+    rng = np.random.default_rng(400 + seed)
+    devs = np.asarray(jax.devices())
+    mb, ndev = [(1, 2), (1, 4), (1, 8), (2, 4)][rng.integers(0, 4)]
+    mesh = (Mesh(devs[:mb * ndev].reshape(mb, ndev), ("batch", "y"))
+            if mb > 1 else Mesh(devs[:ndev].reshape(ndev), ("y",)))
+    nz = int(rng.integers(10, 40))
+    ny = ndev * int(rng.integers(9, 30))
+    nx = int(rng.integers(96, 200))
+    bcs = ("fixed", ["fixed", "extend"][rng.integers(0, 2)],
+           ["fixed", "periodic"][rng.integers(0, 2)])
+    sh = (nz, ny, nx)
+    A = ((np.abs(rng.normal(1.0, 0.1, sh)) + 0.5) * 2e-4)
+    Bc = np.abs(rng.normal(1.0, 0.1, sh)) + 0.5
+    B = mb * int(rng.integers(1, 3)) if mb > 1 else 0
+    F = rng.normal(0.0, 1e-9, ((B,) if B else ()) + sh)
+    Fdef = np.ones(sh, bool)
+    Fdef[nz // 3:nz // 2, ny // 4:ny // 2, nx // 4:nx // 2] = False
+    spec = stencil.standard_3d(jnp.asarray(A), jnp.asarray(Bc),
+                               jnp.asarray(Bc), jnp.asarray(F),
+                               jnp.asarray(Fdef), (5e3, 1.1e5, 1.0e5),
+                               tuple(bcs))
+    S0 = jnp.zeros(((B,) if B else ()) + sh)
+    if not halo_window3d_applicable(spec, S0.shape, mesh):
+        pytest.skip(f"not applicable: {S0.shape} over {dict(mesh.shape)}")
+    n = int(rng.integers(1, 12))
+    ce = int(rng.integers(1, 6))
+    res = solve_halo_window3d(spec, S0, 1.2, 0.0, n, check_every=ce,
+                              mesh=mesh)
+    ref = _solve_fixed_xla(spec, S0, 1.2, n)
+    assert np.all(np.asarray(res.iters) == n), (sh, bcs, n, ce)
+    assert float(jnp.max(jnp.abs(res.S - ref))) <= _ulps(ref), \
+        (sh, bcs, n, ce, dict(mesh.shape))

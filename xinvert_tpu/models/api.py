@@ -330,11 +330,21 @@ def _invert(problem_key, F, dims, coords, icbc, valid_mp, mParams, iParams,
                 "'batch', the core grid over ('y', 'x')")
         from ..parallel.halo_window import (halo_window_applicable,
                                             solve_halo_window)
+        from ..parallel.halo_window3d import (halo_window3d_applicable,
+                                              solve_halo_window3d)
         S0j = jnp.asarray(S0)
         if (iP.get("scheme", "sor") == "sor"
                 and iP.get("tolType", "change") == "change"
                 and halo_window_applicable(spec, S0j.shape, mesh)):
             res = solve_halo_window(
+                spec, S0j, omega, iP["tolerance"], iP["mxLoop"],
+                check_every=_auto_check_every(iParams, iP), mesh=mesh)
+        elif (iP.get("scheme", "sor") == "sor"
+                and iP.get("tolType", "change") == "change"
+                and halo_window3d_applicable(spec, S0j.shape, mesh)):
+            # checked sharded 3-D fast path (round 5): per-device
+            # z-windowed kernels + reference stopping on-mesh
+            res = solve_halo_window3d(
                 spec, S0j, omega, iP["tolerance"], iP["mxLoop"],
                 check_every=_auto_check_every(iParams, iP), mesh=mesh)
         else:

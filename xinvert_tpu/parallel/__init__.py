@@ -20,7 +20,8 @@ from .halo_window import (                                       # noqa: F401
     solve_fixed_halo_window, solve_halo_window, halo_window_applicable,
 )
 from .halo_window3d import (                                     # noqa: F401
-    solve_fixed_halo_window3d, halo_window3d_applicable,
+    solve_fixed_halo_window3d, solve_halo_window3d,
+    halo_window3d_applicable,
 )
 from .scaling import (                                           # noqa: F401
     initialize_distributed, make_hybrid_mesh, scaling_bench,
