@@ -359,3 +359,64 @@ def test_biharmonic_row_mesh(ndev, bcs, ny):
     ref = _solve_fixed_xla(spec, S0, 1.0, 9)
     assert int(res.iters) == 9
     assert float(jnp.max(jnp.abs(res.S - ref))) == 0.0
+
+
+@pytest.mark.parametrize("bcs,shape,names,B", [
+    (("fixed", "fixed"), (2, 4), ("y", "x"), 0),
+    (("fixed", "periodic"), (2, 4), ("y", "x"), 0),
+    (("fixed", "periodic"), (2, 2, 2), ("batch", "y", "x"), 2),
+])
+def test_biharmonic_xsplit(bcs, shape, names, B):
+    """Round 5 (VERDICT r4 #3): biharmonic x-splits on non-extend-y BCs —
+    the radius-2 ghost cone rides one 128-lane ghost-column block; the
+    Munk/Stommel-Munk gyre class (fixed walls) shards over ('y','x').
+    Fixed and checked solves bit-exact vs single-device."""
+    from xinvert_tpu import stencil
+    from xinvert_tpu.parallel.halo_window import solve_halo_window
+    d = dict(zip(names, shape))
+    mx, my = d.get("x", 1), d.get("y", 1)
+    ny, nx = 64 * my, 128 * mx
+    rng = np.random.default_rng(7)
+    A = (np.abs(rng.normal(1.0, 0.1, (ny, nx))) + 0.5)
+    Bc = rng.normal(0.0, 0.1, (ny, nx))
+    Z = np.zeros((ny, nx))
+    D = -np.abs(rng.normal(1, 0.1, (ny, nx))) * 1e-10
+    J = rng.normal(0, 1, ((B,) if B else ()) + (ny, nx))
+    Fdef = np.ones((ny, nx), bool)
+    Fdef[ny // 3:ny // 2, nx // 4:nx // 2] = False
+    spec = stencil.general_2d_bih(
+        jnp.asarray(A), jnp.asarray(Bc), jnp.asarray(A), jnp.asarray(D),
+        jnp.asarray(Bc * 1e-11), jnp.asarray(D), jnp.asarray(Z),
+        jnp.asarray(Z), jnp.asarray(Z), jnp.asarray(J), jnp.asarray(Fdef),
+        (1.1e5, 1.0e5), bcs)
+    S0 = jnp.zeros(((B,) if B else ()) + (ny, nx))
+    mesh = Mesh(np.array(jax.devices()[:int(np.prod(shape))])
+                .reshape(shape), names)
+    assert halo_window_applicable(spec, S0.shape, mesh)
+    for n in (1, 9):
+        ref = _solve_fixed_xla(spec, S0, 1.0, n)
+        out = solve_fixed_halo_window(spec, S0, 1.0, n, mesh=mesh)
+        assert float(jnp.max(jnp.abs(out - ref))) == 0.0, (bcs, n)
+    res = solve_halo_window(spec, S0, 1.0, 0.0, 9, check_every=4,
+                            mesh=mesh)
+    assert int(np.atleast_1d(np.asarray(res.iters))[0]) == 9
+    ref = _solve_fixed_xla(spec, S0, 1.0, 9)
+    assert float(jnp.max(jnp.abs(res.S - ref))) == 0.0
+
+
+def test_biharmonic_xsplit_extend_declined():
+    """Extend-y bih x-splits stay declined (two-ring corner clamps not
+    parameterised for ghost columns) — documented fallback."""
+    from xinvert_tpu import stencil
+    ny, nx = 128, 256
+    rng = np.random.default_rng(3)
+    A = (np.abs(rng.normal(1.0, 0.1, (ny, nx))) + 0.5)
+    Z = np.zeros((ny, nx))
+    spec = stencil.general_2d_bih(
+        jnp.asarray(A), jnp.asarray(Z), jnp.asarray(A), jnp.asarray(Z),
+        jnp.asarray(Z), jnp.asarray(Z), jnp.asarray(Z),
+        jnp.asarray(Z), jnp.asarray(Z),
+        jnp.asarray(rng.normal(0, 1, (ny, nx))),
+        jnp.ones((ny, nx), bool), (1.1e5, 1.0e5), ("extend", "periodic"))
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("y", "x"))
+    assert not halo_window_applicable(spec, (ny, nx), mesh)

@@ -213,3 +213,47 @@ def test_checked_3d_api_routing():
                        iParams={**iP, "mesh": _mesh_y(4)})
     np.testing.assert_allclose(got.values, ref.values,
                                rtol=1e-9, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# round 5: x-splits — ('y','x') / ('batch','y','x') meshes (VERDICT r4 #3)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("bcs,shape,names,B", [
+    (("fixed", "extend", "periodic"), (2, 4), ("y", "x"), 0),
+    (("fixed", "extend", "fixed"), (2, 4), ("y", "x"), 0),  # corner clamps
+    (("fixed", "fixed", "periodic"), (1, 4), ("y", "x"), 0),  # x-only split
+    (("fixed", "extend", "periodic"), (2, 2, 2), ("batch", "y", "x"), 2),
+])
+def test_xsplit_3d(bcs, shape, names, B):
+    """x-split devices carry 128-lane-aligned ghost columns; global
+    x-periodicity rides the ring wrap and extend-row corner clamps follow
+    the true domain edges (per-position kernel variants).  Fixed and
+    checked solves bit-exact vs single-device."""
+    from xinvert_tpu.parallel.halo_window3d import solve_halo_window3d
+    d = dict(zip(names, shape))
+    mx, my = d.get("x", 1), d.get("y", 1)
+    nz, ny, nx = 24, 24 * my, 128 * mx
+    spec, S0 = _std3(nz, ny, nx, bcs, B=B, seed=4)
+    mesh = Mesh(np.array(jax.devices()[:int(np.prod(shape))])
+                .reshape(shape), names)
+    assert halo_window3d_applicable(spec, S0.shape, mesh)
+    for n in (1, 9):
+        ref = _solve_fixed_xla(spec, S0, 1.2, n)
+        out = solve_fixed_halo_window3d(spec, S0, 1.2, n, mesh=mesh)
+        assert float(jnp.max(jnp.abs(out - ref))) == 0.0, (bcs, n)
+    res = solve_halo_window3d(spec, S0, 1.2, 0.0, 9, check_every=4,
+                              mesh=mesh)
+    ref = _solve_fixed_xla(spec, S0, 1.2, 9)
+    assert np.all(np.asarray(res.iters) == 9)
+    assert float(jnp.max(jnp.abs(res.S - ref))) == 0.0
+
+
+def test_xsplit_3d_gates():
+    """Unaligned column blocks decline (documented fallback to GSPMD)."""
+    spec, S0 = _std3(24, 48, 144, ("fixed", "extend", "periodic"))
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("y", "x"))
+    # 144/4 = 36 is not a 128 multiple
+    assert not halo_window3d_applicable(spec, S0.shape, mesh)
+    with pytest.raises(ValueError):
+        solve_fixed_halo_window3d(spec, S0, 1.2, 4, mesh=mesh)

@@ -175,7 +175,7 @@ def _kernel(n_ref, goff_ref, W_ref, s_ref, out_ref, *, K, offsets, tile,
             halo, nzp, nz, ny, nx, extend_mode, periodic_x, dtype,
             n_static=None, unroll=False, pad_lo=0, has_top=True,
             has_bot=True, pad_row=0, has_ytop=True, has_ybot=True,
-            parity_off=0):
+            parity_off=0, pad_col=0, clamp_w=None, clamp_e=None):
     """One grid program: k sweeps on an overlapping (win, ny, nx) window.
 
     ``nz`` is the TRUE extent of the windowed axis (the pad levels above it
@@ -204,9 +204,25 @@ def _kernel(n_ref, goff_ref, W_ref, s_ref, out_ref, *, K, offsets, tile,
       - "win": extend along the WINDOWED axis gated on axis -2 interior —
         the z<->y permuted layout for wide-flat volumes, where the windowed
         axis is y and rows are z;
-      - None: no extend pre-pass."""
+      - None: no extend pre-pass.
+
+    For an x-SPLIT block (sharded executor), ``pad_col`` ghost COLUMNS
+    ride each side of axis -1 (128-lane aligned, so static write-back
+    slices stay on Mosaic's fast path and red-black parity needs no
+    offset); only the owned columns are written back, in-kernel x wrap
+    handling is off (the caller's ghost exchange carries periodicity),
+    and the extend corner clamps move to ``clamp_w`` / ``clamp_e`` —
+    LOCAL column indices of the true domain west/east edges (or -1 when
+    this block touches neither)."""
+    # x-split blocks must name their true-edge columns explicitly; the
+    # unsplit defaults are the block's own edge columns
+    if clamp_w is None:
+        clamp_w = -1 if (periodic_x or pad_col) else 0
+    if clamp_e is None:
+        clamp_e = -1 if (periodic_x or pad_col) else nx - 1
     win = tile + 2 * halo
     nyo = ny - 2 * pad_row        # owned rows
+    nxo = nx - 2 * pad_col        # owned columns
     ext_top_row = pad_row if has_ytop else -1
     ext_bot_row = pad_row + nyo - 1 if has_ybot else -1
     t = pl.program_id(1)          # grid = (batch, tiles)
@@ -221,11 +237,14 @@ def _kernel(n_ref, goff_ref, W_ref, s_ref, out_ref, *, K, offsets, tile,
     interior_z = jnp.logical_and(lev_g > 0, lev_g < nz - 1)
 
     def _fix_row(r):
-        """Corner clamp of a single extended (win, 1, nx) row."""
-        if periodic_x:
-            return r
-        out = jnp.where(col1 == 0, pltpu.roll(r, nx - 1, 2), r)
-        return jnp.where(col1 == nx - 1, pltpu.roll(r, 1, 2), out)
+        """Corner clamp of a single extended (win, 1, nx) row at the true
+        domain west/east edge columns (skipped when periodic/off-block)."""
+        out = r
+        if clamp_w >= 0:
+            out = jnp.where(col1 == clamp_w, pltpu.roll(r, nx - 1, 2), out)
+        if clamp_e >= 0:
+            out = jnp.where(col1 == clamp_e, pltpu.roll(r, 1, 2), out)
+        return out
 
     def one_sweep(_, S):
         # weight refs are read transiently per use (hoisting value copies
@@ -286,7 +305,11 @@ def _kernel(n_ref, goff_ref, W_ref, s_ref, out_ref, *, K, offsets, tile,
     last = jnp.logical_and(t == n_t - 1, has_bot)
 
     def _own(block):
-        return block[:, pad_row:pad_row + nyo, :] if pad_row else block
+        if pad_row:
+            block = block[:, pad_row:pad_row + nyo, :]
+        if pad_col:
+            block = block[:, :, pad_col:pad_col + nxo]
+        return block
 
     @pl.when(jnp.logical_and(~first, ~last))
     def _():
@@ -334,14 +357,16 @@ def _stack_planes3(spec, rel, nz, ny, nx, dtype, nzp=None):
                                     "n_static", "unroll", "perm",
                                     "out_levs", "pad_lo", "has_top",
                                     "has_bot", "pad_row", "has_ytop",
-                                    "has_ybot", "parity_off"))
+                                    "has_ybot", "parity_off", "pad_col",
+                                    "clamp_w", "clamp_e"))
 def _window3d_call(spec, W, S, n, k_sweeps: int, tile: int,
                    interpret: bool = False, n_static=None,
                    unroll: bool = False, perm: bool = False,
                    g_off=0, out_levs=None, pad_lo: int = 0,
                    has_top: bool = True, has_bot: bool = True,
                    pad_row: int = 0, has_ytop: bool = True,
-                   has_ybot: bool = True, parity_off: int = 0):
+                   has_ybot: bool = True, parity_off: int = 0,
+                   pad_col: int = 0, clamp_w=None, clamp_e=None):
     """One pallas launch running ``n`` (<= k_sweeps) full iterations on
     (B, nzp, ny, nx) state padded along the windowed axis; batch slices
     map onto the leading grid dim, W carries bW*(K+3) stacked planes.
@@ -357,10 +382,14 @@ def _window3d_call(spec, W, S, n, k_sweeps: int, tile: int,
     For a y-SPLIT block (sharded executor), ``pad_row`` ghost rows ride
     each side of axis -2 (only the owned rows are written) and
     ``has_ytop`` / ``has_ybot`` mark true y boundaries (direct layout
-    only — ``perm`` blocks are never y-split)."""
+    only — ``perm`` blocks are never y-split).  For an x-SPLIT block,
+    ``pad_col`` ghost columns ride each side of axis -1 with
+    ``clamp_w`` / ``clamp_e`` naming the true-edge columns (see
+    ``_kernel``)."""
     B, nzp, ny, nx = S.shape
     out_levs = nzp if out_levs is None else out_levs
     nyo = ny - 2 * pad_row
+    nxo = nx - 2 * pad_col
     dtype = S.dtype
     halo = 2 * k_sweeps
     win = tile + 2 * halo
@@ -382,11 +411,14 @@ def _window3d_call(spec, W, S, n, k_sweeps: int, tile: int,
         offsets=tuple(tuple(int(x) for x in o) for o in spec.offsets),
         tile=tile, halo=halo, nzp=nzp, nz=nz, ny=ny, nx=nx,
         extend_mode=extend_mode,
-        periodic_x=spec.bcs[-1] == "periodic",
+        # x-split blocks carry periodicity in their ghost columns; the
+        # in-kernel wrap handling is then off
+        periodic_x=(spec.bcs[-1] == "periodic" and pad_col == 0),
         dtype=dtype, n_static=n_static, unroll=unroll,
         pad_lo=pad_lo, has_top=has_top, has_bot=has_bot,
         pad_row=pad_row, has_ytop=has_ytop, has_ybot=has_ybot,
-        parity_off=parity_off,
+        parity_off=parity_off, pad_col=pad_col, clamp_w=clamp_w,
+        clamp_e=clamp_e,
     )
 
     def _zstart(t):
@@ -413,9 +445,10 @@ def _window3d_call(spec, W, S, n, k_sweeps: int, tile: int,
             pl.BlockSpec((Element(1), Element(win), Element(ny),
                           Element(nx)), smap, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tile, nyo, nx), lambda b, t: (b, t, 0, 0),
+        out_specs=pl.BlockSpec((1, tile, nyo, nxo),
+                               lambda b, t: (b, t, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, out_levs, nyo, nx), dtype),
+        out_shape=jax.ShapeDtypeStruct((B, out_levs, nyo, nxo), dtype),
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,

@@ -90,13 +90,20 @@ def _mesh_extents(spec, S_shape, mesh: Mesh):
     Biharmonic specs qualify on row meshes (round 4): their two-ring
     ghost cone rides the same machinery with halo = round8(4k), and the
     plan's ``tile > halo`` + ``by % tile`` keeps the extend boundary ROWS
-    out of the pads.  x-splits stay radius-1 (the two-ring extend corner
-    clamps are not parameterised for ghost columns)."""
+    out of the pads.  Round 5: bih x-splits qualify too whenever the y BC
+    is NOT 'extend' (the Munk/Stommel-Munk gyre class — fixed walls):
+    ``_x_ghost`` already sizes the ghost columns from the spec radius
+    (2*2*k -> one 128-lane block), the write-back slice and parity logic
+    are radius-agnostic, and with no extend pre-pass there are no two-ring
+    corner clamps to parameterise.  Extend-y bih x-splits stay declined
+    (the two-ring corner clamps are not parameterised for ghost
+    columns)."""
     if spec.ndim != 2:
         return None
     if "y" not in mesh.shape:
         return None
-    if spec.bih and mesh.shape.get("x", 1) != 1:
+    if (spec.bih and mesh.shape.get("x", 1) != 1
+            and spec.bcs[-2] == "extend"):
         return None
     my_ = mesh.shape["y"]
     mx = mesh.shape.get("x", 1)
@@ -189,9 +196,11 @@ def _setup(spec, S, omega, mesh, interpret, caller):
     """Validate the decomposition and build the loop-invariant operands."""
     if spec.ndim != 2:
         raise ValueError(f"{caller} supports 2-D problems")
-    if spec.bih and mesh.shape.get("x", 1) != 1:
-        raise ValueError("biharmonic x-splits: use solve_fixed_halo "
-                         "(row meshes are supported)")
+    if (spec.bih and mesh.shape.get("x", 1) != 1
+            and spec.bcs[-2] == "extend"):
+        raise ValueError("biharmonic x-splits with extend-y: use "
+                         "solve_fixed_halo (row meshes and non-extend-y "
+                         "x-splits are supported)")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 

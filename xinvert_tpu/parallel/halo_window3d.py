@@ -19,13 +19,18 @@ Bit-identical to the single-device ``solve_fixed`` for any device count
 Mosaic compiles the same code per device on a real slice, where row
 blocks should be multiples of 8 for aligned write-back).
 
-Why no x-splits here (unlike the 2-D executor): ghost COLUMNS must be
-128-lane aligned for Mosaic's fast path, so x blocks need nx % mx == 0
-with bx a multiple of 128 — satisfiable for the 2-D 2048²-class grids,
-but no reference-shaped 3-D volume qualifies (nx = 144/288/720 have no
-128-multiple splits).  The y ('row') + batch axes already decompose every
-3-D workload in the suite; an x-split would be dead machinery.  GSPMD
-(`solve_sharded`) remains the fallback for arbitrary meshes.
+x-splits (round 5): ('y','x') and ('batch','y','x') meshes are
+supported when nx divides into 128-lane-aligned column blocks (ghost
+COLUMNS must sit at lane-tile offsets for Mosaic's fast path) — the
+73x512x1024-class volumes a pod-scale run would shard.  Each x-split
+device carries ``_HX = 128`` ghost columns per side (the k<=4 radius-1
+dependence cone rounded up to one lane tile), exchanged x-first so the
+row exchange carries the corner blocks; global x-periodicity rides the
+ring wrap, and extend-y corner clamps follow the true domain edges via
+per-position kernel variants (clamp_w/clamp_e), exactly like the 2-D
+executor.  Reference-shaped volumes (nx = 144/288/720, no 128-multiple
+splits) decline to the y/batch decomposition or GSPMD (`solve_sharded`),
+which remains the fallback for arbitrary meshes.
 """
 from __future__ import annotations
 
@@ -47,6 +52,7 @@ __all__ = ["solve_fixed_halo_window3d", "solve_halo_window3d",
            "halo_window3d_applicable"]
 
 _HY = 8          # ghost rows per side: the k<=4 dependence cone (2k), 8-aligned
+_HX = 128        # ghost cols per side: the same cone, 128-lane aligned
 
 
 def _plan_for_block3(spec, b_local, nz, ny_local, nx):
@@ -60,32 +66,52 @@ def _plan_for_block3(spec, b_local, nz, ny_local, nx):
     return plan
 
 
-def halo_window3d_applicable(spec, S_shape, mesh: Mesh) -> bool:
-    """True when the sharded 3-D windowed-kernel path applies: a radius-1
-    3-D spec whose rows divide over the mesh 'y' axis (by >= ghost width),
-    batch over 'batch', x unsplit, direct (non-permuted) z windows."""
+def _extents3(spec, S_shape, mesh: Mesh):
+    """(my_, mx, mb, by, bx, hy, hx) for this decomposition, or None when
+    the sharded 3-D windowed path does not apply."""
     if spec.ndim != 3 or "y" not in mesh.shape:
-        return False
-    if "x" in mesh.shape and mesh.shape["x"] != 1:
-        return False
+        return None
     my_ = mesh.shape["y"]
+    mx = mesh.shape.get("x", 1)
     mb = mesh.shape.get("batch", 1)
     nz, ny, nx = S_shape[-3:]
     B = (int(np.prod(S_shape[:-3], dtype=np.int64))
          if len(S_shape) > 3 else 1)
-    if ny % my_ or B % mb:
-        return False
+    if ny % my_ or B % mb or nx % mx:
+        return None
     by = ny // my_
     if my_ > 1 and by < _HY:
-        return False
+        return None
     if my_ > 1 and spec.bcs[-2] == "extend" and by <= _HY:
         # by == hy puts the neighbor's EXTEND boundary row inside the
         # ghost pad, where it goes stale within a k-window (the extend
         # copy tracks the evolving interior row; measured bit-divergence
         # at by == hy, exact at by > hy)
+        return None
+    bx = nx // mx
+    if mx > 1 and (bx % 128 or _HX > bx):
+        # lane-tile aligned column blocks only (ghost slicing + parity),
+        # and the ghost exchange slices _HX columns from the neighbor
+        return None
+    hy = _HY if my_ > 1 else 0
+    hx = _HX if mx > 1 else 0
+    return my_, mx, mb, by, bx, hy, hx
+
+
+def halo_window3d_applicable(spec, S_shape, mesh: Mesh) -> bool:
+    """True when the sharded 3-D windowed-kernel path applies: a radius-1
+    3-D spec whose rows divide over the mesh 'y' axis (by >= ghost width),
+    batch over 'batch', columns over 'x' when they split into 128-aligned
+    blocks (round 5), direct (non-permuted) z windows."""
+    ext = _extents3(spec, S_shape, mesh)
+    if ext is None:
         return False
-    ny_local = by + (2 * _HY if my_ > 1 else 0)
-    return _plan_for_block3(spec, B // mb, nz, ny_local, nx) is not None
+    my_, mx, mb, by, bx, hy, hx = ext
+    nz = S_shape[-3]
+    B = (int(np.prod(S_shape[:-3], dtype=np.int64))
+         if len(S_shape) > 3 else 1)
+    return _plan_for_block3(spec, B // mb, nz, by + 2 * hy,
+                            bx + 2 * hx) is not None
 
 
 class _Setup3(NamedTuple):
@@ -95,10 +121,13 @@ class _Setup3(NamedTuple):
     tile: int
     k: int
     hy: int
+    hx: int                  # x ghost-column width (0 on x-unsplit meshes)
     nz: int
     nzp: int
     by: int
+    bx: int                  # columns per device
     my_: int
+    mx: int
     mb: int
     batch_shape: tuple
     batch_ax: Optional[str]
@@ -120,25 +149,20 @@ def _setup3(spec, S, omega, mesh, interpret, caller):
     S4 = S.reshape((B, nz, ny, nx))
     spec = _flatten_spec_batch(spec, 3)
 
-    my_ = mesh.shape["y"]
-    mb = mesh.shape.get("batch", 1)
-    if ny % my_ or B % mb:
-        raise ValueError(f"{caller}: {B}x{nz}x{ny}x{nx} does not divide "
-                         f"over mesh {dict(mesh.shape)}")
-    by = ny // my_
-    hy = _HY if my_ > 1 else 0
-    if my_ > 1 and by < hy:
-        raise ValueError(f"row block {by} smaller than the ghost ring {hy}")
-    if my_ > 1 and spec.bcs[-2] == "extend" and by <= hy:
+    ext = _extents3(spec, (B, nz, ny, nx), mesh)
+    if ext is None:
         raise ValueError(
-            f"row block {by} <= ghost ring {hy} with extend-y: the "
-            "neighbor's extend boundary row would sit (and go stale) "
-            "inside the pad; use more rows per device or solve_fixed_halo")
-    plan = _plan_for_block3(spec, B // mb, nz, by + 2 * hy, nx)
+            f"{caller}: mesh {dict(mesh.shape)} does not decompose the "
+            f"{B}x{nz}x{ny}x{nx} problem (rows/batch/cols must divide "
+            "evenly, x blocks a multiple of 128, row blocks >= the ghost "
+            "ring); use solve_fixed_halo")
+    my_, mx, mb, by, bx, hy, hx = ext
+    plan = _plan_for_block3(spec, B // mb, nz, by + 2 * hy, bx + 2 * hx)
     if plan is None:
         raise ValueError(
             f"no single-call 3-D window plan for the {B // mb}x{nz}x"
-            f"{by + 2 * hy}x{nx} per-device block; use solve_fixed_halo")
+            f"{by + 2 * hy}x{bx + 2 * hx} per-device block; use "
+            "solve_fixed_halo")
     tile, k, nzp = plan.tile, plan.k_sweeps, plan.nzp
 
     dtype = S.dtype
@@ -153,57 +177,113 @@ def _setup3(spec, S, omega, mesh, interpret, caller):
         relax=jnp.zeros((nz, 1, 1), spec.relax.dtype),
         active=jnp.zeros((nz, 1, 1), bool))
     batch_ax = "batch" if mb > 1 else None
-    return _Setup3(S4, slim, W, tile, k, hy, nz, nzp, by, my_, mb,
-                   batch_shape, batch_ax, interpret)
+    return _Setup3(S4, slim, W, tile, k, hy, hx, nz, nzp, by, bx, my_, mx,
+                   mb, batch_shape, batch_ax, interpret)
+
+
+def _pad_weights3(su: _Setup3, Wl):
+    """Ghost-ring pad of the local weight stack (once per solve): ghost
+    COLUMNS first, then ghost rows of the column-padded stack — the row
+    exchange then carries the corner blocks diagonal neighbors own."""
+    if su.mx > 1:
+        lo, hi = _ring_halo(Wl, "x", su.hx, 3, su.mx)
+        Wl = jnp.concatenate([lo, Wl, hi], axis=3)
+    if su.my_ > 1:
+        lo, hi = _ring_halo(Wl, "y", su.hy, 2, su.my_)
+        Wl = jnp.concatenate([lo, Wl, hi], axis=2)
+    return Wl
 
 
 def _device_step3(su: _Setup3, Wp):
-    """step(Sl, n, n_static) on the device's (B, nzp, by, nx) block."""
+    """step(Sl, n, n_static) on the device's (B, nzp, by, bx) block:
+    ppermute ghost rings (columns first, then rows of the column-padded
+    block so corners ride along) + one position-independent kernel launch
+    selected by the device's mesh position — y cases (top / interior /
+    bottom rows, with per-device red-black parity for odd row blocks)
+    crossed with x cases (west / interior / east corner clamps when the
+    extend-row pre-pass needs them at true domain edges)."""
     from ..ops.pallas_sor3d_window import _window3d_call
 
-    slim, tile, k, hy, by, my_ = (su.slim, su.tile, su.k, su.hy, su.by,
-                                  su.my_)
+    slim, tile, k, hy, hx, by, bx, my_, mx = (
+        su.slim, su.tile, su.k, su.hy, su.hx, su.by, su.bx, su.my_, su.mx)
     interpret = su.interpret
 
-    if my_ == 1:
+    if my_ == 1 and mx == 1:
         def step(Sl, n, n_static):
             return _window3d_call(slim, Wp, Sl, n, k, tile,
                                   interpret=interpret, n_static=n_static)
         return step
 
-    # per-device kernel variants: (has_ytop, has_ybot, parity_off).  The
+    # per-device y kernel variants: (has_ytop, has_ybot, parity_off).  The
     # global row origin of device d's padded block is d*by - hy; hy is
     # even, so its parity is (d*by) % 2 — constant 0 for even row blocks,
-    # alternating for odd ones.
-    if by % 2 == 0:
-        cases = [(True, False, 0), (False, False, 0), (False, True, 0)]
+    # alternating for odd ones.  (The x ghost offset is a multiple of
+    # 128, so columns never shift the parity.)
+    if my_ == 1:
+        y_cases = [(True, True, 0)]
 
-        def case_idx(iy):
+        def case_idx_y(iy):
+            return jnp.int32(0)
+    elif by % 2 == 0:
+        y_cases = [(True, False, 0), (False, False, 0), (False, True, 0)]
+
+        def case_idx_y(iy):
             return jnp.where(iy == 0, 0, jnp.where(iy == my_ - 1, 2, 1))
     else:
-        cases = [(True, False, 0),
-                 (False, False, 0), (False, False, 1),
-                 (False, True, ((my_ - 1) * by) % 2)]
+        y_cases = [(True, False, 0),
+                   (False, False, 0), (False, False, 1),
+                   (False, True, ((my_ - 1) * by) % 2)]
 
-        def case_idx(iy):
+        def case_idx_y(iy):
             return jnp.where(iy == 0, 0,
                              jnp.where(iy == my_ - 1, 3, 1 + iy % 2))
 
-    def step(Sl, n, n_static):
-        lo, hi = _ring_halo(Sl, "y", hy, 2, my_)
-        Sp = jnp.concatenate([lo, Sl, hi], axis=2)
+    # x variants: corner clamps only matter when extend rows need fixes
+    # at the true domain west/east edges — extend-y with non-periodic x
+    if mx == 1:
+        x_cases = [dict()]                   # legacy in-kernel x handling
+    elif slim.bcs[-2] == "extend" and slim.bcs[-1] != "periodic":
+        x_cases = [dict(pad_col=hx, clamp_w=hx, clamp_e=-1),
+                   dict(pad_col=hx, clamp_w=-1, clamp_e=-1),
+                   dict(pad_col=hx, clamp_w=-1, clamp_e=hx + bx - 1)]
+    else:
+        x_cases = [dict(pad_col=hx, clamp_w=-1, clamp_e=-1)]
 
-        def make_branch(ytop, ybot, poff):
+    def case_idx():
+        idx_y = case_idx_y(jax.lax.axis_index("y") if my_ > 1
+                           else jnp.int32(0))
+        if len(x_cases) > 1:
+            ix = jax.lax.axis_index("x")
+            idx_x = jnp.where(ix == 0, 0, jnp.where(ix == mx - 1, 2, 1))
+        else:
+            idx_x = jnp.int32(0)
+        return idx_y * len(x_cases) + idx_x
+
+    def step(Sl, n, n_static):
+        Sp = Sl
+        if mx > 1:
+            lo, hi = _ring_halo(Sp, "x", hx, 3, mx)
+            Sp = jnp.concatenate([lo, Sp, hi], axis=3)
+        if my_ > 1:
+            lo, hi = _ring_halo(Sp, "y", hy, 2, my_)
+            Sp = jnp.concatenate([lo, Sp, hi], axis=2)
+
+        def make_branch(ycase, xcase):
+            ytop, ybot, poff = ycase
+
             def branch(Sp):
                 return _window3d_call(
                     slim, Wp, Sp, n, k, tile, interpret=interpret,
-                    n_static=n_static, pad_row=hy, has_ytop=ytop,
-                    has_ybot=ybot, parity_off=poff)
+                    n_static=n_static, pad_row=hy if my_ > 1 else 0,
+                    has_ytop=ytop, has_ybot=ybot, parity_off=poff,
+                    **xcase)
             return branch
 
-        branches = [make_branch(*c) for c in cases]
-        return jax.lax.switch(case_idx(jax.lax.axis_index("y")),
-                              branches, Sp)
+        branches = [make_branch(yc, xc) for yc in y_cases
+                    for xc in x_cases]
+        if len(branches) == 1:
+            return branches[0](Sp)
+        return jax.lax.switch(case_idx(), branches, Sp)
 
     return step
 
@@ -234,13 +314,12 @@ def solve_fixed_halo_window3d(spec: StencilSpec, S, omega, n_iters: int,
     # contiguous planes): shard it over 'batch' when per-slice planes
     # exist, so each batch row sees ITS slice's coefficients
     bW = su.W.shape[0] // (len(su.slim.offsets) + 3)
-    w_spec = P(su.batch_ax if bW > 1 else None, None, "y", None)
-    s_spec = P(su.batch_ax, None, "y", None)
+    x_ax = "x" if su.mx > 1 else None
+    w_spec = P(su.batch_ax if bW > 1 else None, None, "y", x_ax)
+    s_spec = P(su.batch_ax, None, "y", x_ax)
 
     def local_step(Wl, Sl):
-        if su.my_ > 1:
-            lo, hi = _ring_halo(Wl, "y", su.hy, 2, su.my_)
-            Wl = jnp.concatenate([lo, Wl, hi], axis=2)
+        Wl = _pad_weights3(su, Wl)
         setup = _traffic["bytes"]
         _traffic["bytes"] = 0
         if nzp > nz:
@@ -302,14 +381,14 @@ def solve_halo_window3d(spec: StencilSpec, S, omega, tol, max_iters: int,
     k, nz, nzp, mb = su.k, su.nz, su.nzp, su.mb
     stop_on_zero = spec.stop_on_zero_norm
     bW = su.W.shape[0] // (len(su.slim.offsets) + 3)
-    w_spec = P(su.batch_ax if bW > 1 else None, None, "y", None)
-    s_spec = P(su.batch_ax, None, "y", None)
+    x_ax = "x" if su.mx > 1 else None
+    w_spec = P(su.batch_ax if bW > 1 else None, None, "y", x_ax)
+    s_spec = P(su.batch_ax, None, "y", x_ax)
     t_spec = P(su.batch_ax)           # per-batch-element telemetry
+    spatial_axes = ("y", "x") if su.mx > 1 else "y"
 
     def local_solve(Wl, Sl):
-        if su.my_ > 1:
-            lo, hi = _ring_halo(Wl, "y", su.hy, 2, su.my_)
-            Wl = jnp.concatenate([lo, Wl, hi], axis=2)
+        Wl = _pad_weights3(su, Wl)
         if nzp > nz:
             Sl = jnp.pad(Sl, ((0, 0), (0, nzp - nz), (0, 0), (0, 0)))
         step = _device_step3(su, Wl)
@@ -337,7 +416,8 @@ def solve_halo_window3d(spec: StencilSpec, S, omega, tol, max_iters: int,
         def advance(c, k_eff, full):
             S_new = window(c["S"], k_eff, full)
             part = jnp.sum(jnp.abs(S_new), axis=(1, 2, 3))
-            norm = jax.lax.psum(part, "y") / jnp.asarray(ncells, dtype)
+            norm = jax.lax.psum(part, spatial_axes) / jnp.asarray(ncells,
+                                                                  dtype)
             prev = c["norm_prev"]
             rel = jnp.where(prev >= 0,
                             jnp.abs(norm - prev)
