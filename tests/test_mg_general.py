@@ -312,3 +312,106 @@ def test_api_std2d_mg_entries_match_sor():
                  "printInfo": False})
     a, b = np.asarray(refg), np.asarray(gotg)
     assert np.abs(a - b).max() <= 1e-9 * np.abs(a).max()
+
+
+def test_api_std2de_mg_entries_match_sor():
+    """Round-5 +Eψ-family MG entries (Fofonoff / Bretherton-Haidvogel /
+    GillMatsuno_test / Stommel_test / RefState) agree with their SOR
+    counterparts.  Coarse levels of the +Eψ pyramid re-express the
+    cross-flux advection in upwinded general form (the antisymmetric
+    B = -C beta term is advection in disguise: d/dy(B Sx) + d/dx(C Sy)
+    = B_y Sx + C_x Sy when B + C = 0)."""
+    import numpy as np
+    from xinvert_tpu.models import api as mapi
+    from xinvert_tpu.field import Field
+
+    rng = np.random.default_rng(0)
+    iP = {"BCs": ["fixed", "fixed"], "mxLoop": 8000, "tolerance": 1e-14,
+          "optArg": 1.2, "printInfo": False}
+    iPmg = {"BCs": ["fixed", "fixed"], "printInfo": False}
+
+    # Fofonoff (cartesian, screening -c0 psi)
+    xc = np.linspace(0, 600000, 257)
+    yc = np.linspace(0, 500000, 193)
+    F = Field(np.broadcast_to(yc[:, None] - xc[None, :], (193, 257)),
+              ("y", "x"), {"y": yc, "x": xc})
+    mP = {"f0": 1e-4, "beta": 2e-11, "c0": 8e-9, "c1": 1e-4}
+    ref = mapi.invert_Fofonoff(F, dims=["y", "x"], coords="cartesian",
+                               iParams=iP, mParams=mP)
+    got = mapi.invert_Fofonoff_mg(F, dims=["y", "x"], coords="cartesian",
+                                  iParams=iPmg, mParams=mP, tol=1e-10)
+    a, b = np.asarray(ref), np.asarray(got)
+    assert np.abs(a - b).max() <= 1e-9 * np.abs(a).max()
+    assert int(mapi.LAST_SOLVE.iters) <= 15
+
+    # Bretherton-Haidvogel (cartesian topography)
+    ny, nx = 129, 193
+    ycb = np.linspace(0, 1e6, ny)
+    xcb = np.linspace(0, 1.5e6, nx)
+    h = 500 * np.exp(-((ycb[:, None] - 5e5) / 2e5) ** 2
+                     - ((xcb[None, :] - 7e5) / 3e5) ** 2)
+    Fh = Field(h, ("y", "x"), {"y": ycb, "x": xcb})
+    mPb = {"f0": 1e-4, "beta": 2e-11, "D": 1000.0, "lambda": 1e-12}
+    refb = mapi.invert_BrethertonHaidvogel(Fh, dims=["y", "x"],
+                                           coords="cartesian", iParams=iP,
+                                           mParams=mPb)
+    gotb = mapi.invert_BrethertonHaidvogel_mg(
+        Fh, dims=["y", "x"], coords="cartesian", iParams=iPmg,
+        mParams=mPb, tol=1e-10)
+    a, b = np.asarray(refb), np.asarray(gotb)
+    assert np.abs(a - b).max() <= 1e-8 * np.abs(a).max()
+
+    # Stommel_test (lat-lon, antisymmetric beta cross fluxes)
+    ny, nx = 65, 128
+    lat2 = np.linspace(15, 60, ny)
+    lon2 = np.linspace(0, 60, nx)
+    curl = rng.normal(0, 1e-7, (ny, nx))
+    cf = Field(curl, ("lat", "lon"), {"lat": lat2, "lon": lon2})
+    mPs = {"f0": 1e-4, "R": 5e-3, "D": 200.0, "rho0": 1027.0}
+    iPs = {"BCs": ["fixed", "fixed"], "tolerance": 1e-13, "mxLoop": 8000,
+           "optArg": 1.4, "printInfo": False}
+    refs = mapi.invert_Stommel_test(cf, dims=["lat", "lon"], iParams=iPs,
+                                    mParams=mPs)
+    gots = mapi.invert_Stommel_test_mg(cf, dims=["lat", "lon"],
+                                       iParams=iPmg, mParams=mPs,
+                                       tol=1e-8)
+    a, b = np.asarray(refs), np.asarray(gots)
+    assert np.abs(a - b).max() <= 1e-6 * np.abs(a).max()
+
+    # GillMatsuno_test (lat-lon periodic, +E damping)
+    lat = np.linspace(-64, 64, ny)
+    lon = np.linspace(0, 360 - 360 / nx, nx)
+    llat = np.deg2rad(lat)[:, None]
+    llon = np.deg2rad(lon)[None, :]
+    Q = -0.1 * np.exp(-(llat / 0.3) ** 2) * np.cos(3 * llon)
+    Qf = Field(Q, ("lat", "lon"), {"lat": lat, "lon": lon})
+    mPg = {"epsilon": 7e-5, "Phi": 5000.0}
+    iPg = {"BCs": ["fixed", "periodic"], "tolerance": 1e-13,
+           "mxLoop": 8000, "optArg": 1.4, "printInfo": False}
+    refg = mapi.invert_GillMatsuno_test(Qf, dims=["lat", "lon"],
+                                        iParams=iPg, mParams=mPg)
+    gotg = mapi.invert_GillMatsuno_test_mg(
+        Qf, dims=["lat", "lon"],
+        iParams={"BCs": ["fixed", "periodic"], "printInfo": False},
+        mParams=mPg, tol=1e-8)
+    a, b = np.asarray(refg), np.asarray(gotg)
+    assert np.abs(a - b).max() <= 1e-7 * np.abs(a).max()
+
+    # RefState (cartesian warm-core vortex; PV-dependent C plane)
+    nt, nr = 41, 81
+    theta = np.linspace(300.0, 380.0, nt)
+    r = np.linspace(10e3, 810e3, nr)
+    Q = 1e-6 + 4e-6 * np.exp(-(r[None, :] / 150e3) ** 2) \
+        * np.exp(-((theta[:, None] - 330.0) / 25.0) ** 2)
+    Fq = Field(Q, ("theta", "r"), {"theta": theta, "r": r})
+    iPr = {"BCs": ["fixed", "fixed"], "mxLoop": 8000, "tolerance": 1e-14,
+           "optArg": 1.4, "printInfo": False}
+    mPr = {"Ang0": 2e5, "Gamma": 1e-6}
+    refr = mapi.invert_RefState(Fq, dims=["theta", "r"],
+                                coords="cartesian", iParams=iPr,
+                                mParams=mPr)
+    gotr = mapi.invert_RefState_mg(Fq, dims=["theta", "r"],
+                                   coords="cartesian", iParams=iPmg,
+                                   mParams=mPr, tol=1e-10)
+    a, b = np.asarray(refr), np.asarray(gotr)
+    assert np.abs(a - b).max() <= 1e-9 * np.abs(a).max()

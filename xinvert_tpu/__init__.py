@@ -40,7 +40,9 @@ from .models.api import (                                       # noqa: F401
     invert_Poisson, invert_Poisson_mg, invert_omega_mg, invert_StommelMunk_mg,
     invert_GillMatsuno_mg, invert_Stommel_mg, invert_StommelArons_mg,
     invert_3DOcean_mg, invert_PV2D_mg, invert_Eliassen_mg,
-    invert_geostrophic_mg, invert_RefState, invert_GeoAdjustment,
+    invert_geostrophic_mg, invert_RefState_mg, invert_Fofonoff_mg,
+    invert_BrethertonHaidvogel_mg, invert_GillMatsuno_test_mg,
+    invert_Stommel_test_mg, invert_RefState, invert_GeoAdjustment,
     invert_RefStateSWM, invert_PV2D, invert_Eliassen,
     invert_GillMatsuno, invert_GillMatsuno_test, invert_Stommel,
     invert_Stommel_test, invert_StommelMunk, invert_StommelArons,

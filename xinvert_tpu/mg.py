@@ -315,6 +315,126 @@ def build_pyramid_standard2d(A, B, C, F, Fdef, deltas, bcs,
     return _stamp_smoother(levels)
 
 
+def _ddy(p, d):
+    """Central-difference d/dy of a coefficient plane (one-sided edges —
+    boundary rows are inactive or extend-copied, so the edge values only
+    steer the error equation weakly)."""
+    g = (jnp.roll(p, -1, axis=-2) - jnp.roll(p, 1, axis=-2)) / (2.0 * d)
+    g = g.at[..., 0, :].set((p[..., 1, :] - p[..., 0, :]) / d)
+    g = g.at[..., -1, :].set((p[..., -1, :] - p[..., -2, :]) / d)
+    return g
+
+
+def _ddx(p, d):
+    g = (jnp.roll(p, -1, axis=-1) - jnp.roll(p, 1, axis=-1)) / (2.0 * d)
+    g = g.at[..., 0].set((p[..., 1] - p[..., 0]) / d)
+    g = g.at[..., -1].set((p[..., -1] - p[..., -2]) / d)
+    return g
+
+
+@partial(jax.jit, static_argnames=("plan", "bcs"))
+def _build_levels_standard2d_e(A, B, C, D, E, F, mask, plan, bcs):
+    """All level specs of the standard-2D+Eψ pyramid in one compiled
+    program (see _build_levels_standard2d for why).
+
+    Level 0 is the exact reference discretisation
+    (stencil.standard_2d_e — parity with the SOR answer).  Coarser levels
+    re-express the operator in GENERAL form with first-order upwind
+    advection: the flux cross terms hide advection —
+
+        d/dy(B Sx) + d/dx(C Sy) = (B+C) Sxy + B_y Sx + C_x Sy
+
+    (for the standardised Stommel/Gill-Matsuno forms B = -C = -f this is
+    exactly the beta term, -beta Sx), and on doubled spacings the
+    centered cross-flux discretisation loses diagonal dominance and the
+    smoother diverges (measured: residual growth from level 2 of the
+    65x128 Stommel_test pyramid).  The general-form coarse operator
+
+        A Syy + (B+C) Syx + D Sxx + (A_y + C_x) Sy + (D_x + B_y) Sx + E S
+
+    upwinds its advective terms with the per-cell sign normalisation, so
+    coarse smoothing is robust while the converged answer remains the
+    fine centered discretisation (coarse levels only correct error)."""
+    def _fill_stagger_nan(p):
+        """The half-grid staggering leaves a NaN leading row/column
+        (problems._half); level 0 is immune (finalisation zeroes inactive
+        cells) but the coarse derivative stencils would drag it into
+        active interior cells — fill with the adjacent genuine value."""
+        r0 = p[..., 0, :]
+        p = p.at[..., 0, :].set(jnp.where(jnp.isfinite(r0), r0,
+                                          p[..., 1, :]))
+        c0 = p[..., :, 0]
+        p = p.at[..., :, 0].set(jnp.where(jnp.isfinite(c0), c0,
+                                          p[..., :, 1]))
+        return p
+
+    specs = []
+    for i, (shape, dd, odd) in enumerate(plan):
+        if i == 0:
+            specs.append(stencil.standard_2d_e(A, B, C, D, E, F, mask, dd,
+                                               bcs))
+            A, B, C, D, E = (_fill_stagger_nan(p) for p in (A, B, C, D, E))
+        else:
+            dely, delx = dd[-2], dd[-1]
+            Ag, Bg, Cg = A, B + C, D
+            Dg = _ddy(A, dely) + _ddx(C, delx)
+            Eg = _ddx(D, delx) + _ddy(B, dely)
+            s = _upwind_sign(Ag, Cg)
+            specs.append(stencil.general_2d(Ag, Bg, Cg, Dg, Eg, E, F,
+                                            mask, dd, bcs, upwind=s))
+        if i + 1 < len(plan):
+            A = _coarsen_plane(A, odd)
+            B = _coarsen_plane(B, odd)
+            C = _coarsen_plane(C, odd)
+            D = _coarsen_plane(D, odd)
+            E = _coarsen_plane(E, odd)
+            mask = _coarsen_mask(mask.astype(bool), odd)
+            F = jnp.zeros(plan[i + 1][0], F.dtype)  # rhs = the residual
+    return tuple(specs)
+
+
+def build_pyramid_standard2d_e(A, B, C, D, E, F, Fdef, deltas, bcs,
+                               min_size: int = 15,
+                               max_levels: int = 10) -> List[MGLevel]:
+    """Coefficient pyramid for the standard-2D+Eψ family (round 5):
+    d/dy(A Sy + B Sx) + d/dx(C Sy + D Sx) + E S = F — the reference's
+    invert_standard_2D_test form (numbas.py:421-629), used by RefState-
+    class, Fofonoff, Bretherton-Haidvogel and the standardised
+    Gill-Matsuno/Stommel problems.
+
+    The E plane coarsens like the flux coefficients (plane averaging) and
+    re-enters each level's diagonal as ``E*dx^2`` through the level
+    re-discretisation — the coarse error equation inherits the fine
+    operator's screening/damping term, which is exactly what keeps the
+    +Eψ operators nonsingular on every level.
+    """
+    A = jnp.asarray(A)
+    zeros = jnp.zeros_like(A)
+    B = jnp.asarray(B) if not np.isscalar(B) else zeros + B
+    C = jnp.asarray(C) if not np.isscalar(C) else zeros + C
+    D = jnp.asarray(D)
+    E = jnp.asarray(E) if not np.isscalar(E) else zeros + E
+    F = jnp.asarray(F)
+    mask = jnp.asarray(Fdef)
+    is_masked = not bool(jnp.all(mask))
+
+    plan = _pyramid_plan(F.shape[-2:], tuple(bcs), tuple(deltas),
+                         min_size, max_levels)
+    specs = _build_levels_standard2d_e(A, B, C, D, E, F, mask, plan=plan,
+                                       bcs=tuple(bcs))
+    levels = [MGLevel(spec=sp, omega=jnp.asarray(1.0), odd=odd,
+                      masked=is_masked)
+              for sp, (shape, dd, odd) in zip(specs, plan)]
+    # the near-2 Laplacian-optimal factor speeds the coarsest iterate-to-
+    # convergence only when no advection hides in the cross fluxes; the
+    # upwinded advective coarsest levels need plain GS (omega ~ 1), like
+    # the general-family pyramid
+    if not bool(jnp.any(B + C != 0)):
+        levels[-1] = dataclasses.replace(
+            levels[-1], omega=jnp.asarray(optimal_omega(plan[-1][0])))
+    return _stamp_smoother(levels)
+
+
 def _stamp_smoother(levels):
     """Record the auto-selected smoother on the finest level (build time is
     the one place the coefficient planes are guaranteed concrete)."""

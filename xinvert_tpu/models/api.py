@@ -27,8 +27,10 @@ __all__ = [
     "invert_Poisson", "invert_Poisson_mg", "invert_omega_mg",
     "invert_StommelMunk_mg", "invert_GillMatsuno_mg", "invert_Stommel_mg",
     "invert_StommelArons_mg", "invert_3DOcean_mg", "invert_PV2D_mg",
-    "invert_Eliassen_mg", "invert_geostrophic_mg", "invert_RefState",
-    "invert_GeoAdjustment",
+    "invert_Eliassen_mg", "invert_geostrophic_mg", "invert_RefState_mg",
+    "invert_Fofonoff_mg", "invert_BrethertonHaidvogel_mg",
+    "invert_GillMatsuno_test_mg", "invert_Stommel_test_mg",
+    "invert_RefState", "invert_GeoAdjustment",
     "invert_RefStateSWM", "invert_PV2D", "invert_Eliassen",
     "invert_GillMatsuno", "invert_GillMatsuno_test", "invert_Stommel",
     "invert_Stommel_test", "invert_StommelMunk", "invert_StommelArons",
@@ -631,6 +633,111 @@ def invert_geostrophic_mg(lapPhi, dims, coords="lat-lon", icbc=None,
                       ["f0", "beta", "Omega", "g", "Rearth"],
                       mParams, iParams, 2,
                       _std2d_mg_build(problems.geostrophic_std_coeffs),
+                      tol, max_cycles)
+
+
+def _std2de_mg_build(coeffs_fn):
+    """Shared build closure for the standard-2D+Eψ family MG entries
+    (round 5): ``coeffs_fn -> (A, B, C, D, E, Fs)`` planes -> +Eψ
+    coefficient pyramid (the E plane coarsens with the fluxes and
+    re-enters each level's diagonal), forcing folded as ``g = -Fs*dx^2``
+    (stencil.standard_2d_e's convention), batched forcing deferred via
+    g0."""
+    def build(vals, Fdef_c, grid, mPr):
+        from ..mg import build_pyramid_standard2d_e
+        A, B, C, D, E, Fs = coeffs_fn(jnp.asarray(vals),
+                                      jnp.asarray(Fdef_c), grid, mPr)
+        if any(jnp.ndim(p) > 2 for p in (A, B, C, D, E)):
+            raise ValueError(
+                "the multigrid path needs batch-invariant coefficient "
+                "planes; use the SOR inverter for batch-varying "
+                "coefficients")
+        pyr = build_pyramid_standard2d_e(A, B, C, D, E,
+                                         np.zeros(grid.shape), Fdef_c,
+                                         grid.deltas, grid.bcs)
+        dxsq = grid.deltas[-1] ** 2
+        g0 = jnp.where(pyr[0].spec.active, -jnp.asarray(Fs) * dxsq, 0.0)
+        if jnp.ndim(g0) == 2:
+            pyr[0] = _mg_with_g(pyr[0], g0)
+            g0 = None
+        return pyr, g0
+    return build
+
+
+def invert_RefState_mg(PV, dims, coords="z-lat", icbc=None, mParams=None,
+                       iParams=None, tol: float = 1e-8,
+                       max_cycles: int = 60):
+    """Balanced symmetric-vortex PV inversion via multigrid (TPU-native
+    extension; same coefficients — including the PV-dependent C plane —
+    as :func:`invert_RefState`, apps.py:1440-1467).  Single-slice only:
+    the operator depends on the PV field itself."""
+    def coeffs(vals, Fdef_c, grid, mPr):
+        A, B, C, Fs = problems.refstate_std_coeffs(vals, Fdef_c, grid,
+                                                   mPr)
+        if jnp.ndim(C) > 2:
+            raise ValueError(
+                "invert_RefState_mg needs a single PV slice (the C plane "
+                "depends on the PV); use invert_RefState for batches")
+        return A, B, C, Fs
+    return _invert_mg(PV, dims, coords, icbc,
+                      ["Ang0", "ang0", "Gamma", "g", "Omega", "Rearth"],
+                      mParams, iParams, 2, _std2d_mg_build(coeffs),
+                      tol, max_cycles)
+
+
+def invert_Fofonoff_mg(F, dims, coords="cartesian", icbc=None,
+                       mParams=None, iParams=None, tol: float = 1e-8,
+                       max_cycles: int = 60):
+    """Fofonoff inviscid free mode via multigrid (TPU-native extension;
+    same +Eψ coefficients as :func:`invert_Fofonoff`, apps.py:1975-2013
+    — the screening term -c0ψ coarsens with the fluxes)."""
+    return _invert_mg(F, dims, coords, icbc,
+                      ["c0", "c1", "f0", "beta", "g", "Omega", "Rearth"],
+                      mParams, iParams, 2,
+                      _std2de_mg_build(problems.fofonoff_e_coeffs),
+                      tol, max_cycles)
+
+
+def invert_BrethertonHaidvogel_mg(h, dims, coords="cartesian", icbc=None,
+                                  mParams=None, iParams=None,
+                                  tol: float = 1e-8, max_cycles: int = 60):
+    """Bretherton-Haidvogel flow over topography via multigrid
+    (TPU-native extension; same +Eψ coefficients as
+    :func:`invert_BrethertonHaidvogel`, apps.py:1934-1972)."""
+    return _invert_mg(h, dims, coords, icbc,
+                      ["f0", "beta", "D", "lambda", "g", "Omega",
+                       "Rearth"],
+                      mParams, iParams, 2,
+                      _std2de_mg_build(problems.bretherton_e_coeffs),
+                      tol, max_cycles)
+
+
+def invert_GillMatsuno_test_mg(Q, dims, coords="lat-lon", icbc=None,
+                               mParams=None, iParams=None,
+                               tol: float = 1e-6, max_cycles: int = 40):
+    """Gill-Matsuno (standardised +Eψ form) via multigrid (TPU-native
+    extension; same coefficients as :func:`invert_GillMatsuno_test`,
+    apps.py:1660-1709)."""
+    return _invert_mg(Q, dims, coords, icbc,
+                      ["f0", "beta", "epsilon", "Phi", "g", "Omega",
+                       "Rearth"],
+                      mParams, iParams, 2,
+                      _std2de_mg_build(problems.gillmatsuno_test_e_coeffs),
+                      tol, max_cycles)
+
+
+def invert_Stommel_test_mg(curl, dims, coords="lat-lon", icbc=None,
+                           mParams=None, iParams=None, tol: float = 1e-6,
+                           max_cycles: int = 40):
+    """Stommel gyre (standardised +Eψ form) via multigrid (TPU-native
+    extension; same coefficients as :func:`invert_Stommel_test`,
+    apps.py:1751-1790 — the antisymmetric B/C cross-flux beta term rides
+    the pyramid's diagonal-offset weights)."""
+    return _invert_mg(curl, dims, coords, icbc,
+                      ["f0", "beta", "R", "D", "rho0", "g", "Omega",
+                       "Rearth"],
+                      mParams, iParams, 2,
+                      _std2de_mg_build(problems.stommel_test_e_coeffs),
                       tol, max_cycles)
 
 

@@ -128,11 +128,14 @@ def build_poisson(F, Fdef, grid: Grid, mp):
                                grid.deltas, grid.bcs, include_cross=False)
 
 
-def build_refstate(Q, Qdef, grid: Grid, mp):
-    """Balanced symmetric-vortex PV inversion (apps.py:1440-1467).
+def refstate_std_coeffs(Q, Qdef, grid: Grid, mp):
+    """The RefState A/C planes and filled forcing (apps.py:1440-1467);
+    shared by the SOR builder and the multigrid entry point.
 
     Note the reference divides by the *sentinel-filled* PV and by the raw
-    second coordinate (degrees for z-lat) — replicated as-is.
+    second coordinate (degrees for z-lat) — replicated as-is.  C depends
+    on the PV field itself, so batched inputs give batched planes (the MG
+    driver requires the batch-invariant single-slice case).
     """
     nd = grid.ndim
     shape = grid.shape
@@ -150,7 +153,13 @@ def build_refstate(Q, Qdef, grid: Grid, mp):
     else:
         raise ValueError("refstate supports z-lat or cartesian")
     Fs = _fill(Q, Qdef)
-    return stencil.standard_2d(jnp.asarray(A), 0.0, C, Fs, Qdef,
+    return jnp.asarray(A), 0.0, C, Fs
+
+
+def build_refstate(Q, Qdef, grid: Grid, mp):
+    """Balanced symmetric-vortex PV inversion (apps.py:1440-1467)."""
+    A, B, C, Fs = refstate_std_coeffs(Q, Qdef, grid, mp)
+    return stencil.standard_2d(A, B, C, Fs, Qdef,
                                grid.deltas, grid.bcs, include_cross=False)
 
 
@@ -286,8 +295,9 @@ def build_gillmatsuno(Q, Qdef, grid: Grid, mp):
                               Qdef, grid.deltas, grid.bcs)
 
 
-def build_gillmatsuno_test(Q, Qdef, grid: Grid, mp):
-    """Gill-Matsuno in standardised (flux) form (apps.py:1660-1709)."""
+def gillmatsuno_test_e_coeffs(Q, Qdef, grid: Grid, mp):
+    """Gill-Matsuno standardised-form +Eψ planes (apps.py:1660-1709);
+    shared by the SOR builder and the multigrid entry point."""
     nd, shape = grid.ndim, grid.shape
     Phi, eps = mp["Phi"], _bcast(mp["epsilon"], nd, 0)
     pr = lambda p: _bcast(p, nd, 0)      # profiles to core rank (Field mp)
@@ -318,7 +328,14 @@ def build_gillmatsuno_test(Q, Qdef, grid: Grid, mp):
     Fs = _fill(Q, Qdef)
     if scaleF is not None:
         Fs = Fs * jnp.asarray(_bcast(scaleF, nd, 0))
-    return stencil.standard_2d_e(A, B, C, D, E, Fs, Qdef, grid.deltas, grid.bcs)
+    return A, B, C, D, E, Fs
+
+
+def build_gillmatsuno_test(Q, Qdef, grid: Grid, mp):
+    """Gill-Matsuno in standardised (flux) form (apps.py:1660-1709)."""
+    A, B, C, D, E, Fs = gillmatsuno_test_e_coeffs(Q, Qdef, grid, mp)
+    return stencil.standard_2d_e(A, B, C, D, E, Fs, Qdef, grid.deltas,
+                                 grid.bcs)
 
 
 def stommel_coeffs(curl, cdef, grid: Grid, mp):
@@ -351,8 +368,9 @@ def build_stommel(curl, cdef, grid: Grid, mp):
                               grid.deltas, grid.bcs)
 
 
-def build_stommel_test(curl, cdef, grid: Grid, mp):
-    """Stommel in standardised form (apps.py:1751-1790)."""
+def stommel_test_e_coeffs(curl, cdef, grid: Grid, mp):
+    """Stommel standardised-form +Eψ planes (apps.py:1751-1790); shared
+    by the SOR builder and the multigrid entry point."""
     nd, shape = grid.ndim, grid.shape
     R = _bcast(mp["R"], nd, 0)
     depth, rho0 = _bcast(mp["D"], nd, 0), _bcast(mp["rho0"], nd, 0)
@@ -377,7 +395,14 @@ def build_stommel_test(curl, cdef, grid: Grid, mp):
         D = b(-R / depth)
         E = jnp.zeros(shape)
         Fs = -_fill(curl, cdef) / jnp.asarray(depth * rho0)
-    return stencil.standard_2d_e(A, B, C, D, E, Fs, cdef, grid.deltas, grid.bcs)
+    return A, B, C, D, E, Fs
+
+
+def build_stommel_test(curl, cdef, grid: Grid, mp):
+    """Stommel in standardised form (apps.py:1751-1790)."""
+    A, B, C, D, E, Fs = stommel_test_e_coeffs(curl, cdef, grid, mp)
+    return stencil.standard_2d_e(A, B, C, D, E, Fs, cdef, grid.deltas,
+                                 grid.bcs)
 
 
 def stommelmunk_coeffs(curl, cdef, grid: Grid, mp):
@@ -475,8 +500,9 @@ def build_geostrophic(lapPhi, Fdef, grid: Grid, mp):
                                include_cross=False)
 
 
-def build_bretherton(h, hdef, grid: Grid, mp):
-    """Bretherton-Haidvogel flow over topography (apps.py:1934-1972)."""
+def bretherton_e_coeffs(h, hdef, grid: Grid, mp):
+    """Bretherton-Haidvogel +Eψ planes (apps.py:1934-1972); shared by the
+    SOR builder and the multigrid entry point."""
     nd, shape = grid.ndim, grid.shape
     depth, lamb = _bcast(mp["D"], nd, 0), _bcast(mp["lambda"], nd, 0)
     b = lambda p: jnp.asarray(np.broadcast_to(_bcast(p, nd, 0), shape))
@@ -497,13 +523,20 @@ def build_bretherton(h, hdef, grid: Grid, mp):
         D = jnp.ones(shape)
         E = b(-lamb * depth)
         Fs = -_fill(h, hdef) * jnp.asarray(f / depth)
-    return stencil.standard_2d_e(A, zero, zero, D, E, Fs, hdef,
+    return A, zero, zero, D, E, Fs
+
+
+def build_bretherton(h, hdef, grid: Grid, mp):
+    """Bretherton-Haidvogel flow over topography (apps.py:1934-1972)."""
+    A, B, C, D, E, Fs = bretherton_e_coeffs(h, hdef, grid, mp)
+    return stencil.standard_2d_e(A, B, C, D, E, Fs, hdef,
                                  grid.deltas, grid.bcs)
 
 
-def build_fofonoff(F, Fdef, grid: Grid, mp):
-    """Fofonoff inviscid free mode (apps.py:1975-2013); forcing synthesised
-    from the Coriolis profile, the input F contributes only its mask."""
+def fofonoff_e_coeffs(F, Fdef, grid: Grid, mp):
+    """Fofonoff +Eψ planes (apps.py:1975-2013); forcing synthesised from
+    the Coriolis profile, the input F contributes only its mask.  Shared
+    by the SOR builder and the multigrid entry point."""
     nd, shape = grid.ndim, grid.shape
     c0, c1 = _bcast(mp["c0"], nd, 0), _bcast(mp["c1"], nd, 0)
     b = lambda p: jnp.asarray(np.broadcast_to(_bcast(p, nd, 0), shape))
@@ -525,7 +558,13 @@ def build_fofonoff(F, Fdef, grid: Grid, mp):
         E = b(-c0)
         Fs = b(c1 - f)
     Fs = jnp.broadcast_to(Fs, jnp.shape(F))
-    return stencil.standard_2d_e(A, zero, zero, D, E, Fs, Fdef,
+    return A, zero, zero, D, E, Fs
+
+
+def build_fofonoff(F, Fdef, grid: Grid, mp):
+    """Fofonoff inviscid free mode (apps.py:1975-2013)."""
+    A, B, C, D, E, Fs = fofonoff_e_coeffs(F, Fdef, grid, mp)
+    return stencil.standard_2d_e(A, B, C, D, E, Fs, Fdef,
                                  grid.deltas, grid.bcs)
 
 
