@@ -152,13 +152,19 @@ def _extra_bih(jnp):
         jnp.asarray(Z), jnp.asarray(Z), jnp.asarray(Z),
         jnp.asarray(Z), jnp.asarray(-beta), jnp.asarray(Z),
         jnp.asarray(J), jnp.asarray(Fdef), (5e4, 5e4), ("fixed", "fixed"))
+    # production dispatch (solve/solve_fixed) prunes the 8 identically-
+    # zero Munk planes (round 5, stencil.prune_zero_offsets): 20 -> 12
+    # plane-equivalents of HBM traffic per window
+    from xinvert_tpu.stencil import prune_zero_offsets
+    spec = prune_zero_offsets(spec)
     S0 = jnp.zeros((ny, nx), dt)
     om = np.float32(1.0)
     iters = 500
     rate = _chain_rate(lambda S: sor_sweeps_window(spec, S, om, iters),
                        S0, lambda S: float(jnp.sum(jnp.abs(S))),
                        ny * nx * iters, chain=3, repeats=3)
-    return {"bih2048_pt_sweeps_per_s": rate}
+    return {"bih2048_pt_sweeps_per_s": rate,
+            "bih2048_planes": len(spec.offsets) + 3}
 
 
 def _extra_refined(jnp):

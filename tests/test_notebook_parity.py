@@ -144,3 +144,41 @@ def test_nb10_bretherton(data_dir, case, slack):
     pub = w["slices"][0]["published"]
     assert abs(int(it[0]) - (pub["loops"] + 1)) <= slack
     assert float(rel[0]) < 1e-16
+
+
+@pytest.mark.parametrize("notebook,case", [
+    ("03_Balanced_mass_and_flow", "balanced mass (Poisson + hbc icbc)"),
+    ("03_Balanced_mass_and_flow", "geostrophic (half-shifted lat)"),
+    ("11_Omega_equation", "QG omega (traditional)"),
+    ("11_Omega_equation", "QG omega (topographic icbc)"),
+])
+def test_stripped_fixture_rows(data_dir, truth, notebook, case):
+    """Round 5: NB03/NB11 on synthetic scale-matched inputs — the
+    reference kernels direct-driven on the SAME arrays
+    (tools/make_notebook_truth.py) must be reproduced by scheme='lexico'
+    to the sweep count and tolerance digits (the published true-fixture
+    records are unreachable: atmos3D.nc is stripped from the mount)."""
+    w = _by_case(notebook, case)
+    key = w["slices"][0]["truth_key"]
+    if key not in truth:
+        pytest.skip(f"{key} not in notebook_truth.json (regenerate)")
+    w["run"](data_dir)
+    it, rel = last_solve()
+    _check_truth(truth, key, it[0], rel[0], rtol=1e-6)
+
+
+def test_nb05_swm_nonlinear_chain(data_dir, truth):
+    """Round 5: the NB05 nonlinear RefStateSWM chain (5 outer rounds) on
+    the synthesized balanced tabulations.  Matching the 5TH round's
+    (sweeps, tolerance) record certifies every earlier round's dM agreed
+    too (any drift would desynchronise the Q/C re-tabulations)."""
+    from notebook_workloads import run_nb05
+    key = "nb05_swm_round5"
+    if key not in truth:
+        pytest.skip(f"{key} not in notebook_truth.json (regenerate)")
+    Mref = run_nb05(data_dir)
+    it, rel = last_solve()
+    rec = truth[key]
+    assert abs(int(it[0]) - rec["sweeps"]) <= 2
+    assert float(np.mean(np.abs(Mref))) == pytest.approx(
+        rec["mean_abs_M"], rel=1e-10)

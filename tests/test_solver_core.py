@@ -187,3 +187,48 @@ def test_check_every_clamps_to_mxloop():
     # and the clamped run matches exactly 10 fixed sweeps
     S10 = solver.solve_fixed(spec, jnp.zeros((yc, xc)), 1.3, 10)
     assert np.allclose(np.asarray(res.S), np.asarray(S10))
+
+
+def test_prune_zero_offsets_exact():
+    """Round 5: identically-zero weight planes prune out of the offset
+    list with bit-identical sweeps (the Munk-class biharmonic stream
+    drops from 20 to 12 plane-equivalents)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from xinvert_tpu import stencil
+    from xinvert_tpu.stencil import prune_zero_offsets
+    from xinvert_tpu.solver import _solve_fixed_xla, solve
+
+    ny, nx = 64, 96
+    rng = np.random.default_rng(3)
+    A4 = np.full((ny, nx), 5e3)
+    Z = np.zeros((ny, nx))
+    beta = np.full((ny, nx), 2e-11)
+    J = rng.normal(0, 1e-7, (ny, nx))
+    Fdef = np.ones((ny, nx), bool)
+    Fdef[20:30, 30:60] = False
+    spec = stencil.general_2d_bih(
+        jnp.asarray(A4), jnp.asarray(Z), jnp.asarray(A4), jnp.asarray(Z),
+        jnp.asarray(Z), jnp.asarray(Z), jnp.asarray(Z),
+        jnp.asarray(-beta), jnp.asarray(Z), jnp.asarray(J),
+        jnp.asarray(Fdef), (5e4, 5e4), ("fixed", "fixed"))
+    pr = prune_zero_offsets(spec)
+    assert len(pr.offsets) == 8 and len(spec.offsets) == 16
+    S0 = jnp.zeros((ny, nx))
+    a = _solve_fixed_xla(spec, S0, 1.0, 25)
+    b = _solve_fixed_xla(pr, S0, 1.0, 25)
+    # pruning is arithmetically exact, but the pruned program is a
+    # DIFFERENT XLA compile and FMA-contraction choices shift the last
+    # ulp (the fuzz suite's documented class) — assert at ulp scale
+    ulp = 4 * np.finfo(np.asarray(a).dtype).eps * np.abs(a).max()
+    assert np.abs(np.asarray(a) - np.asarray(b)).max() <= ulp
+    # the checked public solve (which prunes internally) agrees too
+    r = solve(spec, S0, 1.0, tol=0.0, max_iters=25)
+    assert np.abs(np.asarray(r.S) - np.asarray(a)).max() <= ulp
+    # a spec with no zero planes passes through untouched
+    spec2 = stencil.standard_2d(
+        jnp.asarray(np.abs(rng.normal(1, .1, (ny, nx))) + .5), 0.0,
+        jnp.asarray(np.abs(rng.normal(1, .1, (ny, nx))) + .5),
+        jnp.asarray(J), jnp.asarray(Fdef), (1e5, 1e5),
+        ("fixed", "periodic"))
+    assert prune_zero_offsets(spec2) is spec2

@@ -79,6 +79,41 @@ def run_standard2d(ref, S, A, B, C, F, dely, delx, bcy, bcx, optArg,
     return flags, S
 
 
+def run_standard1d(ref, S, A, B, F, delx, bcx, optArg, mxLoop, tol):
+    xc = F.shape[0]
+    flags = np.array([0.0, 1.0, 0.0])
+    ref.invert_standard_1D(S, A, B, F, xc, delx, bcx, delx ** 2, optArg,
+                           -9.99e8, flags, mxLoop, tol)
+    return flags, S
+
+
+def run_standard3d(ref, S, A, B, C, F, delz, dely, delx, bcz, bcy, bcx,
+                   optArg, mxLoop, tol):
+    zc, yc, xc = F.shape
+    ratio1 = delx / dely
+    ratio2 = delx / delz
+    flags = np.array([0.0, 1.0, 0.0])
+    ref.invert_standard_3D(S, A, B, C, F, zc, yc, xc, delz, dely, delx,
+                           bcz, bcy, bcx, delx ** 2, ratio2 ** 2,
+                           ratio1 ** 2, optArg, -9.99e8, flags, mxLoop,
+                           tol)
+    return flags, S
+
+
+def opt_arg3(zc, yc, xc):
+    """__cal_params3D optimal omega (apps.py:2206-2209)."""
+    eps = (np.sin(np.pi / (2 * xc + 2)) ** 2
+           + np.sin(np.pi / (2 * yc + 2)) ** 2
+           + np.sin(np.pi / (2 * zc + 3)) ** 2)
+    return 2.0 / (1.0 + np.sqrt((2.0 - eps) * eps))
+
+
+def opt_arg1(xc):
+    """__cal_params1D optimal omega (apps.py:2342-2343)."""
+    eps = np.sin(np.pi / (2 * xc + 2)) ** 2
+    return 2.0 / (1.0 + np.sqrt((2.0 - eps) * eps))
+
+
 def run_standard2d_test(ref, S, A, B, C, D, E, F, dely, delx, bcy, bcx,
                         optArg, mxLoop, tol):
     yc, xc = F.shape
@@ -241,6 +276,153 @@ def main():
             float(np.diff(yv)[0]), float(np.diff(xv)[0]), "fixed", "fixed",
             opt_arg(nyb, nxb), 3000, 1e-16)
         record("nb10_bretherton_l1e14", flags, S, time.time() - t0)
+
+    # ---- Round 5: the stripped-fixture notebooks (NB03/NB05/NB11) on
+    # synthetic scale-matched inputs (tests/notebook_workloads.py builds
+    # them; the reference kernels are driven on the SAME arrays here)
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tests"))
+    import notebook_workloads as nw
+
+    # NB03a: Poisson with geopotential Dirichlet boundary (icbc).
+    # __mask_FS icbc semantics (apps.py:2144-2156): initS = icbc on the
+    # domain edges of non-periodic dims, zeros elsewhere (no undef here)
+    force, hbc, force_half = nw.nb03_fields()
+    Fv = np.asarray(force.values, np.float64)
+    hv = np.asarray(hbc.values, np.float64)
+    lat3 = np.asarray(force.coords["lat"], np.float64)
+    lon3 = np.asarray(force.coords["lon"], np.float64)
+    ny3, nx3 = Fv.shape
+    latr = np.deg2rad(lat3)
+    cosG = np.cos(latr)
+    sh = np.empty_like(latr)
+    sh[1:] = latr[:-1]
+    sh[0] = np.nan
+    cosH = np.cos((latr + sh) / 2.0)
+    A = np.broadcast_to(cosH[:, None], (ny3, nx3)).copy()
+    C = np.broadcast_to((1.0 / cosG)[:, None], (ny3, nx3)).copy()
+    dely = float(np.deg2rad(np.diff(lat3)[0]) * R)
+    delx = float(np.deg2rad(np.diff(lon3)[0]) * R)
+    S0 = np.zeros_like(Fv)
+    S0[0, :] = hv[0, :]
+    S0[-1, :] = hv[-1, :]
+    t0 = time.time()
+    flags, S = run_standard2d(ref, S0, A, np.zeros_like(Fv), C,
+                              Fv * cosG[:, None], dely, delx, "fixed",
+                              "periodic", opt_arg(ny3, nx3), 2000, 1e-12)
+    record("nb03_poisson_icbc", flags, S, time.time() - t0,
+           "synthetic NB03 balanced-mass workload (atmos3D.nc stripped); "
+           "published true-fixture record: 20000/5.473987e-09")
+
+    # NB03b: geostrophic on the half-shifted latitude grid (no f=0 point)
+    Fh = np.asarray(force_half.values, np.float64)
+    lat_h = np.asarray(force_half.coords["lat"], np.float64)
+    nyh, nxh = Fh.shape
+    latrh = np.deg2rad(lat_h)
+    cosGh = np.cos(latrh)
+    shh = np.empty_like(latrh)
+    shh[1:] = latrh[:-1]
+    shh[0] = np.nan
+    cosHh = np.cos((latrh + shh) / 2.0)
+    Om = 7.292e-5
+    fG = 2.0 * Om * np.sin(latrh)
+    fH = 2.0 * Om * np.sin((latrh + shh) / 2.0)
+    fH = np.where(np.abs(fH) < 2e-5, fH * 1.5, fH)   # apps.py:1909-1910
+    fG = np.where(np.abs(fG) < 2e-5, fG * 1.5, fG)
+    Ag = np.broadcast_to((fH * cosHh)[:, None], (nyh, nxh)).copy()
+    Cg = np.broadcast_to((fG / cosGh)[:, None], (nyh, nxh)).copy()
+    delyh = float(np.deg2rad(np.diff(lat_h)[0]) * R)
+    t0 = time.time()
+    flags, S = run_standard2d(ref, np.zeros_like(Fh), Ag,
+                              np.zeros_like(Fh), Cg,
+                              Fh * cosGh[:, None], delyh, delx, "fixed",
+                              "periodic", opt_arg(nyh, nxh), 2000, 1e-12)
+    record("nb03_geostrophic", flags, S, time.time() - t0,
+           "synthetic NB03 geostrophic workload; published true-fixture "
+           "record: 5000/8.480886e-10")
+
+    # NB05: nonlinear RefStateSWM chain — 5 rounds re-tabulating Q(M),
+    # C(M) (notebook 05, printInfo=False: no published record at all).
+    # Coefficients transcribe __coeffs_RefStateSWM (apps.py:1470-1524).
+    lat5, ctr5, Mass5, Circ5 = nw.nb05_tabulations()
+    lats5 = np.deg2rad(lat5)
+    cosG5 = np.cos(lats5)
+    sh5 = np.empty_like(lats5)
+    sh5[1:] = lats5[:-1]
+    sh5[0] = np.nan
+    cosH5 = np.cos((lats5 + sh5) / 2.0)
+    sinG5 = np.sin(lats5)
+    asin5 = R * sinG5
+    acos5 = R * cosG5
+    acos5 = np.where(acos5 < 0, -acos5 * 0.1, acos5)   # apps.py:1505
+    g0 = 9.80665
+    delY = abs(lats5[0] - lats5[1]) * R
+    Mref = Mass5.max() * (np.sin(np.deg2rad(lat5)) + 1.0) / 2.0
+    t0 = time.time()
+    for rnd in range(5):
+        Qref, Cref = nw.nb05_round_inputs(lat5, ctr5, Mass5, Circ5, Mref)
+        diff = np.zeros_like(Mref)
+        J = len(Mref)
+        for j in range(1, J - 1):
+            diff[j] = (((Mref[j + 1] - Mref[j]) / cosH5[j + 1])
+                       - ((Mref[j] - Mref[j - 1]) / cosH5[j])) / delY ** 2
+        A1 = 1.0 / cosH5
+        B1 = -Cref * Qref * asin5 / (np.pi * g0 * acos5 ** 3)
+        F1 = (-(asin5 * Cref ** 2 / (2.0 * np.pi * g0 * acos5 ** 3))
+              + (2.0 * np.pi * Om ** 2 * asin5 * acos5) / g0 - diff)
+        flags, dM = run_standard1d(ref, np.zeros_like(F1), A1, B1, F1,
+                                   delY, "fixed", opt_arg1(J), 5000,
+                                   1e-18)
+        Mref = Mref + dM
+    out_extra = {"mean_abs_M": float(np.mean(np.abs(Mref)))}
+    record("nb05_swm_round5", flags, Mref, time.time() - t0,
+           "5th outer round of the nonlinear chain on the synthesized "
+           "balanced tabulations (Barotropic2D.nc stripped; notebook "
+           "prints no record)")
+    out["nb05_swm_round5"].update(out_extra)
+
+    # NB11: QG omega on the synthetic atmos3D-like volume (traditional +
+    # topographic-icbc variants; 31-sweep cap — the pure-python reference
+    # drive bounds the budget).  __coeffs_omega (apps.py:2016-2052).
+    from xinvert_tpu.io import open_dataset as _ods
+    a = _ods(os.path.join(os.path.dirname(__file__), "..", "Data",
+                          "atmos3d_like.nc"))
+    F11 = np.asarray(a["F"].values, np.float64)
+    N2 = np.asarray(a["N2"].values, np.float64)
+    WBC = np.asarray(a["WBC"].values, np.float64)
+    lev = np.asarray(a["F"].coords["LEV"], np.float64)
+    lat1 = np.asarray(a["F"].coords["lat"], np.float64)
+    lon1 = np.asarray(a["F"].coords["lon"], np.float64)
+    zc, yc, xc = F11.shape
+    latr1 = np.deg2rad(lat1)
+    cosG1 = np.cos(latr1)
+    sh1 = np.empty_like(latr1)
+    sh1[1:] = latr1[:-1]
+    sh1[0] = np.nan
+    cosH1 = np.cos((latr1 + sh1) / 2.0)
+    f1 = 2.0 * Om * np.sin(latr1)
+    A11 = np.broadcast_to((f1 ** 2 * cosG1)[None, :, None],
+                          (zc, yc, xc)).copy()
+    B11 = N2 * cosH1[None, :, None]
+    C11 = N2 / cosG1[None, :, None]
+    Fc11 = F11 * cosG1[None, :, None]
+    delz = float(np.diff(lev)[0])
+    dely1 = float(np.deg2rad(np.diff(lat1)[0]) * R)
+    delx1 = float(np.deg2rad(np.diff(lon1)[0]) * R)
+    for key, use_icbc in (("nb11_omega", False), ("nb11_omega_icbc", True)):
+        S0 = np.zeros_like(F11)
+        if use_icbc:
+            # __mask_FS icbc: edges of the non-periodic dims (LEV, lat)
+            S0[0], S0[-1] = WBC[0], WBC[-1]
+            S0[:, 0], S0[:, -1] = WBC[:, 0], WBC[:, -1]
+        t0 = time.time()
+        flags, S = run_standard3d(ref, S0, A11, B11, C11, Fc11, delz,
+                                  dely1, delx1, "fixed", "fixed",
+                                  "periodic", opt_arg3(zc, yc, xc), 30,
+                                  1e-16)
+        record(key, flags, S, time.time() - t0,
+               "synthetic NB11 omega workload (atmos3D.nc stripped); "
+               "published true-fixture records: 3601/0.0, 5000/8.07e-11")
 
     os.makedirs(os.path.dirname(os.path.abspath(OUT)), exist_ok=True)
     with open(OUT, "w") as fh:

@@ -120,8 +120,40 @@ def main():
                       compiler_options=WINDOW_COMPILER_OPTS)(W3p, S3p)
         want = call3(spec3, W3p, S3p, n_static=4, interpret=True, **kw)
         _check(tag, got, want)
-    print("OK: all round-4 kernel variants compile under Mosaic and match "
-          "interpret mode bit for bit")
+
+    # round-5 3-D x-split variants: pad_col ghost columns + owned-column
+    # write-back + extend corner clamps (parallel/halo_window3d.py)
+    nz, ny3, nx3 = 24, 48, 256
+    sh = (nz, ny3, nx3)
+    A3 = ((np.abs(rng.normal(1, 0.1, sh)) + 0.5) * 2e-4).astype(np.float32)
+    B3 = (np.abs(rng.normal(1, 0.1, sh)) + 0.5).astype(np.float32)
+    F3 = rng.normal(0, 1e-9, sh).astype(np.float32)
+    spec3x = stencil.standard_3d(jnp.asarray(A3), jnp.asarray(B3),
+                                 jnp.asarray(B3), jnp.asarray(F3),
+                                 jnp.ones(sh, bool), (5e3, 1.1e5, 1.0e5),
+                                 ("fixed", "extend", "fixed"))
+    rel3x = (jnp.float32(1.2) * spec3x.relax).astype(jnp.float32)
+    W3x = _stack_planes3(spec3x, rel3x, nz, ny3, nx3, jnp.float32, nzp=nz)
+    hx = 128
+    S3x = jnp.asarray(rng.normal(0, 1, (1,) + sh).astype(np.float32))
+    S3xp = jnp.concatenate([S3x[:, :, :, -hx:], S3x, S3x[:, :, :, :hx]],
+                           axis=3)
+    W3xp = jnp.concatenate([W3x[:, :, :, -hx:], W3x, W3x[:, :, :, :hx]],
+                           axis=3)
+    call3x = functools.partial(_window3d_call, n=4, k_sweeps=4, tile=8)
+    for tag, kw in [
+        ("3d x-mid (pad_col)", dict(pad_col=hx, clamp_w=-1, clamp_e=-1)),
+        ("3d x-west (clamp_w)", dict(pad_col=hx, clamp_w=hx, clamp_e=-1)),
+        ("3d x-east (clamp_e)", dict(pad_col=hx, clamp_w=-1,
+                                     clamp_e=hx + nx3 - 1)),
+    ]:
+        got = jax.jit(lambda W_, S_: call3x(spec3x, W_, S_, n_static=4,
+                                            **kw),
+                      compiler_options=WINDOW_COMPILER_OPTS)(W3xp, S3xp)
+        want = call3x(spec3x, W3xp, S3xp, n_static=4, interpret=True, **kw)
+        _check(tag, got, want)
+    print("OK: all round-4/5 kernel variants compile under Mosaic and "
+          "match interpret mode bit for bit")
 
 
 if __name__ == "__main__":

@@ -152,6 +152,8 @@ def halo_window_applicable(spec, S_shape, mesh: Mesh) -> bool:
     (periodic x rides the ring wrap; extend-row corner clamps follow the
     true domain edges).  Blocks must divide evenly with x blocks a
     multiple of 128 lanes."""
+    from ..stencil import prune_zero_offsets
+    spec = prune_zero_offsets(spec)
     ext = _mesh_extents(spec, S_shape, mesh)
     if ext is None:
         return False
@@ -204,6 +206,8 @@ def _setup(spec, S, omega, mesh, interpret, caller):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
+    from ..stencil import prune_zero_offsets
+    spec = prune_zero_offsets(spec)
     from ..ops.pallas_sor_window import (
         _stack_planes, _flatten_spec_batch, _radius, _round8)
 

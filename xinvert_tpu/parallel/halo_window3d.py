@@ -103,6 +103,8 @@ def halo_window3d_applicable(spec, S_shape, mesh: Mesh) -> bool:
     3-D spec whose rows divide over the mesh 'y' axis (by >= ghost width),
     batch over 'batch', columns over 'x' when they split into 128-aligned
     blocks (round 5), direct (non-permuted) z windows."""
+    from ..stencil import prune_zero_offsets
+    spec = prune_zero_offsets(spec)
     ext = _extents3(spec, S_shape, mesh)
     if ext is None:
         return False
@@ -139,6 +141,8 @@ def _setup3(spec, S, omega, mesh, interpret, caller):
         raise ValueError(f"{caller} supports 3-D problems")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    from ..stencil import prune_zero_offsets
+    spec = prune_zero_offsets(spec)
     from ..ops.pallas_sor3d_window import _stack_planes3
     from ..ops.pallas_sor_window import _flatten_spec_batch
 

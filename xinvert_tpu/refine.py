@@ -111,6 +111,91 @@ def mg_inner(levels, tol: float = 1e-4, max_cycles: int = 25, **kw):
     return inner
 
 
+def _refine_rounds_impl(spec, S0, omega, tol, inner_tol_c, inner_iters,
+                        max_rounds, check_every, kernel):
+    """The whole refinement — round-0 solve plus (compensated residual →
+    correction solve → TwoSum absorb) rounds — as ONE traced program
+    (round 5, VERDICT r4 #6): the correction rounds ride a single
+    ``lax.while_loop`` whose body inlines the checked SOR solve
+    (solver._solve_impl, the window-stepper hot path included), so a
+    refined solve costs one dispatch instead of per-round host syncs and
+    relay round-trips (the round-4 host loop measured ~2x the pure solve
+    time at 2048² through the relay).
+
+    Semantics match the host loop exactly: keep the best iterate, restore
+    it and stop when a round doubles the best residual (nullspace drift),
+    stop when the certified residual reaches ``tol`` or after
+    ``max_rounds`` corrections."""
+    from .solver import _solve_impl
+    dtype = S0.dtype
+    scale = _residual_scale(spec)
+    tol = jnp.asarray(tol, dtype)
+
+    def inner(g, S_init):
+        cspec = dataclasses.replace(spec, g=g)
+        return _solve_impl(cspec, S_init, jnp.asarray(omega, dtype),
+                           jnp.asarray(inner_tol_c, dtype),
+                           jnp.asarray(inner_iters, jnp.int32),
+                           check_every=check_every, kernel=kernel,
+                           scheme="sor", tol_type="change").S
+
+    S_hi = inner(spec.g, S0)
+    S_lo = jnp.zeros_like(S_hi)
+    rel = residual_norm_compensated(spec, S_hi, S_lo) / scale
+    c0 = dict(hi=S_hi, lo=S_lo, rel=rel, b_hi=S_hi, b_lo=S_lo, b_rel=rel,
+              rounds=jnp.zeros((), jnp.int32),
+              done=jnp.max(rel) <= tol)
+
+    def cond(c):
+        return (~c["done"]) & (c["rounds"] < max_rounds)
+
+    def body(c):
+        r = jnp.where(spec.active,
+                      residual_compensated(spec, c["hi"], c["lo"]),
+                      0.0).astype(dtype)
+        e = inner(r, jnp.zeros_like(c["hi"]))
+        hi, lo = two_sum(c["hi"], c["lo"] + e)
+        rel = residual_norm_compensated(spec, hi, lo) / scale
+        m, bm = jnp.max(rel), jnp.max(c["b_rel"])
+        improved = m <= bm
+        diverged = m > 2.0 * bm
+
+        def sel(flag, a, b):
+            return jax.tree_util.tree_map(
+                lambda x, y: jnp.where(flag, x, y), a, b)
+
+        b_hi, b_lo, b_rel = sel(improved, (hi, lo, rel),
+                                (c["b_hi"], c["b_lo"], c["b_rel"]))
+        hi, lo, rel = sel(diverged, (b_hi, b_lo, b_rel), (hi, lo, rel))
+        return dict(hi=hi, lo=lo, rel=rel, b_hi=b_hi, b_lo=b_lo,
+                    b_rel=b_rel, rounds=c["rounds"] + 1,
+                    done=diverged | (jnp.max(rel) <= tol))
+
+    out = jax.lax.while_loop(cond, body, c0)
+    return out["hi"], out["lo"], out["rel"], out["rounds"]
+
+
+_refine_jits = {}
+
+
+def _refine_jit_for(kernel):
+    """Top-level jits per kernel class — the windowed/3-D kernels need the
+    raised scoped-VMEM budget on the TOP-LEVEL compile (compiler_options
+    are rejected on nested jits; see solver._solve_jit_for)."""
+    key = kernel in ("window", "vmem3d", "window3d")
+    if key not in _refine_jits:
+        opts = None
+        if key:
+            from .ops.pallas_sor_window import WINDOW_COMPILER_OPTS
+            opts = WINDOW_COMPILER_OPTS
+        import functools
+        _refine_jits[key] = functools.partial(
+            jax.jit, static_argnames=("check_every", "kernel"),
+            **({"compiler_options": opts} if opts else {}))(
+                _refine_rounds_impl)
+    return _refine_jits[key]
+
+
 def solve_refined(spec: StencilSpec, S0, omega: Optional[float] = None,
                   tol: float = 1e-6, max_rounds: int = 8,
                   inner: Optional[Callable] = None,
@@ -162,7 +247,20 @@ def solve_refined(spec: StencilSpec, S0, omega: Optional[float] = None,
                                  tol=tol_c, max_iters=inner_iters,
                                  check_every=32, tol_type="change").S
     if inner is None:
-        inner = _default_inner(spec, omega, inner_tol, inner_iters)
+        # single-device default-inner path: the WHOLE refinement runs as
+        # one jitted program (_refine_rounds_impl) — no per-round host
+        # syncs.  Kernel dispatch happens here (host side, concrete spec);
+        # the fused jit carries the scoped-VMEM compiler options the
+        # windowed kernels need.
+        from .solver import _select_kernel
+        kernel = _select_kernel(spec, S0)
+        hi, lo, rel, rounds = _refine_jit_for(kernel)(
+            spec, S0, jnp.asarray(omega, S0.dtype), tol,
+            inner_tol * 1e-3, inner_iters,
+            jnp.asarray(max_rounds, jnp.int32),
+            check_every=32, kernel=kernel)
+        return RefineResult(S_hi=hi, S_lo=lo, rel_residual=rel,
+                            rounds=int(rounds))
 
     scale = _residual_scale(spec)
 

@@ -594,6 +594,12 @@ def solve(spec: StencilSpec, S0, omega: Optional[float] = None,
     if tol_type not in ("change", "residual"):
         raise ValueError(f"unknown tol_type {tol_type!r}; "
                          "use 'change' or 'residual'")
+    if scheme in ("sor", "cheby"):
+        # drop identically-zero weight planes (Munk-class biharmonic
+        # specs carry 8 of 16 zero): the kernels' HBM traffic scales with
+        # the plane count (stencil.prune_zero_offsets; exact)
+        from .stencil import prune_zero_offsets
+        spec = prune_zero_offsets(spec)
     if scheme == "cheby":
         # round 3: the windowed kernel takes per-half-sweep factors via
         # SMEM; other kernels still bake a constant omega -> XLA path
@@ -631,6 +637,8 @@ def solve_fixed(spec: StencilSpec, S0, omega, n_iters: int,
     Dispatches to the fused VMEM-resident Pallas kernel on TPU when the
     problem fits (ops/pallas_sor.py); the XLA roll path otherwise.
     """
+    from .stencil import prune_zero_offsets
+    spec = prune_zero_offsets(spec)
     S0 = jnp.asarray(S0)
     if use_pallas is None:
         kernel = _select_kernel(spec, S0)
