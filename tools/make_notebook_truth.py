@@ -372,7 +372,7 @@ def main():
               + (2.0 * np.pi * Om ** 2 * asin5 * acos5) / g0 - diff)
         flags, dM = run_standard1d(ref, np.zeros_like(F1), A1, B1, F1,
                                    delY, "fixed", opt_arg1(J), 5000,
-                                   1e-18)
+                                   1e-15)
         Mref = Mref + dM
     out_extra = {"mean_abs_M": float(np.mean(np.abs(Mref)))}
     record("nb05_swm_round5", flags, Mref, time.time() - t0,
