@@ -190,12 +190,29 @@ def _extra_refined(jnp):
     dt2 = time.perf_counter() - t0
     rel2 = float(jnp.max(res2.rel_residual))
     assert rel2 <= 1e-5, f"steady certification missed: {rel2:.2e}"
+    # round 5: time-to-certification config — the fused single-program
+    # rounds (refine._refine_rounds_impl) with inner depth matched to the
+    # 1e-5 target (10 shallow rounds instead of 2 deep ones; the deep
+    # config above over-certifies to 2.2e-9).  Remaining time is SOR
+    # iteration count (convergence-bound), not dispatch: measured 2.7 s
+    # steady vs round-4's 5.3 s host-loop.
+    res3 = solve_refined(spec, S0, omega=grid.omega_opt, tol=1e-5,
+                         max_rounds=10, inner_tol=1.0, inner_iters=4000)
+    t0 = time.perf_counter()
+    res3 = solve_refined(spec, S0, omega=grid.omega_opt, tol=1e-5,
+                         max_rounds=10, inner_tol=1.0, inner_iters=4000)
+    dt3 = time.perf_counter() - t0
+    rel3 = float(jnp.max(res3.rel_residual))
+    assert rel3 <= 1e-5, f"fast certification missed: {rel3:.2e}"
     return {"refined_2048_sphere_rel_residual": rel,
             "refined_2048_sphere_rounds": res.rounds,
             "refined_2048_sphere_s": dt,
             "refined_2048_sphere_steady_s": dt2,
             "refined_2048_sphere_steady_rel_residual": rel2,
-            "refined_2048_sphere_steady_rounds": res2.rounds}
+            "refined_2048_sphere_steady_rounds": res2.rounds,
+            "refined_fast_steady_s": dt3,
+            "refined_fast_rel_residual": rel3,
+            "refined_fast_rounds": res3.rounds}
 
 
 def _extra_mg(jnp):

@@ -148,12 +148,17 @@ def test_fuzz_checked_sharded_3d(seed):
         solve_halo_window3d, halo_window3d_applicable)
     rng = np.random.default_rng(400 + seed)
     devs = np.asarray(jax.devices())
-    mb, ndev = [(1, 2), (1, 4), (1, 8), (2, 4)][rng.integers(0, 4)]
-    mesh = (Mesh(devs[:mb * ndev].reshape(mb, ndev), ("batch", "y"))
-            if mb > 1 else Mesh(devs[:ndev].reshape(ndev), ("y",)))
+    layouts = [((2,), ("y",)), ((4,), ("y",)), ((8,), ("y",)),
+               ((2, 4), ("batch", "y")), ((2, 4), ("y", "x")),
+               ((2, 2, 2), ("batch", "y", "x"))]
+    shape, names = layouts[rng.integers(0, len(layouts))]
+    mesh = Mesh(devs[:int(np.prod(shape))].reshape(shape), names)
+    d = dict(zip(names, shape))
+    mb, ndev, mx = d.get("batch", 1), d.get("y", 1), d.get("x", 1)
     nz = int(rng.integers(10, 40))
     ny = ndev * int(rng.integers(9, 30))
-    nx = int(rng.integers(96, 200))
+    nx = (128 * mx * int(rng.integers(1, 3)) if mx > 1
+          else int(rng.integers(96, 200)))
     bcs = ("fixed", ["fixed", "extend"][rng.integers(0, 2)],
            ["fixed", "periodic"][rng.integers(0, 2)])
     sh = (nz, ny, nx)

@@ -23,7 +23,11 @@ documents).
     python tools/tpu_bih_probe.py
 """
 import functools
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax

@@ -636,9 +636,14 @@ def solve_fixed(spec: StencilSpec, S0, omega, n_iters: int,
     The hot path for benchmarking and for fixed-iteration parity tests.
     Dispatches to the fused VMEM-resident Pallas kernel on TPU when the
     problem fits (ops/pallas_sor.py); the XLA roll path otherwise.
+
+    NOTE: unlike :func:`solve`, this does NOT call
+    ``stencil.prune_zero_offsets`` — the prune check is a device->host
+    sync, and callers here typically chain many calls on one spec (the
+    benchmark pattern; a per-call sync through the relay halves measured
+    throughput).  Prune once yourself for zero-plane-heavy specs (the
+    Munk biharmonic class).
     """
-    from .stencil import prune_zero_offsets
-    spec = prune_zero_offsets(spec)
     S0 = jnp.asarray(S0)
     if use_pallas is None:
         kernel = _select_kernel(spec, S0)
