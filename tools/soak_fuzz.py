@@ -47,6 +47,7 @@ def main():
         run(m.test_fuzz_windowed_kernel, seed)
         run(m.test_fuzz_sharded_windowed, seed)
         run(m.test_fuzz_sharded_3d, seed)
+        run(m.test_fuzz_checked_sharded_3d, seed)     # round 5
         run(ml.test_checked_lexico_stopping_matches_python_loop, seed)
         print(f"seed {seed} done {counts}", flush=True)
     print("SOAK COMPLETE:", counts)
