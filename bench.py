@@ -255,6 +255,16 @@ def main():
         # honest CPU fallback, clearly labelled: never report a number the
         # hardware didn't produce, never hang the driver on a dead relay
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # persistent compile cache (round 5): warm relay compiles survive
+        # process restarts — repeat bench runs skip the multi-minute
+        # Mosaic compiles.  Timing is unaffected (all rates are measured
+        # on post-warmup chained calls).
+        try:
+            from xinvert_tpu import enable_compile_cache
+            enable_compile_cache()
+        except Exception:                              # noqa: BLE001
+            pass
     import jax.numpy as jnp
 
     from __graft_entry__ import _poisson_problem

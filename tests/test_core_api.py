@@ -95,3 +95,20 @@ def test_inv_standard3D_default_bcs_error_message():
               {"lev": z, "lat": y, "lon": x})
     with pytest.raises(ValueError, match="BCs"):
         inv_standard3D(1.0, 1.0, 1.0, F, dims=["lev", "lat", "lon"])
+
+
+def test_enable_compile_cache(tmp_path):
+    """The opt-in persistent-compile-cache helper configures jax and
+    returns the directory (round 5)."""
+    import jax
+    import xinvert_tpu as xv
+    old = jax.config.jax_compilation_cache_dir
+    try:
+        p = xv.enable_compile_cache(path=str(tmp_path / "jc"),
+                                    min_compile_secs=5.0)
+        assert p == str(tmp_path / "jc")
+        import os
+        assert os.path.isdir(p)
+        assert jax.config.jax_compilation_cache_dir == p
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old)
