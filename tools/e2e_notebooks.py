@@ -103,16 +103,22 @@ def main():
                            "numbas.py:278-414); 'ours.sweeps' counts "
                            "sweeps",
         "stripped_fixtures": {
-            # notebooks whose fixtures are stripped from the mount: no
-            # published-record parity possible, but each workload runs
-            # end to end on a synthetic regeneration (tools/
-            # make_fixtures.py) with golden/physics oracles of its own
+            # notebooks whose fixtures are stripped from the mount: the
+            # PUBLISHED records are unreachable, but (round 5) NB03, NB05
+            # and NB11 now have behaviorally-reproduced rows below —
+            # synthetic scale-matched inputs, the reference kernels
+            # direct-driven on the SAME arrays (ref_direct oracle), plus
+            # each workload's synthetic-regeneration golden/physics tests
             "atmos3D.nc (NB02b/NB03/NB11)": [
+                "E2E rows: NB03 balanced-mass + geostrophic, NB11 omega "
+                "x2 (ref_direct matched, sweeps equal)",
                 "tests/test_omega3d.py (golden extrema + linearity)",
                 "tests/test_geopotential.py (icbc superposition)",
                 "examples/04_omega_equation_3d.py",
                 "examples/08_balanced_mass.py"],
             "Barotropic2D.nc (NB05)": [
+                "E2E row: nonlinear 5-round SWM chain (ref_direct "
+                "matched, sweeps equal)",
                 "tests/test_1d.py (RefStateSWM nonlinear outer loop)",
                 "examples/11_reference_swm.py"],
             "SODA_curl.nc (NB09b)": [
