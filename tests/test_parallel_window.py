@@ -420,3 +420,59 @@ def test_biharmonic_xsplit_extend_declined():
         jnp.ones((ny, nx), bool), (1.1e5, 1.0e5), ("extend", "periodic"))
     mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("y", "x"))
     assert not halo_window_applicable(spec, (ny, nx), mesh)
+
+
+def test_residual_rule_sharded():
+    """Round 5: tolType='residual' on the sharded checked executor — the
+    TRUE-residual rule (mean|r|/mean|g| over active cells) computed per
+    device from the padded weight stack with a fresh radius ghost
+    exchange per check.  Termination and state match the host residual
+    solve exactly; at tol=0 the state is bit-exact at the cap."""
+    from xinvert_tpu import stencil
+    from xinvert_tpu.solver import solve
+    from xinvert_tpu.parallel.halo_window import solve_halo_window
+    ny, nx = 512, 128
+    rng = np.random.default_rng(5)
+    A = np.abs(rng.normal(1, .1, (ny, nx))) + .5
+    C = np.abs(rng.normal(1, .1, (ny, nx))) + .5
+    yy = np.sin(2 * np.pi * np.arange(ny) / ny)[:, None]
+    xx = np.cos(2 * np.pi * np.arange(nx) / nx)[None, :]
+    F = yy * xx * 1e-9
+    Fdef = np.ones((ny, nx), bool)
+    Fdef[ny // 3:ny // 2, nx // 4:nx // 2] = False
+    spec = stencil.standard_2d(jnp.asarray(A), 0.0, jnp.asarray(C),
+                               jnp.asarray(F), jnp.asarray(Fdef),
+                               (1.2e5, 1.0e5), ("fixed", "periodic"))
+    S0 = jnp.zeros((ny, nx))
+    mesh = _mesh_y(8)
+    host = solve(spec, S0, 1.7, tol=3e-2, max_iters=20000, check_every=8,
+                 tol_type="residual")
+    shrd = solve_halo_window(spec, S0, 1.7, 3e-2, 20000, check_every=8,
+                             mesh=mesh, tol_type="residual")
+    assert abs(int(shrd.iters) - int(host.iters)) <= 8
+    assert float(jnp.max(jnp.abs(shrd.S - host.S))) < 1e-10
+    assert float(shrd.rel_change) == pytest.approx(
+        float(host.rel_change), rel=1e-10)
+    # tol=0: exactly the cap, bit-exact state; rel reports the residual
+    ref = _solve_fixed_xla(spec, S0, 1.7, 13)
+    r0 = solve_halo_window(spec, S0, 1.7, 0.0, 13, check_every=4,
+                           mesh=mesh, tol_type="residual")
+    assert int(r0.iters) == 13
+    assert float(jnp.max(jnp.abs(r0.S - ref))) == 0.0
+
+    # ('y','x') mesh: psum over both axes
+    mesh2 = Mesh(np.array(jax.devices()).reshape(2, 4), ("y", "x"))
+    A2 = np.tile(A[:128], (1, 4))[:, :512]
+    C2 = np.tile(C[:128], (1, 4))[:, :512]
+    F2 = np.tile(F[:128], (1, 4))[:, :512]
+    spec2 = stencil.standard_2d(jnp.asarray(A2), 0.0, jnp.asarray(C2),
+                                jnp.asarray(F2),
+                                jnp.ones((128, 512), bool),
+                                (1.2e5, 1.0e5), ("fixed", "periodic"))
+    S02 = jnp.zeros((128, 512))
+    host2 = solve(spec2, S02, 1.7, tol=3e-2, max_iters=8000,
+                  check_every=8, tol_type="residual")
+    shrd2 = solve_halo_window(spec2, S02, 1.7, 3e-2, 8000, check_every=8,
+                              mesh=mesh2, tol_type="residual")
+    assert abs(int(shrd2.iters) - int(host2.iters)) <= 8
+    assert float(jnp.max(jnp.abs(shrd2.S - host2.S))) < 1e-10

@@ -257,3 +257,35 @@ def test_xsplit_3d_gates():
     assert not halo_window3d_applicable(spec, S0.shape, mesh)
     with pytest.raises(ValueError):
         solve_fixed_halo_window3d(spec, S0, 1.2, 4, mesh=mesh)
+
+
+def test_residual_rule_sharded_3d():
+    """Round 5: tolType='residual' on the 3-D sharded executor (y and
+    ('y','x') meshes) — termination and state match the host residual
+    solve."""
+    from xinvert_tpu.solver import solve
+    from xinvert_tpu.parallel.halo_window3d import solve_halo_window3d
+    rng = np.random.default_rng(2)
+    for names, shape, nx in ((("y",), (4,), 144), (("y", "x"), (2, 4), 512)):
+        nz, ny = 24, 48
+        sh = (nz, ny, nx)
+        A = ((np.abs(rng.normal(1.0, 0.1, sh)) + 0.5) * 2e-4)
+        Bc = np.abs(rng.normal(1.0, 0.1, sh)) + 0.5
+        zz = np.sin(2 * np.pi * np.arange(nz) / nz)[:, None, None]
+        F = zz * np.sin(2 * np.pi * np.arange(ny) / ny)[None, :, None] \
+            * 1e-9 * np.ones(sh)
+        spec = stencil.standard_3d(jnp.asarray(A), jnp.asarray(Bc),
+                                   jnp.asarray(Bc), jnp.asarray(F),
+                                   jnp.ones(sh, bool),
+                                   (5e3, 1.1e5, 1.0e5),
+                                   ("fixed", "extend", "periodic"))
+        S0 = jnp.zeros(sh)
+        mesh = Mesh(np.array(jax.devices()[:int(np.prod(shape))])
+                    .reshape(shape), names)
+        host = solve(spec, S0, 1.2, tol=3e-2, max_iters=3000,
+                     check_every=8, tol_type="residual")
+        shrd = solve_halo_window3d(spec, S0, 1.2, 3e-2, 3000,
+                                   check_every=8, mesh=mesh,
+                                   tol_type="residual")
+        assert abs(int(shrd.iters) - int(host.iters)) <= 8, (names,)
+        assert float(jnp.max(jnp.abs(shrd.S - host.S))) < 1e-10, (names,)

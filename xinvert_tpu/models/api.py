@@ -353,20 +353,24 @@ def _invert(problem_key, F, dims, coords, icbc, valid_mp, mParams, iParams,
         from ..parallel.halo_window3d import (halo_window3d_applicable,
                                               solve_halo_window3d)
         S0j = jnp.asarray(S0)
+        tt = iP.get("tolType", "change")
         if (iP.get("scheme", "sor") == "sor"
-                and iP.get("tolType", "change") == "change"
+                and tt in ("change", "residual")
                 and halo_window_applicable(spec, S0j.shape, mesh)):
             res = solve_halo_window(
                 spec, S0j, omega, iP["tolerance"], iP["mxLoop"],
-                check_every=_auto_check_every(iParams, iP), mesh=mesh)
+                check_every=_auto_check_every(iParams, iP), mesh=mesh,
+                tol_type=tt)
         elif (iP.get("scheme", "sor") == "sor"
-                and iP.get("tolType", "change") == "change"
+                and tt in ("change", "residual")
                 and halo_window3d_applicable(spec, S0j.shape, mesh)):
             # checked sharded 3-D fast path (round 5): per-device
-            # z-windowed kernels + reference stopping on-mesh
+            # z-windowed kernels + reference stopping (or the TRUE
+            # residual rule) on-mesh
             res = solve_halo_window3d(
                 spec, S0j, omega, iP["tolerance"], iP["mxLoop"],
-                check_every=_auto_check_every(iParams, iP), mesh=mesh)
+                check_every=_auto_check_every(iParams, iP), mesh=mesh,
+                tol_type=tt)
         else:
             from ..parallel.mesh import solve_sharded
             if any(ax not in mesh.shape for ax in ("batch", "y", "x")):

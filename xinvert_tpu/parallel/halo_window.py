@@ -420,10 +420,53 @@ def solve_fixed_halo_window(spec: StencilSpec, S, omega, n_iters: int,
     return out.reshape(S.shape)
 
 
+def _residual_partials(su: _Setup, Wp):
+    """Per-device TRUE-residual machinery for ``tol_type='residual'``
+    (round 5): returns ``partial(Sl) -> (sum|r| per batch row, active
+    count)`` computed on the device's owned block with a FRESH radius-wide
+    ghost exchange (the kernel's ghosts are ``k`` sweeps stale after a
+    window).  The padded weight stack already carries everything needed —
+    w planes, w0 (index K), g (K+1) and relax (K+2, nonzero exactly at
+    active cells) — so no extra operands enter the shard_map."""
+    from ..ops.pallas_sor_window import _radius
+
+    K = len(su.slim.offsets)
+    offsets = su.slim.offsets
+    rad = _radius(offsets)
+    h, hx, by, bx, my_, mx = su.h, su.hx, su.by, su.bx, su.my_, su.mx
+    r0 = rad if my_ > 1 else 0
+    c0 = rad if mx > 1 else 0
+    ys = slice(h - r0, h + by + r0) if my_ > 1 else slice(None)
+    xs = slice(hx - c0, hx + bx + c0) if mx > 1 else slice(None)
+    Wr = Wp[:, :, ys, xs]
+    active = Wr[:, K + 2] != 0
+    own = (slice(None), slice(r0, r0 + by), slice(c0, c0 + bx))
+    count = jnp.sum(active[own].astype(jnp.int32), axis=(1, 2))
+
+    def partial(Sl):
+        Sp = Sl
+        if mx > 1:
+            lo, hi = _ring_halo(Sp, "x", rad, 2, mx)
+            Sp = jnp.concatenate([lo, Sp, hi], axis=2)
+        if my_ > 1:
+            lo, hi = _ring_halo(Sp, "y", rad, 1, my_)
+            Sp = jnp.concatenate([lo, Sp, hi], axis=1)
+        acc = Wr[:, K + 1] + Wr[:, K] * Sp
+        for k in range(K):
+            dy, dx = offsets[k]
+            acc = acc + Wr[:, k] * jnp.roll(Sp, (-dy, -dx), (1, 2))
+        r = jnp.where(active, acc, 0.0)
+        part = jnp.sum(jnp.abs(r[own]), axis=(1, 2))
+        return part, count
+
+    return partial
+
+
 def solve_halo_window(spec: StencilSpec, S, omega, tol, max_iters: int,
                       check_every: int = 32,
                       mesh: Optional[Mesh] = None,
-                      interpret: Optional[bool] = None):
+                      interpret: Optional[bool] = None,
+                      tol_type: str = "change"):
     """Convergence-CHECKED sharded solve on the windowed-kernel executor.
 
     The reference's stopping semantics (masked mean-|S| relative change,
@@ -431,7 +474,11 @@ def solve_halo_window(spec: StencilSpec, S, omega, tol, max_iters: int,
     entirely inside ``shard_map``: each device sweeps its row block with
     the fused kernel, exchanges ppermute ghost rings every ``k`` sweeps,
     and the convergence norm is a local |S| partial ``psum``-reduced over
-    the mesh 'y' axis.  SPMD details that differ from the host loop:
+    the mesh 'y' axis.  ``tol_type='residual'`` (round 5) instead stops
+    on the TRUE relative discrete residual mean|r|/mean|g| over active
+    cells, computed per device from the padded weight stack with a fresh
+    radius-wide ghost exchange per check — the certification rule on-mesh.
+    SPMD details that differ from the host loop:
 
     - the while predicate must be REPLICATED, so the body computes the
       next-iteration ``go`` flag (with its collectives) into the carry and
@@ -449,8 +496,11 @@ def solve_halo_window(spec: StencilSpec, S, omega, tol, max_iters: int,
     by one check window; at a fixed sweep cap (tol=0) the state is
     bit-identical to ``solve_fixed``.
     """
-    from ..solver import SolveResult
+    from ..solver import SolveResult, _residual_scale
 
+    if tol_type not in ("change", "residual"):
+        raise ValueError(f"unknown tol_type {tol_type!r}; "
+                         "use 'change' or 'residual'")
     if mesh is None:
         from .mesh import make_grid_mesh
         mesh = make_grid_mesh()
@@ -462,13 +512,21 @@ def solve_halo_window(spec: StencilSpec, S, omega, tol, max_iters: int,
     max_iters = jnp.asarray(max_iters, jnp.int32)
     ncells = float(np.prod(S.shape[-2:], dtype=np.int64))
     k, mb = su.k, su.mb
-    stop_on_zero = spec.stop_on_zero_norm
+    stop_on_zero = spec.stop_on_zero_norm and tol_type != "residual"
     t_spec = P(su.batch_ax)           # per-batch-element telemetry
     spatial_axes = ("y", "x") if su.mx > 1 else "y"
+    B = su.S3.shape[0]
+    # per-slice mean|g| normaliser for the residual rule (host-side, the
+    # resident spec; an explicit operand so batch sharding slices it)
+    scale = jnp.broadcast_to(
+        jnp.atleast_1d(_residual_scale(spec)).astype(dtype).reshape(-1),
+        (B,)) if tol_type == "residual" else jnp.ones((B,), dtype)
 
-    def local_solve(Wl, Sl):
+    def local_solve(Wl, Sl, scale_l):
         Wp = _pad_weights(su, Wl)
         step = _device_step(su, Wp)
+        res_partial = (_residual_partials(su, Wp)
+                       if tol_type == "residual" else None)
         bl = Sl.shape[0]              # local batch block
 
         def window(Sl, k_eff, full):
@@ -492,14 +550,24 @@ def solve_halo_window(spec: StencilSpec, S, omega, tol, max_iters: int,
 
         def advance(c, k_eff, full):
             S_new = window(c["S"], k_eff, full)
-            part = jnp.sum(jnp.abs(S_new), axis=(1, 2))
-            norm = jax.lax.psum(part, spatial_axes) / jnp.asarray(ncells,
-                                                                  dtype)
-            prev = c["norm_prev"]
-            rel = jnp.where(prev >= 0,
-                            jnp.abs(norm - prev)
-                            / jnp.where(prev > 0, prev, 1.0),
-                            jnp.ones_like(norm))
+            if res_partial is not None:
+                # TRUE-residual rule: psum of per-device |r| partials over
+                # active cells / global active count, against mean|g|
+                part, cnt = res_partial(S_new)
+                num = jax.lax.psum(part, spatial_axes)
+                den = jnp.maximum(jax.lax.psum(cnt, spatial_axes), 1)
+                norm = num / den.astype(dtype)
+                rel = jnp.broadcast_to(norm / scale_l, (bl,))
+                norm = jnp.broadcast_to(norm, (bl,))
+            else:
+                part = jnp.sum(jnp.abs(S_new), axis=(1, 2))
+                norm = jax.lax.psum(part, spatial_axes) / jnp.asarray(
+                    ncells, dtype)
+                prev = c["norm_prev"]
+                rel = jnp.where(prev >= 0,
+                                jnp.abs(norm - prev)
+                                / jnp.where(prev > 0, prev, 1.0),
+                                jnp.ones_like(norm))
             overflow = ~jnp.isfinite(norm)
             if dtype == jnp.float64:
                 overflow = overflow | (norm > 1e100)
@@ -547,10 +615,10 @@ def solve_halo_window(spec: StencilSpec, S, omega, tol, max_iters: int,
         return (out["S"], out["loop"], out["rel"], out["overflow"])
 
     mapped = shard_map(local_solve, mesh=mesh,
-                       in_specs=(su.w_spec, su.s_spec),
+                       in_specs=(su.w_spec, su.s_spec, t_spec),
                        out_specs=(su.s_spec, t_spec, t_spec, t_spec),
                        check_vma=False)
-    Sout, loop, rel, ovf = mapped(su.W, su.S3)
+    Sout, loop, rel, ovf = mapped(su.W, su.S3, scale)
     if su.npad:
         Sout = Sout[:, :Sout.shape[1] - su.npad]
     return SolveResult(S=Sout.reshape(S.shape),

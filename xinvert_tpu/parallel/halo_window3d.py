@@ -344,10 +344,55 @@ def solve_fixed_halo_window3d(spec: StencilSpec, S, omega, n_iters: int,
     return out.reshape(S.shape)
 
 
+def _residual_partials3(su: _Setup3, Wp):
+    """Per-device TRUE-residual machinery for ``tol_type='residual'`` on
+    the 3-D executor (round 5) — the z axis is device-local, so only the
+    y/x ghost rings refresh; the padded weight stack supplies w planes,
+    w0/g and the relax plane (nonzero exactly at active cells).  The
+    padded z levels carry zero weights/g, so they contribute nothing."""
+    K = len(su.slim.offsets)
+    offsets = su.slim.offsets
+    rad = 1                              # all 3-D families are radius-1
+    hy, hx, by, bx, my_, mx = su.hy, su.hx, su.by, su.bx, su.my_, su.mx
+    r0 = rad if my_ > 1 else 0
+    c0 = rad if mx > 1 else 0
+    P = K + 3
+    bW = Wp.shape[0] // P
+    Wr = Wp.reshape((bW, P) + Wp.shape[1:])
+    ys = slice(hy - r0, hy + by + r0) if my_ > 1 else slice(None)
+    xs = slice(hx - c0, hx + bx + c0) if mx > 1 else slice(None)
+    Wr = Wr[:, :, :, ys, xs]
+    active = Wr[:, K + 2] != 0
+    own = (slice(None), slice(None), slice(r0, r0 + by),
+           slice(c0, c0 + bx))
+    count = jnp.sum(active[own].astype(jnp.int32), axis=(1, 2, 3))
+
+    def partial(Sl):
+        # Sl: (bl, nzp, by, bx) owned block (z padded)
+        Sp = Sl
+        if mx > 1:
+            lo, hi = _ring_halo(Sp, "x", rad, 3, mx)
+            Sp = jnp.concatenate([lo, Sp, hi], axis=3)
+        if my_ > 1:
+            lo, hi = _ring_halo(Sp, "y", rad, 2, my_)
+            Sp = jnp.concatenate([lo, Sp, hi], axis=2)
+        acc = Wr[:, K + 1] + Wr[:, K] * Sp
+        for k in range(K):
+            dz, dy, dx = offsets[k]
+            acc = acc + Wr[:, k] * jnp.roll(Sp, (-dz, -dy, -dx),
+                                            (1, 2, 3))
+        r = jnp.where(active, acc, 0.0)
+        part = jnp.sum(jnp.abs(r[own]), axis=(1, 2, 3))
+        return part, count
+
+    return partial
+
+
 def solve_halo_window3d(spec: StencilSpec, S, omega, tol, max_iters: int,
                         check_every: int = 32,
                         mesh: Optional[Mesh] = None,
-                        interpret: Optional[bool] = None):
+                        interpret: Optional[bool] = None,
+                        tol_type: str = "change"):
     """Convergence-CHECKED sharded 3-D solve on the z-windowed kernel.
 
     The reference's stopping semantics (mean-|S| relative change, overflow
@@ -370,8 +415,11 @@ def solve_halo_window3d(spec: StencilSpec, S, omega, tol, max_iters: int,
     tolerance the psum summation order can shift termination by one check
     window, like the 2-D executor.
     """
-    from ..solver import SolveResult
+    from ..solver import SolveResult, _residual_scale
 
+    if tol_type not in ("change", "residual"):
+        raise ValueError(f"unknown tol_type {tol_type!r}; "
+                         "use 'change' or 'residual'")
     if mesh is None:
         from .mesh import make_grid_mesh
         mesh = make_grid_mesh()
@@ -383,19 +431,25 @@ def solve_halo_window3d(spec: StencilSpec, S, omega, tol, max_iters: int,
     max_iters = jnp.asarray(max_iters, jnp.int32)
     ncells = float(np.prod(S.shape[-3:], dtype=np.int64))
     k, nz, nzp, mb = su.k, su.nz, su.nzp, su.mb
-    stop_on_zero = spec.stop_on_zero_norm
+    stop_on_zero = spec.stop_on_zero_norm and tol_type != "residual"
     bW = su.W.shape[0] // (len(su.slim.offsets) + 3)
     x_ax = "x" if su.mx > 1 else None
     w_spec = P(su.batch_ax if bW > 1 else None, None, "y", x_ax)
     s_spec = P(su.batch_ax, None, "y", x_ax)
     t_spec = P(su.batch_ax)           # per-batch-element telemetry
     spatial_axes = ("y", "x") if su.mx > 1 else "y"
+    B = su.S4.shape[0]
+    scale = jnp.broadcast_to(
+        jnp.atleast_1d(_residual_scale(spec)).astype(dtype).reshape(-1),
+        (B,)) if tol_type == "residual" else jnp.ones((B,), dtype)
 
-    def local_solve(Wl, Sl):
+    def local_solve(Wl, Sl, scale_l):
         Wl = _pad_weights3(su, Wl)
         if nzp > nz:
             Sl = jnp.pad(Sl, ((0, 0), (0, nzp - nz), (0, 0), (0, 0)))
         step = _device_step3(su, Wl)
+        res_partial = (_residual_partials3(su, Wl)
+                       if tol_type == "residual" else None)
         bl = Sl.shape[0]              # local batch block
 
         def window(Sl, k_eff, full):
@@ -419,14 +473,22 @@ def solve_halo_window3d(spec: StencilSpec, S, omega, tol, max_iters: int,
 
         def advance(c, k_eff, full):
             S_new = window(c["S"], k_eff, full)
-            part = jnp.sum(jnp.abs(S_new), axis=(1, 2, 3))
-            norm = jax.lax.psum(part, spatial_axes) / jnp.asarray(ncells,
-                                                                  dtype)
-            prev = c["norm_prev"]
-            rel = jnp.where(prev >= 0,
-                            jnp.abs(norm - prev)
-                            / jnp.where(prev > 0, prev, 1.0),
-                            jnp.ones_like(norm))
+            if res_partial is not None:
+                part, cnt = res_partial(S_new)
+                num = jax.lax.psum(part, spatial_axes)
+                den = jnp.maximum(jax.lax.psum(cnt, spatial_axes), 1)
+                norm = num / den.astype(dtype)
+                rel = jnp.broadcast_to(norm / scale_l, (bl,))
+                norm = jnp.broadcast_to(norm, (bl,))
+            else:
+                part = jnp.sum(jnp.abs(S_new), axis=(1, 2, 3))
+                norm = jax.lax.psum(part, spatial_axes) / jnp.asarray(
+                    ncells, dtype)
+                prev = c["norm_prev"]
+                rel = jnp.where(prev >= 0,
+                                jnp.abs(norm - prev)
+                                / jnp.where(prev > 0, prev, 1.0),
+                                jnp.ones_like(norm))
             overflow = ~jnp.isfinite(norm)
             if dtype == jnp.float64:
                 overflow = overflow | (norm > 1e100)
@@ -470,10 +532,10 @@ def solve_halo_window3d(spec: StencilSpec, S, omega, tol, max_iters: int,
         return (out["S"][:, :nz], out["loop"], out["rel"], out["overflow"])
 
     mapped = shard_map(local_solve, mesh=mesh,
-                       in_specs=(w_spec, s_spec),
+                       in_specs=(w_spec, s_spec, t_spec),
                        out_specs=(s_spec, t_spec, t_spec, t_spec),
                        check_vma=False)
-    Sout, loop, rel, ovf = mapped(su.W, su.S4)
+    Sout, loop, rel, ovf = mapped(su.W, su.S4, scale)
     return SolveResult(S=Sout.reshape(S.shape),
                        iters=loop.reshape(su.batch_shape),
                        rel_change=rel.reshape(su.batch_shape),
