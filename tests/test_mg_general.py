@@ -415,3 +415,30 @@ def test_api_std2de_mg_entries_match_sor():
                                    mParams=mPr, tol=1e-10)
     a, b = np.asarray(refr), np.asarray(gotr)
     assert np.abs(a - b).max() <= 1e-9 * np.abs(a).max()
+
+
+def test_std2de_coarsest_omega_gate():
+    """The coarsest-level optimal-omega shortcut must NOT fire for
+    antisymmetric B = -C cross fluxes (hidden beta advection with
+    B + C == 0 — code-review finding r5): those coarsest levels need
+    plain GS like the general-family pyramid.  Pure-diffusion +E
+    pyramids (B = C = 0) keep the fast factor."""
+    import jax.numpy as jnp
+    from xinvert_tpu.mg import build_pyramid_standard2d_e
+    from xinvert_tpu.grid import optimal_omega
+
+    ny, nx = 65, 128
+    one = jnp.ones((ny, nx))
+    zero = jnp.zeros((ny, nx))
+    f = jnp.broadcast_to(jnp.linspace(1e-5, 1e-4, ny)[:, None], (ny, nx))
+    Fdef = np.ones((ny, nx), bool)
+    adv = build_pyramid_standard2d_e(-1e-3 * one, -f, f, -1e-3 * one,
+                                     zero, zero, Fdef, (1e5, 1e5),
+                                     ("fixed", "fixed"))
+    assert float(adv[-1].omega) == 1.0
+    dif = build_pyramid_standard2d_e(one, zero, zero, one, -1e-9 * one,
+                                     zero, Fdef, (1e5, 1e5),
+                                     ("fixed", "fixed"))
+    nyc = dif[-1].spec.w0.shape[-2:]
+    assert float(dif[-1].omega) == pytest.approx(
+        float(optimal_omega(nyc)))

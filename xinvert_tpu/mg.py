@@ -428,8 +428,11 @@ def build_pyramid_standard2d_e(A, B, C, D, E, F, Fdef, deltas, bcs,
     # the near-2 Laplacian-optimal factor speeds the coarsest iterate-to-
     # convergence only when no advection hides in the cross fluxes; the
     # upwinded advective coarsest levels need plain GS (omega ~ 1), like
-    # the general-family pyramid
-    if not bool(jnp.any(B + C != 0)):
+    # the general-family pyramid.  NOTE the antisymmetric case B = -C
+    # (the standardised Stommel/Gill-Matsuno beta term) has B + C == 0
+    # while carrying advection (B_y Sx + C_x Sy) — gate on the planes
+    # being individually zero, not on their sum
+    if not bool(jnp.any(B != 0) | jnp.any(C != 0)):
         levels[-1] = dataclasses.replace(
             levels[-1], omega=jnp.asarray(optimal_omega(plan[-1][0])))
     return _stamp_smoother(levels)

@@ -152,6 +152,10 @@ def halo_window_applicable(spec, S_shape, mesh: Mesh) -> bool:
     (periodic x rides the ring wrap; extend-row corner clamps follow the
     true domain edges).  Blocks must divide evenly with x blocks a
     multiple of 128 lanes."""
+    # cheap structural rejects BEFORE the prune check (a device->host
+    # sync): 3-D problems and mesh shapes without 'y' never qualify
+    if spec.ndim != 2 or "y" not in mesh.shape:
+        return False
     from ..stencil import prune_zero_offsets
     spec = prune_zero_offsets(spec)
     ext = _mesh_extents(spec, S_shape, mesh)

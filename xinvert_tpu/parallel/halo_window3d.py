@@ -103,6 +103,10 @@ def halo_window3d_applicable(spec, S_shape, mesh: Mesh) -> bool:
     3-D spec whose rows divide over the mesh 'y' axis (by >= ghost width),
     batch over 'batch', columns over 'x' when they split into 128-aligned
     blocks (round 5), direct (non-permuted) z windows."""
+    # cheap structural rejects BEFORE the prune check (a device->host
+    # sync)
+    if spec.ndim != 3 or "y" not in mesh.shape:
+        return False
     from ..stencil import prune_zero_offsets
     spec = prune_zero_offsets(spec)
     ext = _extents3(spec, S_shape, mesh)

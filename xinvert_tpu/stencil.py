@@ -52,20 +52,35 @@ def prune_zero_offsets(spec):
     Concrete (non-traced) weight stacks only — traced specs return
     unchanged.  The per-plane any() reductions run on-device and fetch as
     ONE K-bool transfer (a host pull of the full stack would cost seconds
-    through a relay-attached chip).
+    through a relay-attached chip); repeat calls on the SAME weight stack
+    (dispatch gates + setup, refinement rounds re-wrapping g) hit an
+    identity cache and pay no further sync.
     """
     if isinstance(spec.w, jax.core.Tracer) or len(spec.offsets) <= 1:
         return spec
-    nz = np.asarray(jax.device_get(
-        jnp.any(spec.w != 0, axis=tuple(range(1, spec.w.ndim)))))
-    if nz.all():
+    import weakref
+    ent = _PRUNE_KEEP_CACHE.get(id(spec.w))
+    if ent is not None and ent[0]() is spec.w:
+        keep = ent[1]
+    else:
+        nz = np.asarray(jax.device_get(
+            jnp.any(spec.w != 0, axis=tuple(range(1, spec.w.ndim)))))
+        keep = None if nz.all() else (
+            tuple(k for k in range(len(spec.offsets)) if nz[k]) or (0,))
+        if len(_PRUNE_KEEP_CACHE) > 64:     # drop dead/stale entries
+            _PRUNE_KEEP_CACHE.clear()
+        try:
+            _PRUNE_KEEP_CACHE[id(spec.w)] = (weakref.ref(spec.w), keep)
+        except TypeError:                    # pragma: no cover
+            pass                             # non-weakrefable array type
+    if keep is None:
         return spec
-    keep = [k for k in range(len(spec.offsets)) if nz[k]]
-    if not keep:
-        keep = [0]
     return dataclasses.replace(
         spec, w=spec.w[np.asarray(keep)],
         offsets=tuple(spec.offsets[k] for k in keep))
+
+
+_PRUNE_KEEP_CACHE = {}
 
 
 @partial(jax.tree_util.register_dataclass,
