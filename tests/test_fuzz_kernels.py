@@ -177,9 +177,10 @@ def test_fuzz_checked_sharded_3d(seed):
         pytest.skip(f"not applicable: {S0.shape} over {dict(mesh.shape)}")
     n = int(rng.integers(1, 12))
     ce = int(rng.integers(1, 6))
+    tt = ("change", "residual")[rng.integers(0, 2)]
     res = solve_halo_window3d(spec, S0, 1.2, 0.0, n, check_every=ce,
-                              mesh=mesh)
+                              mesh=mesh, tol_type=tt)
     ref = _solve_fixed_xla(spec, S0, 1.2, n)
-    assert np.all(np.asarray(res.iters) == n), (sh, bcs, n, ce)
+    assert np.all(np.asarray(res.iters) == n), (sh, bcs, n, ce, tt)
     assert float(jnp.max(jnp.abs(res.S - ref))) <= _ulps(ref), \
-        (sh, bcs, n, ce, dict(mesh.shape))
+        (sh, bcs, n, ce, tt, dict(mesh.shape))
