@@ -184,3 +184,39 @@ def test_fuzz_checked_sharded_3d(seed):
     assert np.all(np.asarray(res.iters) == n), (sh, bcs, n, ce, tt)
     assert float(jnp.max(jnp.abs(res.S - ref))) <= _ulps(ref), \
         (sh, bcs, n, ce, tt, dict(mesh.shape))
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_checked_sharded_2d(seed):
+    """Random 2-D problems over random meshes: the CHECKED sharded solve
+    (both stopping rules) at tol=0 runs exactly n sweeps and matches the
+    XLA sweep — includes non-divisible ny (inert-row padding) and
+    x-splits (round 5)."""
+    from xinvert_tpu.parallel.halo_window import (solve_halo_window,
+                                                  halo_window_applicable)
+    rng = np.random.default_rng(500 + seed)
+    devs = np.asarray(jax.devices()[:8])
+    layouts = [((8,), ("y",)), ((4,), ("y",)), ((2, 4), ("y", "x")),
+               ((2, 4), ("batch", "y")), ((2, 2, 2), ("batch", "y", "x"))]
+    shape, names = layouts[rng.integers(0, len(layouts))]
+    mesh = Mesh(devs[:int(np.prod(shape))].reshape(shape), names)
+    my_ = mesh.shape.get("y", 1)
+    mx = mesh.shape.get("x", 1)
+    mb = mesh.shape.get("batch", 1)
+    ny = int(rng.integers(64 * my_, 100 * my_))
+    nx = 128 * mx * int(rng.integers(1, 3))
+    bcs = _BCS[rng.integers(0, len(_BCS))]
+    B = mb * int(rng.integers(1, 3)) if mb > 1 else int(rng.integers(0, 2))
+    spec, S0 = _rand_2d(rng, ny, nx, bcs, cross=bool(rng.integers(0, 2)),
+                        mask=True, B=B)
+    if not halo_window_applicable(spec, S0.shape, mesh):
+        pytest.skip(f"not applicable: {S0.shape} over {dict(mesh.shape)}")
+    n = int(rng.integers(1, 12))
+    ce = int(rng.integers(1, 6))
+    tt = ("change", "residual")[rng.integers(0, 2)]
+    res = solve_halo_window(spec, S0, 1.4, 0.0, n, check_every=ce,
+                            mesh=mesh, tol_type=tt)
+    ref = _solve_fixed_xla(spec, S0, 1.4, n)
+    assert np.all(np.asarray(res.iters) == n), (ny, nx, bcs, n, ce, tt)
+    assert float(jnp.max(jnp.abs(res.S - ref))) <= _ulps(ref), \
+        (ny, nx, bcs, B, n, ce, tt, dict(mesh.shape))
