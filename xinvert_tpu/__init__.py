@@ -52,6 +52,11 @@ from .models.api import (                                       # noqa: F401
 )
 
 
+from .ops.implicit import (                                     # noqa: F401
+    solve_implicit, transpose_spec,
+)
+
+
 def enable_compile_cache(path=None, min_compile_secs=2.0):
     """Opt-in persistent XLA compilation cache (round 5).
 
