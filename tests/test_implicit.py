@@ -196,3 +196,47 @@ def test_forward_value_matches_solve():
     b = solve_implicit(sp, S0, omega=1.5, tol=1e-12, max_iters=5000,
                        check_every=1)
     assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_transpose_spec_biharmonic_dense():
+    """The radius-2 17-point biharmonic stencil transposes exactly (its
+    offset set is closed under negation)."""
+    ny, nx = 14, 18
+    rng = np.random.default_rng(5)
+    A4 = jnp.asarray(np.abs(rng.normal(5e3, 100, (ny, nx))))
+    Z = jnp.zeros((ny, nx))
+    Bc = jnp.asarray(rng.normal(0, 10, (ny, nx)))
+    sp = stencil.general_2d_bih(
+        A4, Bc, A4, jnp.asarray(rng.normal(0, 1, (ny, nx))), Bc * 1e-2,
+        Z, Z, jnp.asarray(-np.abs(rng.normal(2e-11, 1e-12, (ny, nx)))),
+        Z, jnp.asarray(rng.normal(0, 1, (ny, nx))),
+        jnp.ones((ny, nx), bool), (5e4, 5e4), ("fixed", "fixed"))
+    M, act = _dense(sp, ny, nx)
+    MT, _ = _dense(transpose_spec(sp), ny, nx)
+    assert np.abs(M[np.ix_(act, act)].T - MT[np.ix_(act, act)]).max() == 0.0
+
+
+def test_batched_gradients():
+    """Batched forcing with SHARED weight planes: the weight cotangent
+    sums over the batch (broadcast-transpose), the forcing cotangent
+    stays per-slice."""
+    ny, nx, B = 10, 12, 3
+    rng = np.random.default_rng(6)
+    A = jnp.asarray(np.abs(rng.normal(1, .1, (ny, nx))) + .5)
+    C = jnp.asarray(np.abs(rng.normal(1, .1, (ny, nx))) + .5)
+    F = jnp.asarray(rng.normal(0, 1, (B, ny, nx)))
+    Fdef = jnp.ones((ny, nx), bool)
+    sp = stencil.standard_2d(A, 0.0, C, F, Fdef, (1.1, 1.0),
+                             ("fixed", "periodic"))
+    S0 = jnp.zeros((B, ny, nx))
+    cvec = jnp.asarray(rng.normal(0, 1, (B, ny, nx)))
+
+    def loss(g, w):
+        s = dataclasses.replace(sp, g=g, w=w)
+        return jnp.sum(solve_implicit(s, S0, tol=1e-14, max_iters=60000,
+                                      check_every=1) * cvec)
+
+    grads = jax.grad(loss, argnums=(0, 1))(sp.g, sp.w)
+    assert grads[0].shape == sp.g.shape      # per-slice forcing cotangent
+    assert grads[1].shape == sp.w.shape      # batch-summed weight cotangent
+    _fd_check(loss, (sp.g, sp.w), grads, which=(0, 1))
