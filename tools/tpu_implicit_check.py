@@ -2,8 +2,23 @@
 """On-chip check of the differentiable solve (ops/implicit.py): the
 adjoint pass is one transpose-stencil solve, so `jax.grad` through a
 2048^2 masked Poisson inversion should cost ~2 forward solves at kernel
-speed.  Validates the gradient against a directional finite difference
-(two extra forward solves) and times forward vs value_and_grad.
+speed.
+
+Gradient validation must respect what implicit differentiation promises:
+gradients of the EXACTLY-solved system, with O(solver truncation) error.
+At 2048^2 the spherical inverse Laplacian amplifies the gravest modes by
+~a^2 (~1e13 m^2), and 20k sweeps leave exactly those modes unconverged —
+a small-eps finite difference in a white-noise direction measures that
+truncation, not the adjoint (measured: FD blows up by ~1e7 while the
+adjoint stays finite).  The well-posed hardware check exploits linearity
+instead: the solve map at a FIXED sweep count is affine in the forcing,
+so for any probe direction dg
+
+    loss(g + dg) - loss(g) = <cvec, P_K dg>        (exactly, eps = 1)
+
+and the implicit-diff adjoint gives <A^{-T} cvec, dg>.  With dg and
+cvec both smooth mid-wavenumber fields (k ~ 40: converged in far fewer
+than K sweeps, amplification modest) the two agree to solver precision.
 
     python tools/tpu_implicit_check.py
 """
@@ -28,13 +43,23 @@ def main():
     spec, S0, grid = _poisson_problem(batch=0, ny=ny, nx=nx,
                                       dtype=np.float32)
     om = np.float32(grid.omega_opt)
-    rng = np.random.default_rng(0)
-    cvec = jnp.asarray(rng.normal(0, 1, (ny, nx)).astype(np.float32))
 
+    # smooth mid-k probe fields (converged subspace of a 20k-sweep solve)
+    jj = np.arange(ny)[:, None] / ny
+    ii = np.arange(nx)[None, :] / nx
+    cvec = jnp.asarray((np.sin(2 * np.pi * 41 * ii)
+                        * np.sin(np.pi * 37 * jj)).astype(np.float32))
+    dg_np = (np.cos(2 * np.pi * 43 * ii) * np.sin(np.pi * 39 * jj))
+    g_rms = float(jnp.sqrt(jnp.mean(jnp.where(spec.active, spec.g, 0.0) ** 2)))
+    dg = jnp.asarray((dg_np * g_rms).astype(np.float32))
+    dg = jnp.where(spec.active, dg, 0.0)
+
+    # tol=0 never triggers: exactly max_iters sweeps -> the solve map is
+    # a FIXED affine function of the forcing (linearity identity exact).
     def loss(g):
         sp = dataclasses.replace(spec, g=g)
-        S = solve_implicit(sp, S0, omega=om, tol=1e-7, max_iters=20000,
-                           check_every=32)
+        S = solve_implicit(sp, S0, omega=om, tol=0.0, max_iters=20000,
+                           check_every=4000)
         return jnp.sum(S * cvec)
 
     t0 = time.perf_counter()
@@ -56,18 +81,13 @@ def main():
     print(f"steady: forward {t_fwd2:.2f}s, value_and_grad {t_grad2:.2f}s "
           f"({t_grad2 / max(t_fwd2, 1e-9):.2f}x forward)")
 
-    # directional FD check: d/dt L(g + t*dg) at t=0 vs <g_bar, dg>
-    dg = jnp.asarray(rng.normal(0, 1, (ny, nx)).astype(np.float32))
-    dg = jnp.where(spec.active, dg, 0.0)
-    eps = np.float32(1e-3)
-    Lp = float(loss(spec.g + eps * dg))
-    Lm = float(loss(spec.g - eps * dg))
-    fd = (Lp - Lm) / (2 * float(eps))
+    # linearity identity (exact for the fixed-count affine solve map)
+    lin = float(loss(spec.g + dg)) - float(loss(spec.g))
     an = float(jnp.vdot(g_bar, dg))
-    rel = abs(fd - an) / max(abs(an), 1e-30)
-    print(f"directional FD {fd:.6e} vs adjoint {an:.6e}  rel err {rel:.2e}")
-    assert rel < 2e-2, rel       # f32 solve + f32 FD: percent-level match
-    print("OK: adjoint gradient matches the directional derivative "
+    rel = abs(lin - an) / max(abs(an), 1e-30)
+    print(f"linearity probe {lin:.6e} vs adjoint {an:.6e}  rel err {rel:.2e}")
+    assert rel < 2e-2, rel   # mid-k subspace converged; f32 percent-level
+    print("OK: adjoint gradient matches the exact linear response "
           "on-chip")
 
 
