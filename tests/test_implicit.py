@@ -240,3 +240,36 @@ def test_batched_gradients():
     assert grads[0].shape == sp.g.shape      # per-slice forcing cotangent
     assert grads[1].shape == sp.w.shape      # batch-summed weight cotangent
     _fd_check(loss, (sp.g, sp.w), grads, which=(0, 1))
+
+
+def test_fixed_count_linearity_identity():
+    """The oracle behind the on-chip gradient check
+    (tools/tpu_implicit_check.py): at a FIXED sweep count (tol=0 never
+    triggers the change rule) the truncated solve map is exactly AFFINE
+    in the forcing, so the unit-step response loss(g+dg)-loss(g) is (a)
+    homogeneous in the step to machine precision even far from
+    convergence, and (b) equal to the implicit-diff pairing <g_bar, dg>
+    once the solves converge — with NO small-eps FD anywhere."""
+    ny, nx = 12, 16
+    sp = _prob(ny, nx, ("fixed", "periodic"))
+    rng = np.random.default_rng(11)
+    S0 = jnp.zeros((ny, nx))
+    cvec = jnp.asarray(rng.normal(0, 1, (ny, nx)))
+    dg = jnp.where(sp.active, jnp.asarray(rng.normal(0, 1, (ny, nx))), 0.0)
+
+    def loss(g, iters):
+        s = dataclasses.replace(sp, g=g)
+        return jnp.sum(solve_implicit(s, S0, tol=0.0, max_iters=iters,
+                                      check_every=iters) * cvec)
+
+    # (a) affinity of the TRUNCATED map: 40 sweeps is far from converged,
+    # yet the step response doubles exactly with the step
+    r1 = float(loss(sp.g + dg, 40) - loss(sp.g, 40))
+    r2 = float(loss(sp.g + 2.0 * dg, 40) - loss(sp.g, 40))
+    assert abs(r2 - 2.0 * r1) <= 1e-10 * max(abs(r1), 1.0)
+
+    # (b) at convergence the unit-step response IS the gradient pairing
+    L, g_bar = jax.value_and_grad(lambda g: loss(g, 40000))(sp.g)
+    lin = float(loss(sp.g + dg, 40000)) - float(L)
+    an = float(jnp.vdot(g_bar, dg))
+    assert abs(lin - an) <= 1e-9 * max(abs(an), 1.0), (lin, an)
